@@ -1,0 +1,120 @@
+"""SearchEngine facade — the rebuild's public API.
+
+Mirrors the reference's HTTP surface (GET /query-stem?query=...&optionName=
+tfidf|bm25 -> top-50 docs with snippets; empty query -> error;
+backend/controllers/queryController.js:11-59) as a library API:
+
+    eng = SearchEngine.build(spark, corpus_df, index_dir)   # or .load(...)
+    eng.search("messi argentina", k=50, mode="bm25")        # hydrated DF
+    eng.search_ids("...", k=10, mode="bm25", path="wand")   # (docid, score)
+
+Query flow (SURVEY §3.1 "Rebuild lifecycle"): driver-side analysis with the
+SAME analyzer as indexing -> bucket-pruned scan of the postings table ->
+per-shard block-max kernel (or the exhaustive Catalyst path) -> global
+orderBy(score desc, docid asc).limit(k) -> broadcast hydration join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.analyzer import analyze_query
+from .operators.postings import DEFAULT_BUCKETS, decode_postings_df, term_bucket
+from .operators.scoring import score_exhaustive
+from .operators.wand import search_topk
+from .plans.build import build_index
+
+
+class EmptyQueryError(ValueError):
+    """Reference returns HTTP 400 {success:false, error:'Empty query'}
+    for blank queries (backend/controllers/queryController.js:21-25)."""
+
+
+class SearchEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        stem: bool = True,
+        n_buckets: int = DEFAULT_BUCKETS,
+    ):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.stem = stem
+        self.n_buckets = n_buckets
+        stats = spark.read.parquet(f"{index_dir}/stats").collect()[0]
+        self.n = int(stats["N"])
+        self.avgdl = float(stats["avgdl"])
+        self.total_length = int(stats["total_length"])
+
+    # -- lifecycle ---------------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        corpus: DataFrame,
+        index_dir: str,
+        stem: bool = True,
+        resume: bool = False,
+        **kwargs,
+    ) -> "SearchEngine":
+        build_index(
+            spark, corpus, index_dir, stem=stem, resume=resume, **kwargs
+        )
+        return cls(spark, index_dir, stem=stem)
+
+    @classmethod
+    def load(cls, spark: SparkSession, index_dir: str, stem: bool = True):
+        return cls(spark, index_dir, stem=stem)
+
+    # -- internals ---------------------------------------------------------
+    def _postings(self, terms: list[str]) -> DataFrame:
+        """Bucket-pruned postings scan for the query terms (the Spark
+        analogue of the reference's Mongo $in over the `word` B-tree,
+        backend/services/mongoService.js:18-20)."""
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
+        df = self.spark.read.parquet(f"{self.index_dir}/postings")
+        return df.filter(F.col("bucket").isin(buckets))
+
+    def analyze(self, query: str) -> list[str]:
+        if not query or not query.strip():
+            raise EmptyQueryError("Empty query")
+        return analyze_query(query, stem=self.stem)
+
+    # -- queries -----------------------------------------------------------
+    def search_ids(
+        self,
+        query: str,
+        k: int = 50,
+        mode: str = "bm25",
+        path: str = "wand",
+    ) -> DataFrame:
+        """Top-k (docid, score). ``path``: 'wand' = block-max pruned kernel;
+        'exhaustive' = decode + Catalyst aggregation (oracle path)."""
+        terms = self.analyze(query)
+        if not terms:
+            return self.spark.createDataFrame([], "docid long, score double")
+        postings = self._postings(terms)
+        if path == "wand":
+            return search_topk(
+                postings, terms, self.n, self.avgdl, k=k, mode=mode
+            )
+        flat = decode_postings_df(
+            postings.filter(F.col("term").isin(terms))
+        )
+        return score_exhaustive(flat, terms, self.n, self.avgdl, k, mode)
+
+    def search(
+        self, query: str, k: int = 50, mode: str = "bm25", path: str = "wand"
+    ) -> DataFrame:
+        """Hydrated top-k: (docid, url, title, snippet, score) — the
+        reference's result-fetch join (mongoService.js:75-113), as a
+        broadcast join of the k-row result against the docs table."""
+        ids = self.search_ids(query, k=k, mode=mode, path=path)
+        docs = self.spark.read.parquet(f"{self.index_dir}/docs")
+        return (
+            docs.join(F.broadcast(ids), "docid")
+            .select("docid", "url", "title", "snippet", "score")
+            .orderBy(F.desc("score"), F.asc("docid"))
+        )

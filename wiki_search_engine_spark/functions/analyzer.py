@@ -1,0 +1,94 @@
+"""Text analysis chain: clean -> tokenize -> (stop/junk filter) -> Porter.
+
+Replicates the reference's semantics (unified across index and query sides,
+see SURVEY §8.Q4):
+
+- clean: lowercase, replace every char outside ``[a-zA-Z0-9\\s]`` with a
+  space (the serving-path variant, backend/services/stemmingService.js:8-10;
+  the indexer variant at Indexer/inverted_index.py:18-22 deletes instead —
+  we unify on space-replacement so word boundaries survive, SURVEY §8.Q4);
+- tokenize: split on whitespace runs;
+- junk-number filter: drop tokens that are all digits with length > 4
+  (reference: Indexer/inverted_index.py:65-66);
+- stopword filter: deterministic in-repo list (the reference uses spaCy's
+  ``token.is_stop`` — a model-versioned external set; we pin our own so the
+  analyzer is dependency-free and stable);
+- Porter stem (reference: Indexer/inverted_index.py:70,
+  backend/services/stemmingService.js:16).
+
+Two analyzer levels:
+
+- ``base_tokens``   — clean + split + junk-number filter. This level is
+  exactly expressible in ANSI SQL (DuckDB) and is the analyzer used for the
+  oracle-checked index/scoring queries in ``__spark_entry__``.
+- ``full_tokens``   — base + stopword removal + Porter stem. Used by the
+  SearchEngine default pipeline; verified against the pure-Python oracle in
+  pytest (rank-identity), not via SQL.
+
+Both are plain Python functions; Spark-side they run vectorized over Arrow
+batches inside mapInPandas (see operators/tokenize.py) — never per-row UDFs.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .porter import porter_stem
+
+CLEAN_RE = re.compile(r"[^a-zA-Z0-9\s]")
+SPLIT_RE = re.compile(r"\s+")
+DIGITS_RE = re.compile(r"^[0-9]+$")
+
+# Deterministic stopword list (classic English function words). The reference
+# delegates to spaCy is_stop (Indexer/inverted_index.py:64); we pin a fixed,
+# in-repo set for reproducibility.
+STOPWORDS = frozenset(
+    """a about above after again against all am an and any are as at be
+    because been before being below between both but by could did do does
+    doing down during each few for from further had has have having he her
+    here hers herself him himself his how i if in into is it its itself just
+    me more most my myself no nor not now of off on once only or other our
+    ours ourselves out over own same she should so some such than that the
+    their theirs them themselves then there these they this those through to
+    too under until up very was we were what when where which while who whom
+    why will with you your yours yourself yourselves""".split()
+)
+
+# SQL fragments kept in lock-step with the Python above — used by
+# __spark_entry__.oracle_sql() so DuckDB tokenizes identically.
+SQL_CLEAN = "lower(regexp_replace({col}, '[^a-zA-Z0-9 \\t\\n\\r]', ' ', 'g'))"
+SQL_JUNK_PRED = "NOT (regexp_matches(tok, '^[0-9]+$') AND length(tok) > 4)"
+
+
+def clean_text(text: str) -> str:
+    """Lowercase and delete non-alphanumeric/non-space chars."""
+    return CLEAN_RE.sub(" ", text).lower()
+
+
+def base_tokens(text: str) -> list[str]:
+    """clean + whitespace split + junk-number filter (SQL-expressible)."""
+    out = []
+    for tok in SPLIT_RE.split(clean_text(text)):
+        if not tok:
+            continue
+        if len(tok) > 4 and DIGITS_RE.match(tok):
+            continue
+        out.append(tok)
+    return out
+
+
+def full_tokens(text: str) -> list[str]:
+    """base + stopword removal + Porter stem (the engine's default analyzer)."""
+    return [porter_stem(t) for t in base_tokens(text) if t not in STOPWORDS]
+
+
+def analyze_query(query: str, stem: bool = True) -> list[str]:
+    """Query-side analysis. Duplicate terms are deduped (order-preserving)
+    because the reference's Mongo ``$in`` returns each posting list once —
+    duplicate query terms never double-count
+    (reference: backend/services/mongoService.js:18-30)."""
+    toks = full_tokens(query) if stem else base_tokens(query)
+    seen: dict[str, None] = {}
+    for t in toks:
+        seen.setdefault(t)
+    return list(seen)

@@ -1,0 +1,150 @@
+"""Delta + varbyte posting-block codec (NumPy, vectorized).
+
+The reference stores posting lists as raw BSON arrays of
+``{docId, tf, df, doc_len, tfidf}`` (reference: mongodb_scripts/
+insertIndex.py:62-91) — ~50 bytes/posting. We store docid-sorted blocks of
+up to BLOCK_SIZE postings, each block holding three varbyte streams:
+
+- ``docids``: deltas of sorted non-negative int64 docids (first delta is
+  from the block's ``first_docid``), varbyte;
+- ``tfs``:    term frequencies, varbyte;
+- ``doclens``: per-posting document lengths, varbyte (the reference keeps
+  doc_len inside every posting, insertIndex.py:62-68; we keep that contract
+  so the scoring kernel never needs a giant docid->doclen map, SURVEY §7).
+
+Per-block metadata ``(first_docid, last_docid, count, max_score)`` supports
+block-max WAND pruning (max_score = max BM25 term contribution over the
+block, computed with the final corpus stats at index-build time).
+
+Varbyte: little-endian base-128, high bit set on the final byte of each
+value (classic; see e.g. "List Intersection for Web Search" VLDB'18 for the
+block-layout rationale — PAPERS.md).
+
+Encoding is NumPy-vectorized: all byte lengths computed in one pass, bytes
+scattered into a preallocated buffer. Decoding uses a high-bit scan +
+cumulative shifts. No per-posting Python loops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a non-negative int64 array to varbyte bytes."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: ceil(bitlength/7), min 1
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        nbits[nz] += 1
+        tmp >>= np.uint64(7)
+    nbytes = np.maximum(nbits, 1)
+    offsets = np.concatenate(([0], np.cumsum(nbytes)))
+    buf = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    maxb = int(nbytes.max())
+    rem = v.copy()
+    for byte_i in range(maxb):
+        mask = nbytes > byte_i
+        pos = offsets[:-1][mask] + byte_i
+        chunk = (rem[mask] & np.uint64(0x7F)).astype(np.uint8)
+        is_last = nbytes[mask] == byte_i + 1
+        chunk[is_last] |= 0x80
+        buf[pos] = chunk
+        rem[mask] >>= np.uint64(7)
+    return buf.tobytes()
+
+
+def varbyte_decode(data: bytes) -> np.ndarray:
+    """Decode varbyte bytes back to a uint64 array."""
+    if not data:
+        return np.zeros(0, dtype=np.uint64)
+    raw = np.frombuffer(data, dtype=np.uint8)
+    is_last = (raw & 0x80) != 0
+    # index of each byte within its value: position - start_of_value
+    value_id = np.concatenate(([0], np.cumsum(is_last)[:-1]))
+    starts = np.concatenate(([0], np.nonzero(is_last)[0][:-1] + 1))
+    byte_pos = np.arange(raw.size) - starts[value_id]
+    contrib = (raw & 0x7F).astype(np.uint64) << (
+        np.uint64(7) * byte_pos.astype(np.uint64)
+    )
+    nvals = int(is_last.sum())
+    out = np.zeros(nvals, dtype=np.uint64)
+    np.add.at(out, value_id, contrib)
+    return out
+
+
+def encode_postings(
+    docids: np.ndarray, tfs: np.ndarray, doclens: np.ndarray,
+    idf: float, avgdl: float, k1: float = 1.5, b: float = 0.75,
+    block_size: int = BLOCK_SIZE,
+):
+    """Split docid-sorted postings into encoded blocks.
+
+    Returns a list of dicts ``{first_docid, last_docid, count, max_score,
+    docids_bytes, tfs_bytes, doclens_bytes}``. ``max_score`` is the max BM25
+    term contribution within the block (reference formula:
+    backend/services/mongoService.js:34-41).
+    """
+    docids = np.asarray(docids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    doclens = np.asarray(doclens, dtype=np.int64)
+    order = np.argsort(docids, kind="stable")
+    docids, tfs, doclens = docids[order], tfs[order], doclens[order]
+    blocks = []
+    for start in range(0, docids.size, block_size):
+        d = docids[start : start + block_size]
+        t = tfs[start : start + block_size]
+        dl = doclens[start : start + block_size]
+        deltas = np.empty(d.size, dtype=np.uint64)
+        deltas[0] = 0  # first docid stored in metadata
+        deltas[1:] = np.diff(d).astype(np.uint64)
+        tfd = t.astype(np.float64)
+        scores = (
+            idf * tfd * (k1 + 1.0)
+            / (tfd + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl))
+        )
+        blocks.append(
+            {
+                "first_docid": int(d[0]),
+                "last_docid": int(d[-1]),
+                "count": int(d.size),
+                "max_score": float(scores.max()),
+                "max_tf": int(t.max()),
+                "docids_bytes": varbyte_encode(deltas),
+                "tfs_bytes": varbyte_encode(t.astype(np.uint64)),
+                "doclens_bytes": varbyte_encode(dl.astype(np.uint64)),
+            }
+        )
+    return blocks
+
+
+def decode_block(block) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode one block -> (docids:int64, tfs:int64, doclens:int64)."""
+    deltas = varbyte_decode(bytes(block["docids_bytes"]))
+    docids = (
+        np.cumsum(deltas.astype(np.int64)) + np.int64(block["first_docid"])
+    )
+    tfs = varbyte_decode(bytes(block["tfs_bytes"])).astype(np.int64)
+    doclens = varbyte_decode(bytes(block["doclens_bytes"])).astype(np.int64)
+    return docids, tfs, doclens
+
+
+def decode_posting_list(blocks) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode and concatenate all blocks of one term (docid-sorted)."""
+    if not blocks:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    parts = [decode_block(b) for b in blocks]
+    return (
+        np.concatenate([p[0] for p in parts]),
+        np.concatenate([p[1] for p in parts]),
+        np.concatenate([p[2] for p in parts]),
+    )

@@ -1,0 +1,75 @@
+"""Exhaustive BM25 / TF-IDF scoring as declarative DataFrame ops.
+
+This is the Catalyst-native path: the whole computation is JVM-side
+(whole-stage codegen), no Python in the loop. It replicates the
+reference's serving-path loop (backend/services/mongoService.js:28-58)
+as a filter -> arithmetic -> aggregate -> TakeOrderedAndProject plan:
+
+    tokens (docid, term, tf, doc_len)
+      |> semi-filter on analyzed query terms      ($in, mongoService.js:18)
+      |> join broadcast (term, df) for query terms only
+      |> per-row partial score (BM25 or TF-IDF formula)
+      |> groupBy(docid).sum                       (OR-semantics accumulate)
+      |> orderBy(score desc, docid asc).limit(k)  (top-k, §8.Q5 tie-break)
+
+N / avgdl arrive as literals (the reference reads its metaData singleton
+per query, mongoService.js:15-26). df for scoring is recomputed from the
+live postings (len(posting list), §8.Q7) — here that's exactly the
+count of token rows per term, computed on the FILTERED tokens so only
+query terms are aggregated (tiny shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import B, K1
+
+
+def score_expr(mode: str, n: int, avgdl: float):
+    """Partial per-(term,doc) contribution column. Formulas:
+    backend/services/mongoService.js:34-48."""
+    tf = F.col("tf").cast("double")
+    df = F.col("df").cast("double")
+    if mode == "bm25":
+        idf = F.log((F.lit(float(n)) - df + 0.5) / (df + 0.5) + 1.0)
+        dl = F.col("doc_len").cast("double")
+        denom = tf + F.lit(K1) * (1.0 - B + F.lit(B) * dl / F.lit(avgdl))
+        return idf * tf * F.lit(K1 + 1.0) / denom
+    if mode == "tfidf":
+        return tf * F.log(F.lit(float(n)) / df)
+    raise ValueError(f"unknown scoring mode: {mode}")
+
+
+def score_exhaustive(
+    tokens: DataFrame,
+    query_terms: list[str],
+    n: int,
+    avgdl: float,
+    k: int = 50,
+    mode: str = "bm25",
+) -> DataFrame:
+    """Top-k (docid, score) over a token/posting relation.
+
+    ``query_terms`` must already be analyzed + deduped
+    (functions.analyzer.analyze_query)."""
+    if not query_terms:
+        return (
+            tokens.sparkSession.createDataFrame(
+                [], "docid long, score double"
+            )
+        )
+    matched = tokens.filter(F.col("term").isin(query_terms))
+    # df recomputed from live postings (Q7); window avoids a second scan
+    from pyspark.sql import Window
+
+    df_w = Window.partitionBy("term")
+    matched = matched.withColumn("df", F.count("*").over(df_w))
+    scored = matched.withColumn("partial", score_expr(mode, n, avgdl))
+    return (
+        scored.groupBy("docid")
+        .agg(F.sum("partial").alias("score"))
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(k)
+    )

@@ -1,0 +1,72 @@
+"""Corpus -> term-frequency rows, Arrow-vectorized (mapInPandas).
+
+Replaces the reference's per-row Python UDF + explode + groupBy chain
+(reference: Indexer/inverted_index.py:77-82 tokenizer UDF; :105 explode;
+:109-110 tf and doc_len groupBys) with ONE mapInPandas pass that emits
+already-aggregated ``(docid, term, tf, doc_len)`` rows:
+
+- tf is a per-document quantity, so it needs NO shuffle at all — each
+  input partition tokenizes its documents and counts terms in-batch
+  (SURVEY §2.3 A1/A2: "emit (docid, term, tf) directly from tokenizer");
+- doc_len (total token count per doc) rides along on every row, matching
+  the reference's posting payload (insertIndex.py:62-68) and saving the
+  doc-stats join at scoring time (SURVEY §7 "doc_len in postings").
+
+At 100 TB this is the scan stage: it streams Arrow batches, never
+materializes the exploded token stream, and its output is ~|distinct
+(doc,term)| rows instead of |tokens| rows.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.analyzer import base_tokens, full_tokens
+
+TOKENS_SCHEMA = "docid long, term string, tf int, doc_len int"
+
+
+def _tokenize_batches(stem: bool):
+    analyze = full_tokens if stem else base_tokens
+
+    def fn(batches):
+        for pdf in batches:
+            docids, terms, tfs, dls = [], [], [], []
+            for docid, text in zip(pdf["docid"], pdf["text"]):
+                toks = analyze(text if isinstance(text, str) else "")
+                if not toks:
+                    continue  # zero-term docs excluded from index and N (Q8)
+                dl = len(toks)
+                for term, tf in Counter(toks).items():
+                    docids.append(docid)
+                    terms.append(term)
+                    tfs.append(tf)
+                    dls.append(dl)
+            yield pd.DataFrame(
+                {"docid": docids, "term": terms, "tf": tfs, "doc_len": dls}
+            )
+
+    return fn
+
+
+def tokenize(corpus: DataFrame, stem: bool = True) -> DataFrame:
+    """(docid, text) -> (docid, term, tf, doc_len). Shuffle-free."""
+    return corpus.select("docid", "text").mapInPandas(
+        _tokenize_batches(stem), schema=TOKENS_SCHEMA
+    )
+
+
+def with_docid(corpus: DataFrame, id_col: str = "url") -> DataFrame:
+    """Stable non-negative 63-bit docid from the external key.
+
+    The reference's docid is md5(url) (Crawler/crawler.py:324,
+    insertIndex.py:63); we use xxhash64 >> 1 (non-negative so varbyte
+    deltas on the signed-sorted order are valid) — same role, cheaper,
+    JVM-side."""
+    return corpus.withColumn(
+        "docid", F.shiftrightunsigned(F.xxhash64(F.col(id_col)), 1)
+    )

@@ -1,0 +1,164 @@
+"""Top-k query kernel: block-max pruned, vectorized, doc-range sharded.
+
+The reference scores exhaustively — a JS loop over every posting of every
+query term (backend/services/mongoService.js:28-49). At web scale that is
+the latency bottleneck, so the fast path prunes with block-max metadata
+while staying EXACTLY score- and rank-identical (pruning only skips work
+that provably cannot change the top-k; pytest asserts kernel == exhaustive
+on every fixture query).
+
+Algorithm: MaxScore-style term-at-a-time with block-range skipping
+(Turtle & Flood 1995 "Query evaluation: strategies and optimizations";
+block-max bounds per Ding & Suel 2011 block-max WAND), vectorized in NumPy:
+
+1. terms sorted by descending term upper bound UB_t = idf_t * max_u_t;
+2. "essential" prefix of terms is fully decoded and accumulated
+   (np.concatenate + np.unique-sum);
+3. once the sum of remaining terms' UBs drops below the current k-th
+   score θ, no NEW doc can enter the top-k — remaining terms only update
+   existing candidates, so their blocks are DECODED ONLY IF
+   (a) the block's docid range intersects the candidate set, and
+   (b) idf * block.max_score could still matter (> 0 contribution test is
+       implicit; range test via np.searchsorted on the sorted candidates);
+4. exact final top-k by (score desc, docid asc).
+
+Runs inside ``applyInPandas`` grouped by the index's docid-range shard
+(``salt``): every query term's postings for that range are in the group,
+so per-shard top-k is exact; the global merge is a tiny
+``orderBy(score desc, docid asc).limit(k)`` over ≤ k×shards rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import B, K1
+from ..oracle_py.oracle import bm25_idf, tfidf_idf
+from .codec import decode_block
+
+
+def _bm25_scores(tfs, doclens, idf, avgdl):
+    tfd = tfs.astype(np.float64)
+    return idf * tfd * (K1 + 1.0) / (
+        tfd + K1 * (1.0 - B + B * doclens.astype(np.float64) / avgdl)
+    )
+
+
+def score_shard_topk(
+    term_lists: list[dict], n: int, avgdl: float, k: int, mode: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact top-k (docids, scores) for one docid-range shard.
+
+    ``term_lists``: [{df, blocks}] one entry per distinct query term
+    present in the shard.
+    """
+    prepared = []
+    for tl in term_lists:
+        df = int(tl["df"])
+        idf = bm25_idf(n, df) if mode == "bm25" else tfidf_idf(n, df)
+        blocks = tl["blocks"]
+        if mode == "bm25":
+            ub = idf * max(b["max_score"] for b in blocks)
+        else:
+            ub = idf * max(b["max_tf"] for b in blocks)
+        prepared.append((ub, idf, blocks))
+    # term-at-a-time in decreasing upper-bound order
+    prepared.sort(key=lambda t: -t[0])
+    ubs = np.array([p[0] for p in prepared])
+    suffix_ub = np.concatenate([np.cumsum(ubs[::-1])[::-1][1:], [0.0]])
+
+    acc_docids = np.zeros(0, dtype=np.int64)
+    acc_scores = np.zeros(0, dtype=np.float64)
+    theta = -np.inf
+    closed = False  # True once no new doc can reach the top-k
+
+    for i, (ub, idf, blocks) in enumerate(prepared):
+        if closed:
+            # prune: only blocks overlapping current candidates matter
+            kept = []
+            for blk in blocks:
+                lo = np.searchsorted(acc_docids, blk["first_docid"], "left")
+                hi = np.searchsorted(acc_docids, blk["last_docid"], "right")
+                if hi > lo:
+                    kept.append(blk)
+            blocks = kept
+            if not blocks:
+                continue
+        d_parts, s_parts = [], []
+        for blk in blocks:
+            docids, tfs, doclens = decode_block(blk)
+            if mode == "bm25":
+                s = _bm25_scores(tfs, doclens, idf, avgdl)
+            else:
+                s = tfs.astype(np.float64) * idf
+            d_parts.append(docids)
+            s_parts.append(s)
+        d = np.concatenate(d_parts)
+        s = np.concatenate(s_parts)
+        if closed:
+            # keep only contributions to existing candidates
+            pos = np.searchsorted(acc_docids, d)
+            ok = (pos < acc_docids.size) & (
+                acc_docids[np.minimum(pos, acc_docids.size - 1)] == d
+            )
+            np.add.at(acc_scores, pos[ok], s[ok])
+        else:
+            all_d = np.concatenate([acc_docids, d])
+            all_s = np.concatenate([acc_scores, s])
+            acc_docids, inv = np.unique(all_d, return_inverse=True)
+            acc_scores = np.zeros(acc_docids.size, dtype=np.float64)
+            np.add.at(acc_scores, inv, all_s)
+        if acc_scores.size >= k:
+            theta = np.partition(acc_scores, -k)[-k]
+        if not closed and suffix_ub[i] < theta:
+            closed = True
+    if acc_scores.size == 0:
+        return acc_docids, acc_scores
+    kk = min(k, acc_scores.size)
+    # top-k by (score desc, docid asc): lexsort on (-score, docid)
+    idx = np.lexsort((acc_docids, -acc_scores))[:kk]
+    return acc_docids[idx], acc_scores[idx]
+
+
+def search_topk(
+    postings: DataFrame,
+    query_terms: list[str],
+    n: int,
+    avgdl: float,
+    k: int = 50,
+    mode: str = "bm25",
+) -> DataFrame:
+    """Distributed top-k over the sharded postings table.
+
+    ``postings`` should already be filtered to the query's term buckets
+    (partition pruning) — this function adds the exact term filter, runs
+    the shard kernel per salt group, and merges.
+    """
+    spark = postings.sparkSession
+    if not query_terms:
+        return spark.createDataFrame([], "docid long, score double")
+    cand = postings.filter(F.col("term").isin(query_terms))
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        term_lists = [
+            {
+                "df": df,
+                "blocks": [
+                    b if isinstance(b, dict) else b.asDict() for b in blocks
+                ],
+            }
+            for df, blocks in zip(pdf["df"], pdf["blocks"])
+            if len(blocks)
+        ]
+        if not term_lists:
+            return pd.DataFrame({"docid": [], "score": []})
+        docids, scores = score_shard_topk(term_lists, n, avgdl, k, mode)
+        return pd.DataFrame({"docid": docids, "score": scores})
+
+    shard_topk = cand.groupBy("salt").applyInPandas(
+        kernel, schema="docid long, score double"
+    )
+    return shard_topk.orderBy(F.desc("score"), F.asc("docid")).limit(k)

@@ -1,0 +1,176 @@
+"""Index build orchestration: staged, metered, resumable.
+
+Pipeline (SURVEY §3.2 "Rebuild lifecycle"):
+
+  corpus (url, warc_ts, html, text, lang)
+    -> docid = xxhash64(url)>>1                       [JVM expr]
+    -> stage tokens : mapInPandas tokenize -> (docid, term, tf, doc_len,
+       bucket) written as parquet partitioned by bucket  [1 Python stage]
+    -> stage doc_stats / stats / docs : plain aggregations + snippet
+    -> stage postings[g] : per bucket-group, salted (term, salt) encode ->
+       doc-range-sharded block postings, parquet partitioned by bucket;
+       one manifest unit per group  => kill/rerun resumes group-granular.
+
+Layout under ``index_dir``:
+    tokens/    staging (docid,term,tf,doc_len) parquet, partitionBy bucket
+    postings/  (term,salt,df,bucket,blocks)   parquet, partitionBy bucket
+    doc_stats/ (docid, doc_len)
+    docs/      (docid, url, title, snippet)
+    stats/     1-row (N, avgdl, total_length)
+    manifest.json
+
+The bucket directory key makes query-time term lookups partition-pruned
+scans (the Spark analogue of the reference's Mongo B-tree on ``word``,
+mongodb_scripts/insertIndex.py:104).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.analyzer import base_tokens, full_tokens
+from ..functions.textstats import snippet
+from ..operators.aggregates import corpus_stats, doc_stats
+from ..operators.postings import (
+    DEFAULT_BUCKETS, build_postings, term_bucket,
+)
+from ..operators.tokenize import with_docid
+from .manifest import Manifest
+
+from collections import Counter
+
+
+def _tokenize_with_bucket(stem: bool, n_buckets: int):
+    analyze = full_tokens if stem else base_tokens
+
+    def fn(batches):
+        for pdf in batches:
+            docids, terms, tfs, dls, buckets = [], [], [], [], []
+            for docid, text in zip(pdf["docid"], pdf["text"]):
+                toks = analyze(text if isinstance(text, str) else "")
+                if not toks:
+                    continue
+                dl = len(toks)
+                for term, tf in Counter(toks).items():
+                    docids.append(docid)
+                    terms.append(term)
+                    tfs.append(tf)
+                    dls.append(dl)
+                    buckets.append(term_bucket(term, n_buckets))
+            yield pd.DataFrame(
+                {
+                    "docid": docids,
+                    "term": terms,
+                    "tf": tfs,
+                    "doc_len": dls,
+                    "bucket": buckets,
+                }
+            )
+
+    return fn
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    stem: bool = True,
+    n_buckets: int = DEFAULT_BUCKETS,
+    bucket_groups: int = 4,
+    salt_bits: int = 3,
+    resume: bool = False,
+) -> Manifest:
+    """Build the full index under ``index_dir``; returns the manifest."""
+    manifest = Manifest(f"{index_dir}/manifest.json")
+    if not resume:
+        manifest.entries = {}
+
+    corpus = with_docid(corpus, "url")
+
+    # --- stage: tokens (staging parquet, bucket-partitioned) -------------
+    if not manifest.is_done("tokens"):
+        t0 = time.time()
+        tokens = corpus.select("docid", "text").mapInPandas(
+            _tokenize_with_bucket(stem, n_buckets),
+            schema=(
+                "docid long, term string, tf int, doc_len int, bucket int"
+            ),
+        )
+        tokens.write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{index_dir}/tokens"
+        )
+        rows = spark.read.parquet(f"{index_dir}/tokens").count()
+        manifest.mark(
+            "tokens", rows_out=rows, wall_ms=int(1000 * (time.time() - t0))
+        )
+    tokens = spark.read.parquet(f"{index_dir}/tokens")
+
+    # --- stage: doc_stats + corpus stats ---------------------------------
+    if not manifest.is_done("stats"):
+        t0 = time.time()
+        ds = doc_stats(tokens)
+        ds.write.mode("overwrite").parquet(f"{index_dir}/doc_stats")
+        ds = spark.read.parquet(f"{index_dir}/doc_stats")
+        corpus_stats(ds).write.mode("overwrite").parquet(f"{index_dir}/stats")
+        manifest.mark(
+            "stats",
+            rows_out=ds.count(),
+            wall_ms=int(1000 * (time.time() - t0)),
+        )
+
+    stats = spark.read.parquet(f"{index_dir}/stats").collect()[0]
+    avgdl = float(stats["avgdl"])
+
+    # --- stage: docs (hydration side table: url, title, snippet) ---------
+    if not manifest.is_done("docs"):
+        t0 = time.time()
+        docs = corpus.select(
+            "docid",
+            "url",
+            F.regexp_extract("url", r"([^/]+)$", 1).alias("title"),
+            snippet(F.col("text")).alias("snippet"),
+        )
+        docs.write.mode("overwrite").parquet(f"{index_dir}/docs")
+        manifest.mark(
+            "docs",
+            rows_out=spark.read.parquet(f"{index_dir}/docs").count(),
+            wall_ms=int(1000 * (time.time() - t0)),
+        )
+
+    # --- stage: postings, one manifest unit per bucket group -------------
+    per_group = (n_buckets + bucket_groups - 1) // bucket_groups
+    for g in range(bucket_groups):
+        unit = f"postings_g{g}"
+        if manifest.is_done(unit):
+            continue
+        t0 = time.time()
+        lo, hi = g * per_group, min((g + 1) * per_group, n_buckets) - 1
+        group_tokens = tokens.filter(F.col("bucket").between(lo, hi))
+        postings = build_postings(
+            group_tokens.select("docid", "term", "tf", "doc_len"),
+            avgdl=avgdl,
+            salt_bits=salt_bits,
+            n_buckets=n_buckets,
+        )
+        # dynamic partition overwrite: the group rewrites ONLY its own
+        # bucket=... directories -> idempotent re-runs, group-level resume
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        postings.write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{index_dir}/postings"
+        )
+        out = spark.read.parquet(f"{index_dir}/postings").filter(
+            F.col("bucket").between(lo, hi)
+        )
+        manifest.mark(
+            unit,
+            rows_out=out.count(),
+            wall_ms=int(1000 * (time.time() - t0)),
+        )
+    manifest.mark("all", status="done")
+    return manifest
