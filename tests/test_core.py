@@ -1,0 +1,115 @@
+"""Pure-Python core: Porter, analyzer, codec, extraction, synth."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from wiki_search_engine_spark.functions.analyzer import (
+    analyze_query, base_tokens, full_tokens,
+)
+from wiki_search_engine_spark.functions.extraction import (
+    extract_text, extract_title, normalize_title,
+)
+from wiki_search_engine_spark.functions.porter import porter_stem
+from wiki_search_engine_spark.operators.codec import (
+    decode_block, decode_posting_list, encode_postings, varbyte_decode,
+    varbyte_encode,
+)
+from wiki_search_engine_spark.sources.synth import POISON, doc_html, doc_row
+
+
+PORTER_CASES = {
+    "caresses": "caress", "ponies": "poni", "ties": "ti", "cats": "cat",
+    "feed": "feed", "agreed": "agre", "plastered": "plaster",
+    "motoring": "motor", "sing": "sing", "sized": "size", "hopping": "hop",
+    "falling": "fall", "hissing": "hiss", "failing": "fail",
+    "filing": "file", "happy": "happi", "sky": "sky", "running": "run",
+    "visited": "visit", "argentina": "argentina", "relational": "relat",
+    "generalization": "gener", "obama": "obama",
+}
+
+
+def test_porter_known_cases():
+    for word, want in PORTER_CASES.items():
+        assert porter_stem(word) == want, word
+
+
+def test_analyzer_base():
+    # punctuation -> space, case folded, long digit runs dropped
+    assert base_tokens("Hello, World! 123 123456789 don't") == [
+        "hello", "world", "123", "don", "t",
+    ]
+
+
+def test_analyzer_full_stopwords_and_stem():
+    # mirrors reference stemmingService.test.js expectations (obama, visit)
+    toks = full_tokens("Barack Obama visited New York")
+    assert "obama" in toks and "visit" in toks
+    assert "the" not in full_tokens("the cat")
+
+
+def test_query_dedup():
+    # duplicate query terms never double-count (mongoService.js:18-30)
+    assert analyze_query("messi messi Argentina") == ["messi", "argentina"]
+
+
+def test_empty_and_whitespace_queries():
+    assert analyze_query("   ") == []
+    assert analyze_query("!!! ...") == []
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**62), max_size=300)
+)
+@settings(max_examples=50, deadline=None)
+def test_varbyte_roundtrip(values):
+    arr = np.array(values, dtype=np.uint64)
+    assert (varbyte_decode(varbyte_encode(arr)) == arr).all()
+
+
+@given(st.integers(min_value=1, max_value=400), st.integers(0, 2**31))
+@settings(max_examples=25, deadline=None)
+def test_block_roundtrip(n, seed):
+    rng = np.random.default_rng(seed)
+    docids = np.sort(rng.choice(2**45, size=n, replace=False))
+    tfs = rng.integers(1, 50, n)
+    dls = rng.integers(1, 3000, n)
+    blocks = encode_postings(docids, tfs, dls, idf=1.0, avgdl=500.0)
+    d, t, dl = decode_posting_list(blocks)
+    assert (d == docids).all() and (t == tfs).all() and (dl == dls).all()
+    for b in blocks:
+        bd, bt, bdl = decode_block(b)
+        assert b["first_docid"] == bd[0] and b["last_docid"] == bd[-1]
+        assert b["count"] == bd.size and b["max_tf"] == bt.max()
+        assert (np.diff(bd) > 0).all()  # strictly docid-sorted
+
+
+def test_extraction_removes_decoys_and_formats_headings():
+    html = doc_html(3)
+    text = extract_text(html)
+    assert POISON not in text
+    # headings rendered \n## text\n, parts joined by \n\n (crawler.py:377-387)
+    assert "\n## " in text or "\n### " in text
+    assert extract_title(html) == "Doc 3 - Wikipedia"
+    assert normalize_title("Doc 3 - Wikipedia") == "doc 3"
+
+
+def test_extraction_fallback_branch():
+    # doc 17 omits #mw-content-text -> get_text(' ', strip=True) fallback
+    text = extract_text(doc_html(17))
+    assert POISON not in text
+    assert text.startswith("Doc 17 - Wikipedia")  # title text included
+
+
+def test_synth_deterministic():
+    a, b = doc_row(9), doc_row(9)
+    assert a == b
+    assert doc_row(9, seed=7)["html"] != a["html"]
+
+
+def test_stored_text_byte_identical_to_extraction():
+    # the input_hint contract: text == extract(html), byte-for-byte
+    for i in (0, 1, 17, 34, 51):
+        r = doc_row(i)
+        assert extract_text(r["html"].decode("utf-8")) == r["text"]

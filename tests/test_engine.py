@@ -1,0 +1,149 @@
+"""Spark engine vs pure-Python oracle: rank identity + index invariants.
+
+Mirrors the reference's test intent (SURVEY §5): scoring monotonicity and
+schema checks (backend/__tests__/scoringBM25.test.js, indexDocRetrieval
+.test.js) — strengthened to full rank-identity against the oracle.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import assert_rank_identical
+
+
+@pytest.mark.parametrize("mode", ["bm25", "tfidf"])
+@pytest.mark.parametrize("path", ["wand", "exhaustive"])
+def test_rank_identity(engine, oracle, fixture_queries, mode, path):
+    for q in fixture_queries:
+        exp = oracle.search(q, k=10, mode=mode)
+        got = [
+            (r["docid"], r["score"])
+            for r in engine.search_ids(q, k=10, mode=mode, path=path).collect()
+        ]
+        assert_rank_identical(got, exp)
+
+
+def test_wand_equals_exhaustive_at_k50(engine, fixture_queries):
+    for q in fixture_queries[:4]:
+        a = engine.search_ids(q, k=50, mode="bm25", path="wand").collect()
+        b = engine.search_ids(
+            q, k=50, mode="bm25", path="exhaustive"
+        ).collect()
+        assert [r["docid"] for r in a] == [r["docid"] for r in b]
+        for x, y in zip(a, b):
+            assert math.isclose(x["score"], y["score"], rel_tol=1e-9)
+
+
+def test_corpus_stats_match_oracle(engine, oracle):
+    assert engine.n == oracle.n_docs
+    assert math.isclose(engine.avgdl, oracle.avgdl, rel_tol=1e-12)
+    assert engine.total_length == sum(oracle.doc_len.values())
+
+
+def test_index_invariants(spark, engine, oracle, index_dir):
+    from wiki_search_engine_spark.operators.postings import decode_postings_df
+
+    postings = spark.read.parquet(f"{index_dir}/postings")
+    flat = decode_postings_df(postings).cache()
+    # df == posting-list length (Q7) and matches oracle
+    df_check = {
+        r["term"]: r["n"]
+        for r in flat.groupBy("term").agg(F.count("*").alias("n")).collect()
+    }
+    stored_df = {
+        r["term"]: r["df"]
+        for r in postings.select("term", "df").distinct().collect()
+    }
+    assert df_check == stored_df
+    oracle_df = {t: len(p) for t, p in oracle.postings.items()}
+    assert df_check == oracle_df
+    # sum(tf per doc) == doc_len (every row of the doc agrees)
+    bad = (
+        flat.groupBy("docid")
+        .agg(
+            F.sum("tf").alias("sum_tf"), F.first("doc_len").alias("doc_len")
+        )
+        .filter(F.col("sum_tf") != F.col("doc_len"))
+        .count()
+    )
+    assert bad == 0
+    # postings docid-sorted within each (term, salt) shard
+    rows = postings.select("term", "salt", "blocks").collect()
+    for r in rows:
+        firsts = [b["first_docid"] for b in r["blocks"]]
+        lasts = [b["last_docid"] for b in r["blocks"]]
+        assert firsts == sorted(firsts)
+        assert all(f <= l for f, l in zip(firsts, lasts))
+        assert all(lasts[i] < firsts[i + 1] for i in range(len(firsts) - 1))
+    flat.unpersist()
+
+
+def test_empty_query_errors(engine):
+    from wiki_search_engine_spark.engine import EmptyQueryError
+
+    # reference: 400 {success:false,error:'Empty query'}
+    # (queryController.js:21-25)
+    with pytest.raises(EmptyQueryError):
+        engine.search_ids("   ")
+
+
+def test_hydration(engine, oracle, fixture_queries):
+    q = fixture_queries[1]
+    rows = engine.search(q, k=5).collect()
+    exp = oracle.search(q, k=5)
+    assert [r["docid"] for r in rows] == [d for d, _ in exp]
+    for r in rows:
+        assert r["url"].startswith("https://en.wikipedia.org/wiki/Doc_")
+        assert r["title"] == r["url"].rsplit("/", 1)[1]
+        assert isinstance(r["snippet"], str)
+
+
+def test_snippet_semantics(spark):
+    """cut_the_article: chars of first <=3 lines until the 2nd '.',
+    inclusive (insertScript.py:8-24)."""
+    from wiki_search_engine_spark.functions.textstats import snippet
+
+    cases = [
+        ("One. Two. Three.", "One. Two."),
+        ("no dots at all\nsecond line\nthird\nfourth",
+         "no dots at allsecond linethird"),
+        ("a.\nb.\nc.", "a.b."),
+        ("only one dot.", "only one dot."),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "text string")
+    got = [r[0] for r in df.select(snippet(F.col("text"))).collect()]
+    assert got == [w for _, w in cases]
+
+
+def test_resume_skips_completed_units(spark, corpus_df, tmp_path):
+    import json
+
+    from wiki_search_engine_spark.plans.build import build_index
+    from wiki_search_engine_spark.plans.manifest import Manifest
+
+    d = str(tmp_path / "idx")
+    m = build_index(
+        spark, corpus_df, d, n_buckets=8, bucket_groups=2, salt_bits=1
+    )
+    assert m.is_done("all")
+    # simulate a crash after group 0: drop completion of group 1 + all
+    entries = json.load(open(f"{d}/manifest.json"))
+    before_g1 = dict(entries)
+    del before_g1["postings_g1"]
+    del before_g1["all"]
+    json.dump(before_g1, open(f"{d}/manifest.json", "w"))
+    tok_done_at = entries["tokens"]["finished_at"]
+    m2 = build_index(
+        spark, corpus_df, d, n_buckets=8, bucket_groups=2, salt_bits=1,
+        resume=True,
+    )
+    # completed units were NOT recomputed (same finished_at), missing one was
+    assert m2.entries["tokens"]["finished_at"] == tok_done_at
+    assert m2.is_done("postings_g1") and m2.is_done("all")
+    # index is complete and loadable
+    from wiki_search_engine_spark.engine import SearchEngine
+
+    eng = SearchEngine.load(spark, d)
+    assert eng.n > 0

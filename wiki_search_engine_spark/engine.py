@@ -36,13 +36,25 @@ class SearchEngine:
         self,
         spark: SparkSession,
         index_dir: str,
-        stem: bool = True,
-        n_buckets: int = DEFAULT_BUCKETS,
+        stem: bool | None = None,
+        n_buckets: int | None = None,
     ):
+        import json
+        import os
+
         self.spark = spark
         self.index_dir = index_dir
-        self.stem = stem
-        self.n_buckets = n_buckets
+        meta = {}
+        meta_path = f"{index_dir}/meta.json"
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+        self.stem = meta.get("stem", True) if stem is None else stem
+        self.n_buckets = (
+            meta.get("n_buckets", DEFAULT_BUCKETS)
+            if n_buckets is None
+            else n_buckets
+        )
         stats = spark.read.parquet(f"{index_dir}/stats").collect()[0]
         self.n = int(stats["N"])
         self.avgdl = float(stats["avgdl"])
@@ -65,7 +77,7 @@ class SearchEngine:
         return cls(spark, index_dir, stem=stem)
 
     @classmethod
-    def load(cls, spark: SparkSession, index_dir: str, stem: bool = True):
+    def load(cls, spark: SparkSession, index_dir: str, stem: bool | None = None):
         return cls(spark, index_dir, stem=stem)
 
     # -- internals ---------------------------------------------------------

@@ -89,6 +89,23 @@ def build_index(
     if not resume:
         manifest.entries = {}
 
+    # persist the index configuration so SearchEngine.load can't drift
+    # from what was built (bucket pruning depends on n_buckets)
+    import json
+    import os
+
+    os.makedirs(index_dir, exist_ok=True)
+    with open(f"{index_dir}/meta.json", "w") as f:
+        json.dump(
+            {
+                "n_buckets": n_buckets,
+                "salt_bits": salt_bits,
+                "stem": stem,
+                "format_version": 1,
+            },
+            f,
+        )
+
     corpus = with_docid(corpus, "url")
 
     # --- stage: tokens (staging parquet, bucket-partitioned) -------------
