@@ -1,0 +1,295 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference deduplicates at crawl time only (md5-visited set,
+Crawler/crawler.py:145-150; first-wins normalized-title dedup,
+crawler.py:309-322). A 100 TB corpus pipeline needs content-level dedup as
+a first-class batch operator family; everything here is declarative
+DataFrame ops (JVM-side, shuffle-analyzed) except SimHash, which is an
+Arrow-vectorized mapInPandas kernel.
+
+Portability note: candidate hashing uses md5 (identical in Spark and
+DuckDB) so each operator has an exact SQL oracle; at production scale
+xxhash64 would halve the hash cost, md5 keeps the correctness gate exact.
+
+Scale notes per operator:
+- exact_dedup: one shuffle on the content hash; skew-free (hashes uniform).
+- first_wins_dedup: window row_number over the key — the Spark form of the
+  reference's title dedup (SURVEY §1.1.5).
+- minhash_lsh_*: signatures are per-row (no shuffle); banding explodes to
+  (rows x bands) then shuffles on band key — band buckets are the classic
+  LSH candidate join, heavy keys only when near-dup clusters are huge.
+- ngram_jaccard_pairs: exact verify via shingle self-join; meant for the
+  candidate set (LSH output), not all pairs, at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.textstats import shingles
+
+
+def normalized_text(col):
+    """whitespace-collapsed, lowercased, trimmed content key."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct normalized content: (content_md5, keep_id,
+    dup_count). keep_id = min id (deterministic winner)."""
+    return (
+        df.select(
+            F.md5(normalized_text(F.col(text_col))).alias("content_md5"),
+            F.col(id_col),
+        )
+        .groupBy("content_md5")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def first_wins_dedup(
+    df: DataFrame, key, order_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the first row per key in ``order_col`` order — the reference's
+    crawl-time title dedup (first writer wins, crawler.py:316-321)."""
+    w = Window.partitionBy(key).orderBy(F.asc(order_col), F.asc(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def minhash_signature(
+    text_col, num_hashes: int = 16, shingle_n: int = 3
+):
+    """Array of ``num_hashes`` min-hash values: for seed s, the minimum
+    md5(s|shingle) over the doc's distinct word shingles. md5-as-minhash is
+    a valid permutation family and is reproducible in any SQL engine."""
+    sh = shingles(text_col, shingle_n)
+
+    def seeded(s: int):
+        # NB: must be a ONE-arg lambda — F.transform treats a two-arg
+        # lambda as (element, index), so a `lambda x, s=s:` closure would
+        # silently receive the array index as s.
+        return lambda x: F.md5(F.concat(F.lit(f"{s}|"), x))
+
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, seeded(s)))
+            for s in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b, n_bands matched).
+
+    Signature split into ``bands`` bands of num_hashes/bands rows; docs
+    sharing any band hash become a candidate pair."""
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col),
+        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias(
+            "sig"
+        ),
+    ).filter(F.size("sig") > 0)
+    band_rows = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.element_at(
+                                        "sig", b * rows + r + 1
+                                    )
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select(id_col, "bh.band", "bh.band_hash")
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact word-shingle Jaccard for pairs >= threshold.
+
+    With ``candidates`` (e.g. LSH output) the verify is a semi-join; without
+    it, pairs sharing >=1 shingle are compared (small corpora / tests)."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(
+            candidates.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
+        )
+    sa = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+SIMHASH_BITS = 64
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
+    """64-bit SimHash over whitespace tokens (Charikar 2002), as an
+    Arrow-vectorized mapInPandas kernel (bit twiddling is not worth
+    expressing in Catalyst). Returns (id, simhash:long)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                toks = (text or "").lower().split()
+                acc = np.zeros(SIMHASH_BITS, dtype=np.int64)
+                for tok, cnt in pd.Series(toks).value_counts().items():
+                    h = np.uint64(
+                        int.from_bytes(
+                            hashlib.md5(tok.encode()).digest()[:8], "big"
+                        )
+                    )
+                    bits = (
+                        h >> np.arange(SIMHASH_BITS, dtype=np.uint64)
+                    ) & np.uint64(1)
+                    acc += np.where(bits == 1, cnt, -cnt)
+                sh = int(((acc > 0).astype(np.uint64)
+                          << np.arange(SIMHASH_BITS, dtype=np.uint64)).sum())
+                ids.append(i)
+                hashes.append(sh - (1 << 63))  # store as signed long
+            yield pd.DataFrame({id_col: ids, "simhash": hashes})
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, schema=f"{id_col} long, simhash long"
+    )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming, using
+    16-bit band blocking (a pair within distance 3 must agree on >=1 of 4
+    bands) — the standard scalable SimHash join."""
+    sh = simhash(df, text_col, id_col)
+    bands = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bv"),
+    ).select(id_col, "simhash", "bv.band", "bv.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -47,13 +47,16 @@ def score_exhaustive(
     query_terms: list[str],
     n: int,
     avgdl: float,
-    k: int = 50,
+    k: int | None = 50,
     mode: str = "bm25",
 ) -> DataFrame:
     """Top-k (docid, score) over a token/posting relation.
 
     ``query_terms`` must already be analyzed + deduped
-    (functions.analyzer.analyze_query)."""
+    (functions.analyzer.analyze_query). ``k=None`` returns ALL scored docs
+    unordered (caller applies its own ordering/limit) — never pass a huge k
+    instead: orderBy().limit(k) plans a size-k TakeOrderedAndProject heap
+    per partition."""
     if not query_terms:
         return (
             tokens.sparkSession.createDataFrame(
@@ -67,9 +70,7 @@ def score_exhaustive(
     df_w = Window.partitionBy("term")
     matched = matched.withColumn("df", F.count("*").over(df_w))
     scored = matched.withColumn("partial", score_expr(mode, n, avgdl))
-    return (
-        scored.groupBy("docid")
-        .agg(F.sum("partial").alias("score"))
-        .orderBy(F.desc("score"), F.asc("docid"))
-        .limit(k)
-    )
+    agg = scored.groupBy("docid").agg(F.sum("partial").alias("score"))
+    if k is None:
+        return agg
+    return agg.orderBy(F.desc("score"), F.asc("docid")).limit(k)

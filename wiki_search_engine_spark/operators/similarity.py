@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline; random-hyperplane LSH
+bucketing as the scale path (restricts the scan to the query's bucket).
+All arithmetic is JVM-side Catalyst higher-order functions (zip_with +
+aggregate) in float64; scores are rounded to 6 dp so results are stable
+across engines (the DuckDB oracle computes the identical expression).
+
+Scale notes: brute-force is a full scan + TakeOrderedAndProject — fine as
+a per-query baseline but O(corpus) per query; the LSH path prunes to
+~corpus/2^planes per bucket and is embarrassingly parallel. For repeated
+queries, bucket the table once (partitionBy bucket) and prune partitions.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: (id, cos_sim rounded to 6dp)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42):
+    """Deterministic pseudo-random hyperplanes (driver-side literals, so
+    the same planes are embeddable in the SQL oracle)."""
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-of-dot-product bucket id in [0, 2^n_planes)."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(vec_col, p) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket + bit * F.lit(2**i)
+    return bucket
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine ranking restricted to the query's
+    hyperplane-LSH bucket. Deterministic (planes from seed)."""
+    dim = len(query_vec)
+    planes = hyperplanes(dim, n_planes, seed)
+    qbucket = 0
+    for i, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, plane)) >= 0:
+            qbucket += 2**i
+    bucketed = df.withColumn(
+        "_bucket", lsh_bucket(F.col(vec_col), planes)
+    ).filter(F.col("_bucket") == qbucket)
+    return cosine_topk(bucketed, query_vec, k, id_col, vec_col)
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket candidates
+    (near-identical vectors share a bucket with high probability), then
+    exact cosine verify >= threshold."""
+    planes_df = df.withColumn(
+        "_bucket", lsh_bucket(F.col(vec_col), hyperplanes_for(df, vec_col, n_planes, seed))
+    )
+    a, b = planes_df.alias("a"), planes_df.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a._bucket") == F.col("b._bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.round(
+            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
+        ).alias("cos_sim"),
+    )
+    return pairs.filter(F.col("cos_sim") >= threshold)
+
+
+def hyperplanes_for(df: DataFrame, vec_col: str, n_planes: int, seed: int):
+    dim = len(df.select(vec_col).first()[0])
+    return hyperplanes(dim, n_planes, seed)
