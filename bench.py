@@ -1,0 +1,129 @@
+"""Headline benchmark. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Covers the north-rule metrics (BASELINE.json):
+- index-build throughput: full build (tokenize -> stats -> salted sharded
+  varbyte postings) over BOTH the driver's documents table and the
+  synthetic Common-Crawl-style corpus (HTML extraction included);
+- BM25 top-k query latency: p50 over repeated runs of the reference-style
+  query set on the prebuilt on-disk index (WAND kernel path);
+- training-data ops: dedup (minhash LSH), jaccard verify, ANN cosine,
+  text quality — one timed run each.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), WSE_BENCH_CORPUS_DOCS (default 8000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CORPUS_DOCS = int(os.environ.get("WSE_BENCH_CORPUS_DOCS", "8000"))
+WORK = os.environ.get("WSE_BENCH_WORKDIR", "/tmp/wse_bench")
+
+
+def timed(fn):
+    t0 = time.time()
+    fn()
+    return round(time.time() - t0, 3)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from wiki_search_engine_spark.engine import SearchEngine
+    from wiki_search_engine_spark.session import get_spark
+    from wiki_search_engine_spark.sources.synth import synth_corpus
+
+    spark = get_spark(
+        app_name="wse-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    q: dict[str, float] = {}
+
+    # ---- corpus index build (html extraction + tokenize + postings) ------
+    corpus_path = f"{WORK}/corpus_{CORPUS_DOCS}"
+    if not os.path.exists(corpus_path):
+        synth_corpus(spark, CORPUS_DOCS, partitions=CPUS * 2).write.mode(
+            "overwrite"
+        ).parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+    index_dir = f"{WORK}/index"
+    shutil.rmtree(index_dir, ignore_errors=True)
+
+    t0 = time.time()
+    eng = SearchEngine.build(
+        spark, corpus, index_dir, stem=True, n_buckets=64,
+        bucket_groups=1, salt_bits=3,
+    )
+    build_sec = round(time.time() - t0, 3)
+    q["index_build_corpus"] = build_sec
+    docs_per_sec = round(CORPUS_DOCS / build_sec, 1)
+
+    # ---- BM25 / TF-IDF query latency on the on-disk index ----------------
+    from wiki_search_engine_spark.sources.synth import vocabulary
+
+    words, _ = vocabulary(42)
+    queries = {
+        "bm25_2term": f"{words[3]} {words[50]}",
+        "bm25_head": words[0],
+        "bm25_3term": f"{words[2]} {words[300]} {words[900]}",
+        "tfidf_2term": f"{words[3]} {words[50]}",
+    }
+    for name, text in queries.items():
+        mode = "tfidf" if name.startswith("tfidf") else "bm25"
+        lat = []
+        for _ in range(5):
+            t0 = time.time()
+            eng.search_ids(text, k=10, mode=mode, path="wand").collect()
+            lat.append(time.time() - t0)
+        q[f"query_{name}_p50"] = round(statistics.median(lat), 3)
+
+    # ---- training-data ops on the driver tables ---------------------------
+    import __spark_entry__ as E
+
+    for name, fn in [
+        ("minhash_lsh", E.q_minhash_lsh_candidates),
+        ("ngram_jaccard", E.q_ngram_jaccard_dups),
+        ("cosine_top10", E.q_cosine_top10),
+        ("quality_scores", E.q_quality_scores),
+        ("bm25_docs_table", E.q_bm25_top50_wand),
+        ("events_window", E.q_events_window_agg),
+    ]:
+        try:
+            q[name] = timed(lambda fn=fn: fn(spark, SF_DIR).collect())
+        except Exception:
+            q[name] = -1.0
+
+    total = round(sum(v for v in q.values() if v > 0), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": q,
+                "sf": float(sf) if sf else 0.1,
+                "build_docs_per_sec": docs_per_sec,
+                "cpus": CPUS,
+                "corpus_docs": CORPUS_DOCS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -45,7 +45,7 @@ def test_corpus_stats_match_oracle(engine, oracle):
 def test_index_invariants(spark, engine, oracle, index_dir):
     from wiki_search_engine_spark.operators.postings import decode_postings_df
 
-    postings = spark.read.parquet(f"{index_dir}/postings")
+    postings = spark.read.parquet(f"{index_dir}/postings/g*")
     flat = decode_postings_df(postings).cache()
     # df == posting-list length (Q7) and matches oracle
     df_check = {
@@ -54,7 +54,9 @@ def test_index_invariants(spark, engine, oracle, index_dir):
     }
     stored_df = {
         r["term"]: r["df"]
-        for r in postings.select("term", "df").distinct().collect()
+        for r in postings.groupBy("term")
+        .agg(F.sum("df_shard").alias("df"))
+        .collect()
     }
     assert df_check == stored_df
     oracle_df = {t: len(p) for t, p in oracle.postings.items()}

@@ -82,12 +82,12 @@ class SearchEngine:
 
     # -- internals ---------------------------------------------------------
     def _postings(self, terms: list[str]) -> DataFrame:
-        """Bucket-pruned postings scan for the query terms (the Spark
-        analogue of the reference's Mongo $in over the `word` B-tree,
-        backend/services/mongoService.js:18-20)."""
-        buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
-        df = self.spark.read.parquet(f"{self.index_dir}/postings")
-        return df.filter(F.col("bucket").isin(buckets))
+        """Postings scan for the query terms (the Spark analogue of the
+        reference's Mongo $in over the `word` B-tree,
+        backend/services/mongoService.js:18-20). Files are term-range
+        sorted, so the isin(term) filter applied downstream prunes files
+        and row groups via parquet min/max stats."""
+        return self.spark.read.parquet(f"{self.index_dir}/postings/g*")
 
     def analyze(self, query: str) -> list[str]:
         if not query or not query.strip():

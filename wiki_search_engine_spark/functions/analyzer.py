@@ -82,6 +82,68 @@ def full_tokens(text: str) -> list[str]:
     return [porter_stem(t) for t in base_tokens(text) if t not in STOPWORDS]
 
 
+def tokenize_frame(docids, texts, stem: bool):
+    """Vectorized batch tokenization: (docids, texts) -> pandas DataFrame
+    (docid, term, tf, doc_len), one row per distinct (doc, term).
+
+    The Arrow-batch hot path: pandas str ops for clean/split, a single
+    regex pass over the exploded token array for the junk-number filter,
+    and Porter applied to UNIQUE tokens only (then mapped back) — per-row
+    Python never touches the token stream. Semantics identical to
+    ``base_tokens``/``full_tokens`` (property-tested in tests/).
+    """
+    import numpy as np
+    import pandas as pd
+
+    texts = pd.Series(texts).fillna("")
+    token_lists = (
+        texts.str.replace(CLEAN_RE, " ", regex=True)
+        .str.lower()
+        .str.split()
+    )
+    lens = token_lists.str.len().fillna(0).astype(np.int64).to_numpy()
+    if lens.sum() == 0:
+        return pd.DataFrame(
+            {
+                "docid": pd.Series([], dtype="int64"),
+                "term": pd.Series([], dtype="object"),
+                "tf": pd.Series([], dtype="int32"),
+                "doc_len": pd.Series([], dtype="int32"),
+            }
+        )
+    flat_docids = np.repeat(np.asarray(docids, dtype=np.int64), lens)
+    flat_terms = pd.Series(
+        np.concatenate([t for t in token_lists if t]), dtype="object"
+    )
+    # junk-number filter: all-digits and len > 4
+    junk = (flat_terms.str.len() > 4) & flat_terms.str.fullmatch(
+        "[0-9]+", na=False
+    )
+    keep = ~junk.to_numpy()
+    if stem:
+        keep &= ~flat_terms.isin(STOPWORDS).to_numpy()
+    flat_docids = flat_docids[keep]
+    flat_terms = flat_terms[keep]
+    if stem:
+        uniq = pd.unique(flat_terms)
+        mapping = {t: porter_stem(t) for t in uniq}
+        flat_terms = flat_terms.map(mapping)
+    df = pd.DataFrame(
+        {"docid": flat_docids, "term": flat_terms.to_numpy()}
+    )
+    doc_len = df.groupby("docid", sort=False).size().rename("doc_len")
+    tf = (
+        df.groupby(["docid", "term"], sort=False)
+        .size()
+        .rename("tf")
+        .reset_index()
+    )
+    out = tf.merge(doc_len, left_on="docid", right_index=True)
+    out["tf"] = out["tf"].astype("int32")
+    out["doc_len"] = out["doc_len"].astype("int32")
+    return out
+
+
 def analyze_query(query: str, stem: bool = True) -> list[str]:
     """Query-side analysis. Duplicate terms are deduped (order-preserving)
     because the reference's Mongo ``$in`` returns each posting list once —

@@ -18,10 +18,13 @@ are the term's delta+varbyte blocks for that docid range only. Why:
   (document-sharded query processing, the standard web-search layout);
 - *no giant rows*: blocks of one term stay ≤ range size per row.
 
-``df`` on every row is the term's GLOBAL document frequency (window-summed
-over shards) so idf is computable anywhere without a second lookup
-(reference recomputes df = posting-list length at query time,
-mongoService.js:32 — equal to this stored sum by construction).
+``df_shard`` on every row is the term's document frequency WITHIN the
+shard. The global df (= posting-list length, which the reference also
+recomputes at query time, mongoService.js:32 / SURVEY §8.Q7) is the sum of
+a term's shard dfs — aggregated per query over the handful of candidate
+rows. Storing the shard-local value avoids a window/join over the full
+block table at build time (that would re-shuffle every compressed block a
+second time just to attach one integer).
 
 ``bucket`` = md5-based hash of term mod n_buckets — the table's partition
 directory key. It is computed with plain Python md5 (not Spark xxhash64)
@@ -40,14 +43,14 @@ from __future__ import annotations
 import hashlib
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType, BinaryType, DoubleType, IntegerType, LongType, StringType,
     StructField, StructType,
 )
 
-from .codec import BLOCK_SIZE, encode_postings
+from .codec import BLOCK_SIZE
 
 DEFAULT_BUCKETS = 64
 
@@ -64,11 +67,11 @@ BLOCK_STRUCT = StructType(
     ]
 )
 
-PARTIAL_SCHEMA = StructType(
+POSTINGS_SCHEMA = StructType(
     [
         StructField("term", StringType()),
         StructField("salt", IntegerType()),
-        StructField("df_partial", LongType()),
+        StructField("df_shard", LongType()),
         StructField("bucket", IntegerType()),
         StructField("blocks", ArrayType(BLOCK_STRUCT)),
     ]
@@ -80,60 +83,96 @@ def term_bucket(term: str, n_buckets: int = DEFAULT_BUCKETS) -> int:
     return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
 
 
-def _block_tuple(b: dict) -> tuple:
-    return (
-        b["first_docid"], b["last_docid"], b["count"], b["max_score"],
-        b["max_tf"], b["docids_bytes"], b["tfs_bytes"], b["doclens_bytes"],
-    )
-
-
 def build_postings(
     tokens: DataFrame,
     avgdl: float,
     salt_bits: int = 3,
     block_size: int = BLOCK_SIZE,
     n_buckets: int = DEFAULT_BUCKETS,
+    num_partitions: int | None = None,
 ) -> DataFrame:
-    """tokens (docid, term, tf, doc_len) -> (term, salt, df, bucket, blocks).
-
-    One shuffle (groupBy term+salt), one window (global df per term).
-    """
+    """tokens (docid, term, tf, doc_len) -> (term, salt, df_shard, bucket,
+    blocks). Exactly ONE shuffle (repartition by term+salt)."""
     shift = 63 - salt_bits
-    salted = tokens.withColumn(
-        "salt", F.shiftrightunsigned(F.col("docid"), shift).cast("int")
+    if num_partitions is None:
+        # explicit N: an unsized repartition gets AQE-coalesced (possibly
+        # to 1 partition on small inputs), serializing the encode kernel
+        num_partitions = tokens.sparkSession.sparkContext.defaultParallelism
+    # Range partitioning (not hash): output partitions hold contiguous term
+    # ranges, so the written parquet files carry tight min/max stats on
+    # `term` — query-time term lookups then prune FILES and ROW GROUPS via
+    # footer stats alone, no directory-per-bucket layout (a partitionBy
+    # bucket write costs a file per (task x bucket) and dominates build
+    # time with committer overhead).
+    salted = (
+        tokens.withColumn(
+            "salt",
+            F.shiftrightunsigned(F.col("docid"), shift).cast("int"),
+        )
+        .repartitionByRange(num_partitions, "term", "salt")
+        .sortWithinPartitions("term", "salt", "docid")
     )
 
-    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        term, salt = key
-        blocks = encode_postings(
-            pdf["docid"].to_numpy(),
-            pdf["tf"].to_numpy(),
-            pdf["doc_len"].to_numpy(),
-            idf=1.0,
-            avgdl=avgdl,
-            block_size=block_size,
-        )
-        return pd.DataFrame(
-            {
-                "term": [term],
-                "salt": [int(salt)],
-                "df_partial": [len(pdf)],
-                "bucket": [term_bucket(term, n_buckets)],
-                "blocks": [[_block_tuple(b) for b in blocks]],
-            }
-        )
+    # Encode via mapInPandas over the sorted partition stream — one Python
+    # call per Arrow batch instead of one per (term, salt) group (an
+    # applyInPandas per-group plan pays ~ms of pandas/Arrow overhead per
+    # group; with Zipf vocabularies that's 100k+ tiny groups). Groups are
+    # contiguous after the sort; a group that spans a batch boundary is
+    # carried over to the next batch.
+    def encode_stream(batches):
+        carry: pd.DataFrame | None = None
+        bucket_cache: dict[str, int] = {}
 
-    partial = salted.groupBy("term", "salt").applyInPandas(
-        encode, schema=PARTIAL_SCHEMA
-    )
-    w = Window.partitionBy("term")
-    return partial.select(
-        "term",
-        "salt",
-        F.sum("df_partial").over(w).cast("long").alias("df"),
-        "bucket",
-        "blocks",
-    )
+        def encode_body(body: pd.DataFrame) -> pd.DataFrame:
+            from .codec import encode_partition_vectorized
+
+            terms = body["term"].to_numpy(dtype=object)
+            salts = body["salt"].to_numpy()
+            starts, sizes, blocks = encode_partition_vectorized(
+                terms,
+                salts,
+                body["docid"].to_numpy(),
+                body["tf"].to_numpy(),
+                body["doc_len"].to_numpy(),
+                avgdl=avgdl,
+                block_size=block_size,
+            )
+            g_terms = terms[starts]
+            buckets = [
+                bucket_cache.setdefault(t, term_bucket(t, n_buckets))
+                for t in g_terms
+            ]
+            return pd.DataFrame(
+                {
+                    "term": g_terms,
+                    "salt": pd.Series(
+                        salts[starts].astype("int32"), dtype="int32"
+                    ),
+                    "df_shard": pd.Series(sizes, dtype="int64"),
+                    "bucket": pd.Series(buckets, dtype="int32"),
+                    "blocks": blocks,
+                }
+            )
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            new_group = (pdf["term"] != pdf["term"].shift()) | (
+                pdf["salt"] != pdf["salt"].shift()
+            )
+            gid = new_group.cumsum()
+            last = gid.iat[-1]
+            carry = pdf[gid == last]
+            body = pdf[gid != last]
+            if len(body):
+                yield encode_body(body)
+        if carry is not None and len(carry):
+            yield encode_body(carry)
+
+    return salted.mapInPandas(encode_stream, schema=POSTINGS_SCHEMA)
 
 
 def decode_postings_df(postings: DataFrame) -> DataFrame:

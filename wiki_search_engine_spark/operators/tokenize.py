@@ -19,36 +19,19 @@ materializes the exploded token stream, and its output is ~|distinct
 
 from __future__ import annotations
 
-from collections import Counter
-
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.analyzer import base_tokens, full_tokens
+from ..functions.analyzer import tokenize_frame
 
 TOKENS_SCHEMA = "docid long, term string, tf int, doc_len int"
 
 
 def _tokenize_batches(stem: bool):
-    analyze = full_tokens if stem else base_tokens
-
     def fn(batches):
         for pdf in batches:
-            docids, terms, tfs, dls = [], [], [], []
-            for docid, text in zip(pdf["docid"], pdf["text"]):
-                toks = analyze(text if isinstance(text, str) else "")
-                if not toks:
-                    continue  # zero-term docs excluded from index and N (Q8)
-                dl = len(toks)
-                for term, tf in Counter(toks).items():
-                    docids.append(docid)
-                    terms.append(term)
-                    tfs.append(tf)
-                    dls.append(dl)
-            yield pd.DataFrame(
-                {"docid": docids, "term": terms, "tf": tfs, "doc_len": dls}
-            )
+            # zero-term docs drop out here -> excluded from index and N (Q8)
+            yield tokenize_frame(pdf["docid"], pdf["text"], stem)
 
     return fn
 

@@ -142,15 +142,28 @@ def search_topk(
         return spark.createDataFrame([], "docid long, score double")
     cand = postings.filter(F.col("term").isin(query_terms))
 
+    # global df per term = sum of shard dfs (reference semantics: df is the
+    # posting-list length at query time, mongoService.js:32). This is a
+    # tiny aggregate over <= |terms| * 2^salt_bits rows — the block
+    # payloads are NOT shuffled for it.
+    df_map = {
+        r["term"]: int(r["df"])
+        for r in cand.groupBy("term")
+        .agg(F.sum("df_shard").alias("df"))
+        .collect()
+    }
+    if not df_map:
+        return spark.createDataFrame([], "docid long, score double")
+
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         term_lists = [
             {
-                "df": df,
+                "df": df_map[term],
                 "blocks": [
                     b if isinstance(b, dict) else b.asDict() for b in blocks
                 ],
             }
-            for df, blocks in zip(pdf["df"], pdf["blocks"])
+            for term, blocks in zip(pdf["term"], pdf["blocks"])
             if len(blocks)
         ]
         if not term_lists:

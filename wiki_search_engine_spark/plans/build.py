@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.analyzer import base_tokens, full_tokens
+from ..functions.analyzer import tokenize_frame
 from ..functions.textstats import snippet
 from ..operators.aggregates import corpus_stats, doc_stats
 from ..operators.postings import (
@@ -41,35 +41,16 @@ from ..operators.postings import (
 from ..operators.tokenize import with_docid
 from .manifest import Manifest
 
-from collections import Counter
-
 
 def _tokenize_with_bucket(stem: bool, n_buckets: int):
-    analyze = full_tokens if stem else base_tokens
-
     def fn(batches):
         for pdf in batches:
-            docids, terms, tfs, dls, buckets = [], [], [], [], []
-            for docid, text in zip(pdf["docid"], pdf["text"]):
-                toks = analyze(text if isinstance(text, str) else "")
-                if not toks:
-                    continue
-                dl = len(toks)
-                for term, tf in Counter(toks).items():
-                    docids.append(docid)
-                    terms.append(term)
-                    tfs.append(tf)
-                    dls.append(dl)
-                    buckets.append(term_bucket(term, n_buckets))
-            yield pd.DataFrame(
-                {
-                    "docid": docids,
-                    "term": terms,
-                    "tf": tfs,
-                    "doc_len": dls,
-                    "bucket": buckets,
-                }
-            )
+            out = tokenize_frame(pdf["docid"], pdf["text"], stem)
+            # bucket per UNIQUE term, mapped back (few distinct terms/batch)
+            uniq = pd.unique(out["term"])
+            mapping = {t: term_bucket(t, n_buckets) for t in uniq}
+            out["bucket"] = out["term"].map(mapping).astype("int32")
+            yield out
 
     return fn
 
@@ -108,7 +89,10 @@ def build_index(
 
     corpus = with_docid(corpus, "url")
 
-    # --- stage: tokens (staging parquet, bucket-partitioned) -------------
+    # --- stage: tokens (staging parquet) ---------------------------------
+    # bucket-partitioned ONLY when postings build is split into resumable
+    # groups (the partitioned layout costs an extra shuffle + many small
+    # files; with one group nothing would ever prune on it)
     if not manifest.is_done("tokens"):
         t0 = time.time()
         tokens = corpus.select("docid", "text").mapInPandas(
@@ -117,9 +101,15 @@ def build_index(
                 "docid long, term string, tf int, doc_len int, bucket int"
             ),
         )
-        tokens.write.mode("overwrite").partitionBy("bucket").parquet(
-            f"{index_dir}/tokens"
-        )
+        writer = tokens.write.mode("overwrite")
+        if bucket_groups > 1:
+            par = min(n_buckets, spark.sparkContext.defaultParallelism)
+            writer = (
+                tokens.repartition(par, "bucket")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+            )
+        writer.parquet(f"{index_dir}/tokens")
         rows = spark.read.parquet(f"{index_dir}/tokens").count()
         manifest.mark(
             "tokens", rows_out=rows, wall_ms=int(1000 * (time.time() - t0))
@@ -173,17 +163,13 @@ def build_index(
             salt_bits=salt_bits,
             n_buckets=n_buckets,
         )
-        # dynamic partition overwrite: the group rewrites ONLY its own
-        # bucket=... directories -> idempotent re-runs, group-level resume
-        spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        # each group owns its subdirectory -> overwrite is idempotent and
+        # a crashed group rewrites only itself on resume. Files inside are
+        # term-range-sorted (see build_postings) for stats-based pruning.
+        postings.write.mode("overwrite").parquet(
+            f"{index_dir}/postings/g{g}"
         )
-        postings.write.mode("overwrite").partitionBy("bucket").parquet(
-            f"{index_dir}/postings"
-        )
-        out = spark.read.parquet(f"{index_dir}/postings").filter(
-            F.col("bucket").between(lo, hi)
-        )
+        out = spark.read.parquet(f"{index_dir}/postings/g{g}")
         manifest.mark(
             unit,
             rows_out=out.count(),
