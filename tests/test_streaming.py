@@ -1,0 +1,119 @@
+"""Structured Streaming: incremental corpus ingest + windowed event aggs.
+
+Streaming results are verified against the equivalent batch computation
+(same plan on the same data) — the batch path doubles as the oracle.
+"""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _wait(query, timeout=120):
+    query.awaitTermination(timeout)
+
+
+def test_incremental_ingest_equals_batch(spark, corpus_rows, tmp_path):
+    import pandas as pd
+
+    from wiki_search_engine_spark.operators.tokenize import (
+        tokenize, with_docid,
+    )
+    from wiki_search_engine_spark.streaming.ingest import (
+        ingest_corpus_incremental, stream_corpus,
+    )
+
+    src = str(tmp_path / "src")
+    delta = str(tmp_path / "delta")
+    ckpt = str(tmp_path / "ckpt")
+    half = len(corpus_rows) // 2
+
+    # drop 1: first half
+    spark.createDataFrame(pd.DataFrame(corpus_rows[:half])).write.mode(
+        "overwrite"
+    ).parquet(src)
+    q = ingest_corpus_incremental(
+        stream_corpus(spark, src), delta, ckpt, stem=True
+    )
+    _wait(q)
+    n1 = spark.read.parquet(delta).select("docid").distinct().count()
+    assert n1 == half
+
+    # drop 2: second half — availableNow restart processes ONLY new files
+    spark.createDataFrame(pd.DataFrame(corpus_rows[half:])).write.mode(
+        "append"
+    ).parquet(src)
+    q = ingest_corpus_incremental(
+        stream_corpus(spark, src), delta, ckpt, stem=True
+    )
+    _wait(q)
+
+    streamed = spark.read.parquet(delta).select(
+        "docid", "term", "tf", "doc_len"
+    )
+    batch = tokenize(
+        with_docid(spark.createDataFrame(pd.DataFrame(corpus_rows)), "url"),
+        stem=True,
+    )
+    assert streamed.count() == batch.count()  # exactly-once, no dup tokens
+    assert (
+        streamed.exceptAll(batch).count() == 0
+        and batch.exceptAll(streamed).count() == 0
+    )
+
+
+def test_streaming_window_agg_equals_batch(spark, tmp_path):
+    import datetime
+
+    import pandas as pd
+
+    from wiki_search_engine_spark.streaming.ingest import (
+        events_windowed_counts,
+    )
+
+    base = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        (
+            i,
+            base + datetime.timedelta(seconds=7 * i),
+            ["click", "view", "buy"][i % 3],
+            float(i % 10),
+        )
+        for i in range(300)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "event_type", "value"]
+    )
+    src = str(tmp_path / "events")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+
+    batch = events_windowed_counts(
+        spark.read.parquet(src), window="1 minute"
+    )
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in batch.collect()
+    }
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value double"
+        )
+        .parquet(src)
+    )
+    agg = events_windowed_counts(stream, window="1 minute")
+    name = f"ewc_{int(time.time() * 1000)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _wait(q)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    assert got == expected

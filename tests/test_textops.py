@@ -1,0 +1,186 @@
+"""Dedup / similarity / text-stat / multimodal operator semantics.
+
+(The exact-SQL equivalence of these operators is additionally checked
+against DuckDB by tools/selfcheck.py and the driver's correctness gate;
+here we test the semantic properties on constructed fixtures.)
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup
+        (2, "the quick brown fox jumps over the lazy cat", "en"),  # near dup
+        (3, "completely different content about spark engines", "en"),
+        (4, "el perro come la comida de la casa que es buena", "es"),
+        (5, "THE  Quick   Brown Fox jumps over the lazy dog", "en"),  # ws/case
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup(docs_df):
+    from wiki_search_engine_spark.operators.dedup import exact_dedup
+
+    out = {r["keep_id"]: r["dup_count"] for r in exact_dedup(docs_df).collect()}
+    # 0, 1, 5 collapse (whitespace/case-normalized); keep_id = min = 0
+    assert out[0] == 3
+    assert out[2] == 1 and out[3] == 1 and out[4] == 1
+
+
+def test_first_wins_dedup(docs_df):
+    from wiki_search_engine_spark.operators.dedup import (
+        first_wins_dedup, normalized_text,
+    )
+
+    keyed = docs_df.withColumn(
+        "k", F.substring(normalized_text(F.col("text")), 1, 13)
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in first_wins_dedup(keyed, "k", order_col="doc_id").collect()
+    )
+    # 'the quick bro' group -> doc 0 wins; 3 and 4 unique
+    assert kept == [0, 3, 4]
+
+
+def test_minhash_identical_docs_match_all_bands(docs_df):
+    from wiki_search_engine_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    cands = {
+        (r["id_a"], r["id_b"]): r["n_bands"]
+        for r in minhash_lsh_candidates(docs_df, num_hashes=16, bands=4)
+        .collect()
+    }
+    assert cands[(0, 1)] == 4  # identical text -> every band matches
+    assert cands[(0, 5)] == 4  # normalization happens in shingling (lower)
+    assert (0, 2) in cands  # near-dup shares most shingles
+
+
+def test_ngram_jaccard(docs_df):
+    from wiki_search_engine_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs_df, threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert 0.3 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_simhash(docs_df):
+    from wiki_search_engine_spark.operators.dedup import (
+        simhash, simhash_near_dups,
+    )
+
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs_df).collect()}
+    assert sh[0] == sh[1]  # identical text -> identical simhash
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dups(docs_df, max_hamming=10).collect()
+    }
+    assert pairs[(0, 1)] == 0
+
+
+def test_cosine_topk_matches_numpy(spark):
+    from wiki_search_engine_spark.operators.similarity import cosine_topk
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in vecs[0]]
+    got = [(r["vec_id"], r["cos_sim"]) for r in cosine_topk(df, q, k=5).collect()]
+    v = vecs.astype(np.float64)
+    qv = np.array(q)
+    sims = (v @ qv) / (np.linalg.norm(v, axis=1) * np.linalg.norm(qv))
+    order = sorted(range(40), key=lambda i: (-round(sims[i], 6), i))[:5]
+    assert [g[0] for g in got] == order
+    assert got[0][0] == 0 and got[0][1] == 1.0  # self-similarity
+
+
+def test_ann_lsh_contains_query_bucket(spark):
+    from wiki_search_engine_spark.operators.similarity import ann_lsh_topk
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(60, 8)).astype(np.float64)
+    vecs[7] = vecs[0] * 1.5  # same direction as query -> same bucket
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    got = ann_lsh_topk(
+        df, [float(x) for x in vecs[0]], k=5, n_planes=4, seed=1
+    ).collect()
+    ids = [r["vec_id"] for r in got]
+    assert ids[0] == 0  # exact match always shares its own bucket
+    assert 7 in ids  # colinear vector lands in the same bucket
+
+
+def test_lang_id_markers(spark):
+    from wiki_search_engine_spark.functions.textstats import lang_id
+
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog is in a house",),
+            ("el perro y la casa de los gatos es",),
+            ("der hund und die katze ist von ein haus",),
+            ("xyzzy qwerty plugh",),
+        ],
+        "text string",
+    )
+    got = [r[0] for r in df.select(lang_id(F.col("text"))).collect()]
+    assert got == ["en", "es", "de", "und"]
+
+
+def test_quality_and_token_counts(spark):
+    from wiki_search_engine_spark.functions.textstats import (
+        bpe_ish_token_count, quality_score, ws_token_count,
+    )
+
+    df = spark.createDataFrame(
+        [("hello world, it's 7 o'clock.",), ("",)], "text string"
+    )
+    rows = df.select(
+        ws_token_count(F.col("text")).alias("ws"),
+        bpe_ish_token_count(F.col("text")).alias("bpe"),
+        quality_score(F.col("text")).alias("q"),
+    ).collect()
+    assert rows[0]["ws"] == 5
+    # hello|world|,|it|'|s|7|o|'|clock|. -> 11
+    assert rows[0]["bpe"] == 11
+    assert 0.0 <= rows[0]["q"] <= 1.0
+    assert rows[1]["ws"] == 0 and rows[1]["bpe"] == 0
+
+
+def test_multimodal_plumbing(spark):
+    from wiki_search_engine_spark.operators.multimodal import (
+        FEATURE_DIM, decode_image_features, frame_sample, synth_media,
+    )
+
+    media = synth_media(spark, 30)
+    feats = decode_image_features(media).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r["feature"]) == FEATURE_DIM
+        assert all(0.0 <= x <= 1.0 for x in r["feature"])
+        assert len(r["payload_md5"]) == 32
+    # determinism
+    again = decode_image_features(media).collect()
+    assert {r["media_id"]: r["payload_md5"] for r in feats} == {
+        r["media_id"]: r["payload_md5"] for r in again
+    }
+    with pytest.raises(NotImplementedError):
+        decode_image_features(media, fake=False)
+    frames = frame_sample(media, every_n_bytes=32).collect()
+    assert all(r["frame_offset"] % 32 == 0 for r in frames)
+    assert len(frames) > 0

@@ -55,7 +55,9 @@ class SearchEngine:
             if n_buckets is None
             else n_buckets
         )
-        stats = spark.read.parquet(f"{index_dir}/stats").collect()[0]
+        import pyarrow.parquet as pq
+
+        stats = pq.read_table(f"{index_dir}/stats").to_pandas().iloc[0]
         self.n = int(stats["N"])
         self.avgdl = float(stats["avgdl"])
         self.total_length = int(stats["total_length"])

@@ -42,6 +42,21 @@ from ..operators.tokenize import with_docid
 from .manifest import Manifest
 
 
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footers (driver-side, no Spark job — each
+    count() action costs a full job submit/schedule round-trip that
+    dominates small builds)."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        total += pq.ParquetFile(f).metadata.num_rows
+    return total
+
+
 def _tokenize_with_bucket(stem: bool, n_buckets: int):
     def fn(batches):
         for pdf in batches:
@@ -110,27 +125,49 @@ def build_index(
                 .partitionBy("bucket")
             )
         writer.parquet(f"{index_dir}/tokens")
-        rows = spark.read.parquet(f"{index_dir}/tokens").count()
         manifest.mark(
-            "tokens", rows_out=rows, wall_ms=int(1000 * (time.time() - t0))
+            "tokens",
+            rows_out=_parquet_rows(f"{index_dir}/tokens"),
+            wall_ms=int(1000 * (time.time() - t0)),
         )
     tokens = spark.read.parquet(f"{index_dir}/tokens")
 
     # --- stage: doc_stats + corpus stats ---------------------------------
+    # corpus stats (1 row) are computed driver-side from the doc_stats
+    # parquet with pyarrow — a Spark job for a 3-scalar aggregate is pure
+    # fixed cost (the reference's analogue is metaDataInsert.py:26-48)
     if not manifest.is_done("stats"):
         t0 = time.time()
-        ds = doc_stats(tokens)
-        ds.write.mode("overwrite").parquet(f"{index_dir}/doc_stats")
-        ds = spark.read.parquet(f"{index_dir}/doc_stats")
-        corpus_stats(ds).write.mode("overwrite").parquet(f"{index_dir}/stats")
+        doc_stats(tokens).write.mode("overwrite").parquet(
+            f"{index_dir}/doc_stats"
+        )
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        dl = (
+            pq.read_table(f"{index_dir}/doc_stats", columns=["doc_len"])
+            .column("doc_len")
+            .to_pandas()
+        )
+        n, total = int(len(dl)), int(dl.sum())
+        stats_pdf = pd.DataFrame(
+            {"N": [n], "avgdl": [total / n], "total_length": [total]}
+        )
+        os.makedirs(f"{index_dir}/stats", exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(stats_pdf, preserve_index=False),
+            f"{index_dir}/stats/part-0.parquet",
+        )
         manifest.mark(
-            "stats",
-            rows_out=ds.count(),
-            wall_ms=int(1000 * (time.time() - t0)),
+            "stats", rows_out=n, wall_ms=int(1000 * (time.time() - t0))
         )
 
-    stats = spark.read.parquet(f"{index_dir}/stats").collect()[0]
-    avgdl = float(stats["avgdl"])
+    import pyarrow.parquet as _pq
+
+    stats_tbl = _pq.read_table(f"{index_dir}/stats").to_pandas().iloc[0]
+    avgdl = float(stats_tbl["avgdl"])
 
     # --- stage: docs (hydration side table: url, title, snippet) ---------
     if not manifest.is_done("docs"):
@@ -144,7 +181,7 @@ def build_index(
         docs.write.mode("overwrite").parquet(f"{index_dir}/docs")
         manifest.mark(
             "docs",
-            rows_out=spark.read.parquet(f"{index_dir}/docs").count(),
+            rows_out=_parquet_rows(f"{index_dir}/docs"),
             wall_ms=int(1000 * (time.time() - t0)),
         )
 
@@ -169,10 +206,9 @@ def build_index(
         postings.write.mode("overwrite").parquet(
             f"{index_dir}/postings/g{g}"
         )
-        out = spark.read.parquet(f"{index_dir}/postings/g{g}")
         manifest.mark(
             unit,
-            rows_out=out.count(),
+            rows_out=_parquet_rows(f"{index_dir}/postings/g{g}"),
             wall_ms=int(1000 * (time.time() - t0)),
         )
     manifest.mark("all", status="done")
