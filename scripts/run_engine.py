@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the index build + search engine.
+
+Cluster usage (north_rule: runs via spark-submit --py-files on a
+multi-executor cluster):
+
+    # package the library
+    cd /root/repo && zip -qr /tmp/wse.zip wiki_search_engine_spark
+
+    # build an index from a corpus table
+    spark-submit --py-files /tmp/wse.zip scripts/run_engine.py build \
+        --corpus s3://bucket/corpus_parquet --index s3://bucket/index \
+        [--resume] [--buckets 4096] [--bucket-groups 64] [--salt-bits 6]
+
+    # synthesize a test corpus first (local/dev)
+    spark-submit --py-files /tmp/wse.zip scripts/run_engine.py synth \
+        --docs 20000 --out /tmp/corpus
+
+    # query it
+    spark-submit --py-files /tmp/wse.zip scripts/run_engine.py search \
+        --index /tmp/index --query "messi argentina" --k 10 --mode bm25
+
+Scale defaults: on a 1000-executor cluster raise --buckets (file-pruning
+granularity), --bucket-groups (resume granularity), and --salt-bits
+(docid-range shards per term; bounds the largest encode group and the WAND
+shard width).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--corpus", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--resume", action="store_true")
+    b.add_argument("--no-stem", action="store_true")
+    b.add_argument("--buckets", type=int, default=64)
+    b.add_argument("--bucket-groups", type=int, default=4)
+    b.add_argument("--salt-bits", type=int, default=3)
+
+    s = sub.add_parser("synth")
+    s.add_argument("--docs", type=int, default=2000)
+    s.add_argument("--out", required=True)
+    s.add_argument("--seed", type=int, default=42)
+
+    q = sub.add_parser("search")
+    q.add_argument("--index", required=True)
+    q.add_argument("--query", required=True)
+    q.add_argument("--k", type=int, default=50)
+    q.add_argument("--mode", choices=["bm25", "tfidf"], default="bm25")
+    q.add_argument(
+        "--path", choices=["wand", "exhaustive"], default="wand"
+    )
+    args = p.parse_args(argv)
+
+    from wiki_search_engine_spark.session import get_spark
+
+    spark = get_spark(app_name=f"wse-{args.cmd}")
+
+    if args.cmd == "synth":
+        from wiki_search_engine_spark.sources.synth import synth_corpus
+
+        synth_corpus(spark, args.docs, seed=args.seed).write.mode(
+            "overwrite"
+        ).parquet(args.out)
+        print(json.dumps({"written": args.out, "docs": args.docs}))
+    elif args.cmd == "build":
+        from wiki_search_engine_spark.engine import SearchEngine
+
+        t0 = time.time()
+        eng = SearchEngine.build(
+            spark,
+            spark.read.parquet(args.corpus),
+            args.index,
+            stem=not args.no_stem,
+            resume=args.resume,
+            n_buckets=args.buckets,
+            bucket_groups=args.bucket_groups,
+            salt_bits=args.salt_bits,
+        )
+        sec = time.time() - t0
+        print(
+            json.dumps(
+                {
+                    "index": args.index,
+                    "N": eng.n,
+                    "avgdl": round(eng.avgdl, 3),
+                    "build_sec": round(sec, 2),
+                    "docs_per_sec": round(eng.n / sec, 1),
+                }
+            )
+        )
+    else:
+        from wiki_search_engine_spark.engine import SearchEngine
+
+        eng = SearchEngine.load(spark, args.index)
+        t0 = time.time()
+        rows = eng.search(
+            args.query, k=args.k, mode=args.mode, path=args.path
+        ).collect()
+        sec = time.time() - t0
+        print(
+            json.dumps(
+                {
+                    "query": args.query,
+                    "search_sec": round(sec, 3),
+                    "results": [
+                        {
+                            "docid": r["docid"],
+                            "url": r["url"],
+                            "score": round(r["score"], 6),
+                            "snippet": r["snippet"][:120],
+                        }
+                        for r in rows
+                    ],
+                }
+            )
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
