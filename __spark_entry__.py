@@ -355,6 +355,52 @@ def q_cosine_top10(spark, sf_dir):
     )
 
 
+NEARDUP_T = 0.4
+IVF_C, IVF_NPROBE = 16, 4
+
+
+def _ivf_centroids(spark, sf_dir) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse quantizer: the embeddings of vec_id < IVF_C
+    (expressible identically in the SQL oracle)."""
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < IVF_C)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows
+    )
+
+
+def q_ann_ivf_top10(spark, sf_dir):
+    from wiki_search_engine_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(
+        emb,
+        _query_vec(spark, sf_dir),
+        _ivf_centroids(spark, sf_dir),
+        k=10,
+        nprobe=IVF_NPROBE,
+    ).select(F.col("vec_id").cast("long").alias("vec_id"), "cos_sim")
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    from wiki_search_engine_spark.operators.similarity import (
+        embedding_near_dups,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dups(
+        emb, threshold=NEARDUP_T, n_planes=N_PLANES, seed=LSH_SEED
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "cos_sim",
+    )
+
+
 def q_ann_lsh_top10(spark, sf_dir):
     from wiki_search_engine_spark.operators.similarity import ann_lsh_topk
 
@@ -619,6 +665,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "cosine_top10": q_cosine_top10,
         "ann_lsh_top10": q_ann_lsh_top10,
+        "ann_ivf_top10": q_ann_ivf_top10,
+        "embedding_near_dups": q_embedding_near_dups,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "doc_fingerprint": q_doc_fingerprint,
@@ -744,6 +792,58 @@ d AS (
   FROM cand c CROSS JOIN q)
 SELECT vec_id, round(dp / (na * nb), 6) AS cos_sim
 FROM d ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+        "ann_ivf_top10": f"""
+WITH q AS (SELECT {qvec} AS qv),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+  WHERE vec_id < {IVF_C}),
+dists AS (
+  SELECT e.vec_id, c.cid,
+    (SELECT sum((e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))
+     FROM generate_series(1, 64) g(i)) AS d
+  FROM e CROSS JOIN cents c),
+asgn AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM dists) t WHERE rn = 1),
+qd AS (
+  SELECT c.cid,
+    (SELECT sum((q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))
+     FROM generate_series(1, 64) g(i)) AS d
+  FROM cents c CROSS JOIN q),
+probe AS (SELECT cid FROM qd ORDER BY d, cid LIMIT {IVF_NPROBE}),
+cand AS (
+  SELECT e.vec_id, e.v FROM e
+  JOIN asgn USING (vec_id) WHERE asgn.cell IN (SELECT cid FROM probe)),
+d AS (
+  SELECT c.vec_id,
+    (SELECT sum(c.v[i] * q.qv[i]) FROM generate_series(1, 64) g(i)) AS dp,
+    sqrt((SELECT sum(c.v[i] * c.v[i]) FROM generate_series(1, 64) g(i)))
+      AS na,
+    sqrt((SELECT sum(q.qv[i] * q.qv[i]) FROM generate_series(1, 64) g(i)))
+      AS nb
+  FROM cand c CROSS JOIN q)
+SELECT vec_id, round(dp / (na * nb), 6) AS cos_sim
+FROM d ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+        "embedding_near_dups": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bucketed AS (SELECT vec_id, v, {bucket_expr} AS bucket FROM e),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+d AS (
+  SELECT id_a, id_b,
+    (SELECT sum(va[i] * vb[i]) FROM generate_series(1, 64) g(i)) AS dp,
+    sqrt((SELECT sum(va[i] * va[i]) FROM generate_series(1, 64) g(i)))
+      AS na,
+    sqrt((SELECT sum(vb[i] * vb[i]) FROM generate_series(1, 64) g(i)))
+      AS nb
+  FROM pairs)
+SELECT id_a, id_b, round(dp / (na * nb), 6) AS cos_sim
+FROM d WHERE round(dp / (na * nb), 6) >= {NEARDUP_T}""",
         "lang_id": _lang_sql(),
         "quality_scores": _QUALITY_SQL,
         "doc_fingerprint": f"""

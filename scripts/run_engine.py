@@ -100,13 +100,22 @@ def main(argv=None):
             )
         )
     else:
-        from wiki_search_engine_spark.engine import SearchEngine
+        from wiki_search_engine_spark.engine import (
+            EmptyQueryError, SearchEngine,
+        )
 
         eng = SearchEngine.load(spark, args.index)
         t0 = time.time()
-        rows = eng.search(
-            args.query, k=args.k, mode=args.mode, path=args.path
-        ).collect()
+        try:
+            rows = eng.search(
+                args.query, k=args.k, mode=args.mode, path=args.path
+            ).collect()
+        except EmptyQueryError:
+            # mirror the reference's HTTP 400 body
+            # (backend/controllers/queryController.js:21-25)
+            print(json.dumps({"success": False, "error": "Empty query"}))
+            spark.stop()
+            return 1
         sec = time.time() - t0
         print(
             json.dumps(

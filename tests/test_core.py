@@ -113,3 +113,23 @@ def test_stored_text_byte_identical_to_extraction():
     for i in (0, 1, 17, 34, 51):
         r = doc_row(i)
         assert extract_text(r["html"].decode("utf-8")) == r["text"]
+
+
+def test_term_bucket_col_matches_python(spark):
+    from pyspark.sql import functions as F
+
+    from wiki_search_engine_spark.operators.postings import (
+        term_bucket, term_bucket_col,
+    )
+
+    terms = ["table", "scan", "fast", "a", "Zq9", "rare123x0", "0001",
+             "merge", "window", "spark"]
+    rows = (
+        spark.createDataFrame([(t,) for t in terms], "term string")
+        .select("term", term_bucket_col(F.col("term"), 64).alias("b64"),
+                term_bucket_col(F.col("term"), 16).alias("b16"))
+        .collect()
+    )
+    for r in rows:
+        assert r["b64"] == term_bucket(r["term"], 64), r["term"]
+        assert r["b16"] == term_bucket(r["term"], 16), r["term"]

@@ -45,7 +45,7 @@ def test_corpus_stats_match_oracle(engine, oracle):
 def test_index_invariants(spark, engine, oracle, index_dir):
     from wiki_search_engine_spark.operators.postings import decode_postings_df
 
-    postings = spark.read.parquet(f"{index_dir}/postings/g*")
+    postings = spark.read.parquet(f"{index_dir}/postings")
     flat = decode_postings_df(postings).cache()
     # df == posting-list length (Q7) and matches oracle
     df_check = {

@@ -184,3 +184,59 @@ def test_multimodal_plumbing(spark):
     frames = frame_sample(media, every_n_bytes=32).collect()
     assert all(r["frame_offset"] % 32 == 0 for r in frames)
     assert len(frames) > 0
+
+
+def test_ivf_assign_and_topk(spark):
+    from wiki_search_engine_spark.operators.similarity import (
+        ivf_assign, ivf_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(80, 12)).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        "vec_id long, embedding array<float>",
+    )
+    centroids = [(i, [float(x) for x in vecs[i]]) for i in range(8)]
+
+    # assignment matches NumPy argmin over L2
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign(df, centroids).select("vec_id", "cell").collect()
+    }
+    cmat = vecs[:8]
+    for i in range(80):
+        d = ((cmat - vecs[i]) ** 2).sum(axis=1)
+        assert got[i] == int(np.argmin(d)), i
+
+    # probing every cell == exact brute-force ranking
+    q = [float(x) for x in vecs[3]]
+    full = ivf_topk(df, q, centroids, k=5, nprobe=8).collect()
+    sims = (vecs @ vecs[3]) / (
+        np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[3])
+    )
+    order = sorted(range(80), key=lambda i: (-round(sims[i], 6), i))[:5]
+    assert [r["vec_id"] for r in full] == order
+
+    # nprobe=1 returns only vectors from the query's own cell
+    one = ivf_topk(df, q, centroids, k=80, nprobe=1).collect()
+    assert all(got[r["vec_id"]] == got[3] for r in one)
+
+
+def test_embedding_near_dups_finds_planted_pair(spark):
+    from wiki_search_engine_spark.operators.similarity import (
+        embedding_near_dups,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(50, 16)).astype(np.float64)
+    vecs[9] = vecs[2] + rng.normal(scale=1e-3, size=16)  # planted near-dup
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_near_dups(df, threshold=0.99).collect()
+    }
+    assert (2, 9) in pairs and pairs[(2, 9)] > 0.999

@@ -1,0 +1,150 @@
+"""Physical-plan audit: assert the plans we designed for are the plans
+Catalyst actually picks (SURVEY §4: "verify pruning in explain()").
+
+Checks, per headline path:
+- postings term lookup: the In(term, ...) predicate reaches the parquet
+  scan (PushedFilters) and the scan reads only the needed columns;
+- hydration join: BroadcastHashJoin (never SortMerge for a k-row side);
+- exhaustive scorer: partial/final HashAggregate pair + WholeStageCodegen;
+- lineitem demo query: filter + column pruning pushed to the scan.
+
+Usage: python tools/explain_audit.py  (exit 1 on any failed assertion)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+WORK = "/tmp/wse_explain_audit"
+
+FAILURES: list[str] = []
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def check(name: str, plan: str, must: list[str], must_not: list[str] = ()):
+    ok = True
+    for pat in must:
+        if not re.search(pat, plan):
+            FAILURES.append(f"{name}: missing /{pat}/")
+            ok = False
+    for pat in must_not:
+        if re.search(pat, plan):
+            FAILURES.append(f"{name}: unexpected /{pat}/")
+            ok = False
+    print(("PASS " if ok else "FAIL ") + name)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from wiki_search_engine_spark.engine import SearchEngine
+    from wiki_search_engine_spark.session import get_spark
+    from wiki_search_engine_spark.sources.synth import synth_corpus
+
+    spark = get_spark(app_name="wse-explain-audit", master="local[8]",
+                      shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    index_dir = f"{WORK}/index"
+    if not os.path.exists(f"{index_dir}/manifest.json"):
+        shutil.rmtree(index_dir, ignore_errors=True)
+        eng = SearchEngine.build(
+            spark, synth_corpus(spark, 500, partitions=8), index_dir,
+            stem=True, n_buckets=16, bucket_groups=1, salt_bits=2,
+        )
+    else:
+        eng = SearchEngine.load(spark, index_dir)
+
+    # query with terms that EXIST in the synthetic vocabulary — an empty
+    # candidate set collapses the query plan to a LocalRelation and the
+    # audit would inspect nothing
+    from wiki_search_engine_spark.sources.synth import vocabulary
+
+    words, _ = vocabulary(42)
+    query = f"{words[3]} {words[50]} {words[200]}"
+    terms = eng.analyze(query)
+
+    # 1. postings lookup: bucket partition-pruned + term predicate pushed
+    postings = eng._postings(terms).filter(F.col("term").isin(terms))
+    check(
+        "postings_term_pushdown",
+        plan_of(postings),
+        must=[r"PushedFilters: \[In\(term", r"Scan parquet",
+              r"PartitionFilters: \[[^\]]*bucket"],
+    )
+
+    # 2. WAND path: pushdown intact AND exactly one exchange (the
+    # explicit repartition-by-salt; a second exchange would mean the
+    # groupBy re-shuffled the kernel input)
+    wand = eng.search_ids(query, k=10, mode="bm25", path="wand")
+    wplan = plan_of(wand)
+    check(
+        "wand_path",
+        wplan,
+        must=[r"PushedFilters: \[In\(term", r"FlatMapGroupsInPandas",
+              r"TakeOrderedAndProject",
+              r"PartitionFilters: \[[^\]]*bucket"],
+    )
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", wplan))
+    if n_exchanges != 1:
+        FAILURES.append(f"wand_path: {n_exchanges} exchanges, expected 1")
+        print("FAIL wand_single_exchange")
+    else:
+        print("PASS wand_single_exchange")
+
+    # 3. hydration join is broadcast, never sort-merge
+    hyd = eng.search(query, k=10)
+    check(
+        "hydration_broadcast",
+        plan_of(hyd),
+        must=[r"BroadcastHashJoin"],
+        must_not=[r"SortMergeJoin"],
+    )
+
+    # 4. exhaustive scorer: partial+final hash agg, codegen, top-k pushdown
+    exh = eng.search_ids(query, k=10, mode="bm25", path="exhaustive")
+    check(
+        "exhaustive_scorer",
+        plan_of(exh),
+        must=[r"HashAggregate", r"TakeOrderedAndProject",
+              r"PartitionFilters: \[[^\]]*bucket"],
+        must_not=[r"SortMergeJoin"],
+    )
+
+    # 5. lineitem demo: filter + column pruning pushed to scan
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+    )
+    plan = plan_of(li)
+    check(
+        "lineitem_scan_pruning",
+        plan,
+        must=[r"PushedFilters: .*l_shipdate",
+              r"ReadSchema: [^\n]*l_quantity"],
+    )
+    if "l_orderkey" in plan.split("ReadSchema:")[-1].split("\n")[0]:
+        FAILURES.append("lineitem reads unneeded columns")
+
+    spark.stop()
+    if FAILURES:
+        print("\n".join("AUDIT FAIL: " + f for f in FAILURES))
+        raise SystemExit(1)
+    print("all plan audits passed")
+
+
+if __name__ == "__main__":
+    main()

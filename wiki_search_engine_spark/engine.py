@@ -86,10 +86,15 @@ class SearchEngine:
     def _postings(self, terms: list[str]) -> DataFrame:
         """Postings scan for the query terms (the Spark analogue of the
         reference's Mongo $in over the `word` B-tree,
-        backend/services/mongoService.js:18-20). Files are term-range
-        sorted, so the isin(term) filter applied downstream prunes files
-        and row groups via parquet min/max stats."""
-        return self.spark.read.parquet(f"{self.index_dir}/postings/g*")
+        backend/services/mongoService.js:18-20). The driver computes each
+        term's md5 bucket locally and filters on the bucket partition
+        column — pure directory pruning, only |distinct buckets| dirs are
+        listed/read — then the downstream isin(term) filter prunes row
+        groups inside them via the term-sorted min/max footer stats."""
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
+        return self.spark.read.parquet(f"{self.index_dir}/postings").filter(
+            F.col("bucket").isin(buckets)
+        )
 
     def analyze(self, query: str) -> list[str]:
         if not query or not query.strip():

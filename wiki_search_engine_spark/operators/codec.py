@@ -133,9 +133,8 @@ def encode_postings(
     return blocks
 
 
-def encode_partition_vectorized(
-    terms,
-    salts,
+def encode_partition_flat(
+    new_group: np.ndarray,
     docids: np.ndarray,
     tfs: np.ndarray,
     doclens: np.ndarray,
@@ -144,27 +143,23 @@ def encode_partition_vectorized(
     b: float = 0.75,
     block_size: int = BLOCK_SIZE,
 ):
-    """Encode a whole sorted partition (by term, salt, docid) at once.
+    """Numeric core of the partition encoder: single-pass NumPy over a
+    (term, salt, docid)-sorted partition, group boundaries given as the
+    ``new_group`` bool mask. Returns columnar block data:
 
-    Returns (group_start_indices, group_sizes, blocks_per_group) where
-    blocks_per_group[i] is the block-tuple list for the i-th (term, salt)
-    group. All numeric work is single-pass NumPy over the full partition —
-    no per-group slicing, no per-group varbyte calls (a per-group encoder
-    pays ~100us x |groups| of numpy/pandas overhead, which dominates the
-    build on Zipf vocabularies with 100k+ tiny groups per partition).
-    Block tuples match operators.postings.BLOCK_STRUCT field order.
-    """
+        (group_starts, group_sizes, blocks_per_group_counts,
+         first_docid, last_docid, block_counts, max_u, max_tf,
+         docids_bytes, tfs_bytes, doclens_bytes)
+
+    where the last three are lists (len = #blocks) of bytes. No per-group
+    slicing, no per-group varbyte calls (a per-group encoder pays ~100us x
+    |groups| of numpy overhead, which dominates the build on Zipf
+    vocabularies with 100k+ tiny groups per partition)."""
     n = len(docids)
-    if n == 0:
-        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64), []
-    terms = np.asarray(terms, dtype=object)
-    salts = np.asarray(salts, dtype=np.int64)
     docids = np.asarray(docids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
     doclens = np.asarray(doclens, dtype=np.int64)
 
-    new_group = np.ones(n, dtype=bool)
-    new_group[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
     group_starts = np.flatnonzero(new_group)
     group_bounds = np.concatenate([group_starts, [n]])
     group_sizes = np.diff(group_bounds)
@@ -195,22 +190,83 @@ def encode_partition_vectorized(
     first_docid = docids[block_starts]
     last_docid = docids[block_last]
     block_gid = gid[block_starts]
+    blocks_per_group_counts = np.bincount(
+        block_gid, minlength=group_starts.size
+    )
 
-    blocks_per_group: list[list] = [[] for _ in range(group_starts.size)]
-    for i in range(block_starts.size):
-        s, e = block_bounds[i], block_bounds[i + 1]
-        blocks_per_group[block_gid[i]].append(
-            (
-                int(first_docid[i]),
-                int(last_docid[i]),
-                int(block_counts[i]),
-                float(max_u[i]),
-                int(max_tf[i]),
-                enc_d[off_d[s] : off_d[e]],
-                enc_t[off_t[s] : off_t[e]],
-                enc_l[off_l[s] : off_l[e]],
+    docids_bytes = [
+        enc_d[off_d[s] : off_d[e]]
+        for s, e in zip(block_bounds[:-1], block_bounds[1:])
+    ]
+    tfs_bytes = [
+        enc_t[off_t[s] : off_t[e]]
+        for s, e in zip(block_bounds[:-1], block_bounds[1:])
+    ]
+    doclens_bytes = [
+        enc_l[off_l[s] : off_l[e]]
+        for s, e in zip(block_bounds[:-1], block_bounds[1:])
+    ]
+    return (
+        group_starts, group_sizes, blocks_per_group_counts,
+        first_docid, last_docid, block_counts, max_u, max_tf,
+        docids_bytes, tfs_bytes, doclens_bytes,
+    )
+
+
+def encode_partition_vectorized(
+    terms,
+    salts,
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    doclens: np.ndarray,
+    avgdl: float,
+    k1: float = 1.5,
+    b: float = 0.75,
+    block_size: int = BLOCK_SIZE,
+):
+    """Encode a whole sorted partition (by term, salt, docid) at once.
+
+    Returns (group_start_indices, group_sizes, blocks_per_group) where
+    blocks_per_group[i] is the block-tuple list for the i-th (term, salt)
+    group. Block tuples match operators.postings.BLOCK_STRUCT field order.
+    (Object-array front-end over ``encode_partition_flat``; the Arrow
+    build path in operators/postings.py uses the flat core directly.)
+    """
+    n = len(docids)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64), []
+    terms = np.asarray(terms, dtype=object)
+    salts = np.asarray(salts, dtype=np.int64)
+    new_group = np.ones(n, dtype=bool)
+    new_group[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
+
+    (
+        group_starts, group_sizes, bpg_counts,
+        first_docid, last_docid, block_counts, max_u, max_tf,
+        docids_bytes, tfs_bytes, doclens_bytes,
+    ) = encode_partition_flat(
+        new_group, docids, tfs, doclens, avgdl, k1, b, block_size
+    )
+
+    blocks_per_group: list[list] = []
+    bi = 0
+    for cnt in bpg_counts:
+        group = []
+        for _ in range(int(cnt)):
+            group.append(
+                (
+                    int(first_docid[bi]),
+                    int(last_docid[bi]),
+                    int(block_counts[bi]),
+                    float(max_u[bi]),
+                    int(max_tf[bi]),
+                    docids_bytes[bi],
+                    tfs_bytes[bi],
+                    doclens_bytes[bi],
+                )
             )
-        )
+            bi += 1
+        blocks_per_group.append(group)
     return group_starts, group_sizes, blocks_per_group
 
 

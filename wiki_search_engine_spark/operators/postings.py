@@ -83,6 +83,18 @@ def term_bucket(term: str, n_buckets: int = DEFAULT_BUCKETS) -> int:
     return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
 
 
+def term_bucket_col(term_col, n_buckets: int = DEFAULT_BUCKETS):
+    """The same bucket as ``term_bucket`` as a JVM Catalyst expression
+    (md5 hex -> first 8 digits -> base-16 int -> mod). Lets the build
+    compute buckets inside codegen while the DRIVER computes identical
+    buckets for query terms in plain Python — no Spark job, no UDF."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(term_col.cast("binary")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(n_buckets),
+    ).cast("int")
+
+
 def build_postings(
     tokens: DataFrame,
     avgdl: float,
@@ -98,81 +110,136 @@ def build_postings(
         # explicit N: an unsized repartition gets AQE-coalesced (possibly
         # to 1 partition on small inputs), serializing the encode kernel
         num_partitions = tokens.sparkSession.sparkContext.defaultParallelism
-    # Range partitioning (not hash): output partitions hold contiguous term
-    # ranges, so the written parquet files carry tight min/max stats on
-    # `term` — query-time term lookups then prune FILES and ROW GROUPS via
-    # footer stats alone, no directory-per-bucket layout (a partitionBy
-    # bucket write costs a file per (task x bucket) and dominates build
-    # time with committer overhead).
+    # Hash partitioning on (term-md5-bucket, docid-range-salt), not
+    # repartitionByRange on term: range exchange runs a separate sampling
+    # job — one full extra scan of the token relation per build — while
+    # bucket is a pure codegen expression. Salting the shuffle key is the
+    # skew half of the north_rule: a Zipf-head term is ~10% of ALL token
+    # rows and its bucket would otherwise be one straggler task; the salt
+    # splits it across 2^salt_bits doc-range shards (encode groups are
+    # (term, salt), so a group never straddles partitions: bucket is a
+    # function of term). The writer lays the table out as
+    # partitionBy("bucket") directories (see plans/build.py), so a query
+    # term's bucket — computable driver-side, term_bucket() — prunes to
+    # one directory, the Spark analogue of the reference's Mongo B-tree on
+    # `word` (mongodb_scripts/insertIndex.py:104).
+    # sortWithinPartitions leads with bucket so the writer's required
+    # clustering is already satisfied (no extra sort) and rows within a
+    # bucket file stay term-sorted => tight row-group min/max stats on
+    # `term` for footer-level pruning WITHIN the bucket directory.
+    num_partitions = min(num_partitions, n_buckets << salt_bits)
     salted = (
         tokens.withColumn(
             "salt",
             F.shiftrightunsigned(F.col("docid"), shift).cast("int"),
         )
-        .repartitionByRange(num_partitions, "term", "salt")
-        .sortWithinPartitions("term", "salt", "docid")
+        .withColumn("bucket", term_bucket_col(F.col("term"), n_buckets))
+        .repartition(num_partitions, "bucket", "salt")
+        .sortWithinPartitions("bucket", "term", "salt", "docid")
     )
 
-    # Encode via mapInPandas over the sorted partition stream — one Python
-    # call per Arrow batch instead of one per (term, salt) group (an
-    # applyInPandas per-group plan pays ~ms of pandas/Arrow overhead per
-    # group; with Zipf vocabularies that's 100k+ tiny groups). Groups are
-    # contiguous after the sort; a group that spans a batch boundary is
-    # carried over to the next batch.
-    def encode_stream(batches):
-        carry: pd.DataFrame | None = None
-        bucket_cache: dict[str, int] = {}
+    # Encode via mapInArrow over the sorted partition stream — strings
+    # never materialize as per-row Python objects (an Arrow->pandas
+    # object-dtype conversion of the term column costs one PyString per
+    # token row; measured, it dominates the encode stage wall and thrashes
+    # the allocator badly enough to anti-scale past ~8 cores). Group
+    # detection runs on Arrow buffers; only ONE term string per
+    # (term, salt) group is ever brought into Python (for the output row
+    # and its bucket hash). Groups are contiguous after the sort; a group
+    # spanning a batch boundary is carried over to the next batch.
+    def encode_stream_arrow(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-        def encode_body(body: pd.DataFrame) -> pd.DataFrame:
-            from .codec import encode_partition_vectorized
+        from .codec import encode_partition_flat
 
-            terms = body["term"].to_numpy(dtype=object)
-            salts = body["salt"].to_numpy()
-            starts, sizes, blocks = encode_partition_vectorized(
-                terms,
-                salts,
-                body["docid"].to_numpy(),
-                body["tf"].to_numpy(),
-                body["doc_len"].to_numpy(),
+        carry: pa.Table | None = None
+
+        def new_group_mask(tbl: pa.Table) -> np.ndarray:
+            term = tbl.column("term")
+            salt = tbl.column("salt").to_numpy()
+            n = len(tbl)
+            mask = np.ones(n, dtype=bool)
+            if n > 1:
+                ne = pc.not_equal(
+                    term.slice(1), term.slice(0, n - 1)
+                ).combine_chunks()
+                mask[1:] = ne.to_numpy(zero_copy_only=False) | (
+                    salt[1:] != salt[:-1]
+                )
+            return mask
+
+        def encode_tbl(tbl: pa.Table) -> pa.RecordBatch:
+            mask = new_group_mask(tbl)
+            salts = tbl.column("salt").to_numpy()
+            (
+                starts, sizes, bpg_counts,
+                first_docid, last_docid, block_counts, max_u, max_tf,
+                d_bytes, t_bytes, l_bytes,
+            ) = encode_partition_flat(
+                mask,
+                tbl.column("docid").to_numpy(),
+                tbl.column("tf").to_numpy(),
+                tbl.column("doc_len").to_numpy(),
                 avgdl=avgdl,
                 block_size=block_size,
             )
-            g_terms = terms[starts]
-            buckets = [
-                bucket_cache.setdefault(t, term_bucket(t, n_buckets))
-                for t in g_terms
-            ]
-            return pd.DataFrame(
-                {
-                    "term": g_terms,
-                    "salt": pd.Series(
-                        salts[starts].astype("int32"), dtype="int32"
-                    ),
-                    "df_shard": pd.Series(sizes, dtype="int64"),
-                    "bucket": pd.Series(buckets, dtype="int32"),
-                    "blocks": blocks,
-                }
+            g_terms = tbl.column("term").take(pa.array(starts)).to_pylist()
+            # bucket arrives precomputed from the JVM expr (term_bucket_col)
+            buckets = tbl.column("bucket").to_numpy()[starts].astype(
+                np.int32
+            )
+            block_struct = pa.StructArray.from_arrays(
+                [
+                    pa.array(first_docid, pa.int64()),
+                    pa.array(last_docid, pa.int64()),
+                    pa.array(block_counts.astype(np.int32), pa.int32()),
+                    pa.array(max_u, pa.float64()),
+                    pa.array(max_tf.astype(np.int32), pa.int32()),
+                    pa.array(d_bytes, pa.binary()),
+                    pa.array(t_bytes, pa.binary()),
+                    pa.array(l_bytes, pa.binary()),
+                ],
+                names=[
+                    "first_docid", "last_docid", "count", "max_score",
+                    "max_tf", "docids_bytes", "tfs_bytes", "doclens_bytes",
+                ],
+            )
+            offsets = np.zeros(len(starts) + 1, dtype=np.int32)
+            np.cumsum(bpg_counts, out=offsets[1:])
+            blocks = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), block_struct
+            )
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array(g_terms, pa.string()),
+                    pa.array(salts[starts].astype(np.int32), pa.int32()),
+                    pa.array(sizes, pa.int64()),
+                    pa.array(buckets, pa.int32()),
+                    blocks,
+                ],
+                names=["term", "salt", "df_shard", "bucket", "blocks"],
             )
 
-        for pdf in batches:
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
             if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            if len(pdf) == 0:
+                tbl = pa.concat_tables([carry, tbl])
+            tbl = tbl.combine_chunks()
+            carry = None
+            n = len(tbl)
+            if n == 0:
                 continue
-            new_group = (pdf["term"] != pdf["term"].shift()) | (
-                pdf["salt"] != pdf["salt"].shift()
-            )
-            gid = new_group.cumsum()
-            last = gid.iat[-1]
-            carry = pdf[gid == last]
-            body = pdf[gid != last]
-            if len(body):
-                yield encode_body(body)
+            mask = new_group_mask(tbl)
+            last_start = int(np.flatnonzero(mask)[-1])
+            carry = tbl.slice(last_start)
+            if last_start > 0:
+                yield encode_tbl(tbl.slice(0, last_start).combine_chunks())
         if carry is not None and len(carry):
-            yield encode_body(carry)
+            yield encode_tbl(carry.combine_chunks())
 
-    return salted.mapInPandas(encode_stream, schema=POSTINGS_SCHEMA)
+    return salted.mapInArrow(encode_stream_arrow, schema=POSTINGS_SCHEMA)
 
 
 def decode_postings_df(postings: DataFrame) -> DataFrame:

@@ -135,3 +135,66 @@ def embedding_near_dups(
 def hyperplanes_for(df: DataFrame, vec_col: str, n_planes: int, seed: int):
     dim = len(df.select(vec_col).first()[0])
     return hyperplanes(dim, n_planes, seed)
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest centroid
+    (L2, ties -> lowest centroid id). Centroids are driver-side literals
+    (broadcast into the plan), so assignment is a single JVM-side
+    projection — no join, no shuffle. Returns df + ``cell`` column.
+
+    At 100 TB this is the build step of IVF-Flat: the table is then
+    written ``partitionBy(cell)`` so a query scans only its probed cells
+    (partition pruning), analogous to the postings bucket layout.
+    """
+    best = None
+    for cid, cvec in centroids:
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        cand = F.struct(
+            l2sq(F.col(vec_col), c).alias("d"),
+            F.lit(int(cid)).alias("cid"),
+        )
+        best = cand if best is None else F.least(best, cand)
+    return df.withColumn("cell", best["cid"])
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat approximate top-k: probe the ``nprobe`` centroids nearest
+    to the query (driver-side argsort), exact cosine ranking within the
+    probed cells only."""
+
+    def d2(c):
+        return sum((a - b) ** 2 for a, b in zip(query_vec, c))
+
+    probed = sorted(centroids, key=lambda t: (d2(t[1]), t[0]))[:nprobe]
+    probe_ids = [cid for cid, _ in probed]
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    return cosine_topk(
+        assigned.filter(F.col("cell").isin(probe_ids)),
+        query_vec, k, id_col, vec_col,
+    )

@@ -143,19 +143,24 @@ def search_topk(
     cand = postings.filter(F.col("term").isin(query_terms))
 
     # global df per term = sum of shard dfs (reference semantics: df is the
-    # posting-list length at query time, mongoService.js:32). This is a
-    # tiny aggregate over <= |terms| * 2^salt_bits rows — the block
-    # payloads are NOT shuffled for it.
-    df_map = {
-        r["term"]: int(r["df"])
-        for r in cand.groupBy("term")
-        .agg(F.sum("df_shard").alias("df"))
-        .collect()
-    }
-    if not df_map:
+    # posting-list length at query time, mongoService.js:32). Computed
+    # driver-side from a column-pruned scan (<= |terms| * 2^salt_bits tiny
+    # rows; the block payloads are never read) — a groupBy here would plan
+    # a full shuffle-partition-wide exchange for a handful of rows and
+    # dominate query latency on wide clusters.
+    meta_rows = cand.select("term", "salt", "df_shard").collect()
+    if not meta_rows:
         return spark.createDataFrame([], "docid long, score double")
+    df_map: dict[str, int] = {}
+    shard_ids = set()
+    for r in meta_rows:
+        df_map[r["term"]] = df_map.get(r["term"], 0) + int(r["df_shard"])
+        shard_ids.add(r["salt"])
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    # NB: deliberately un-annotated — applyInPandas warns (on stdout!)
+    # when it can't infer an eval type from partial type hints, which
+    # corrupts machine-readable CLI output.
+    def kernel(key, pdf):
         term_lists = [
             {
                 "df": df_map[term],
@@ -171,7 +176,14 @@ def search_topk(
         docids, scores = score_shard_topk(term_lists, n, avgdl, k, mode)
         return pd.DataFrame({"docid": docids, "score": scores})
 
-    shard_topk = cand.groupBy("salt").applyInPandas(
-        kernel, schema="docid long, score double"
+    # Explicit repartition by salt sized to the REAL shard count: the
+    # groupBy's ClusteredDistribution(salt) is satisfied by this hash
+    # partitioning, so no second exchange is planned — and the kernel runs
+    # in |shards| tasks instead of spark.sql.shuffle.partitions (mostly
+    # empty on a wide cluster, pure scheduling overhead per query).
+    shard_topk = (
+        cand.repartition(max(len(shard_ids), 1), "salt")
+        .groupBy("salt")
+        .applyInPandas(kernel, schema="docid long, score double")
     )
     return shard_topk.orderBy(F.desc("score"), F.asc("docid")).limit(k)

@@ -42,19 +42,65 @@ from ..operators.tokenize import with_docid
 from .manifest import Manifest
 
 
-def _parquet_rows(path: str) -> int:
-    """Row count from parquet footers (driver-side, no Spark job — each
-    count() action costs a full job submit/schedule round-trip that
-    dominates small builds)."""
+def _parquet_lineage(path: str) -> tuple[int, int, list[dict]]:
+    """(rows, bytes, per-file lineage) from parquet footers (driver-side,
+    no Spark job — each count() action costs a full job submit/schedule
+    round-trip that dominates small builds). The per-file list is the
+    north_rule's per-partition lineage: one committed output partition ==
+    one parquet part file."""
     import glob as _glob
     import os
 
     import pyarrow.parquet as pq
 
+    rows, nbytes, files = 0, 0, []
+    for f in sorted(
+        _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    ):
+        n = pq.ParquetFile(f).metadata.num_rows
+        sz = os.path.getsize(f)
+        rows += n
+        nbytes += sz
+        files.append(
+            {"file": os.path.relpath(f, path), "rows": n, "bytes": sz}
+        )
+    return rows, nbytes, files
+
+
+def _parquet_rows(path: str) -> int:
+    return _parquet_lineage(path)[0]
+
+
+def _dir_bytes(path: str) -> int:
+    import os
+
     total = 0
-    for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
-        total += pq.ParquetFile(f).metadata.num_rows
+    for root, _dirs, names in os.walk(path):
+        for n in names:
+            total += os.path.getsize(os.path.join(root, n))
     return total
+
+
+def tune_scan_splits(spark: SparkSession, input_bytes: int,
+                     waves: int = 3) -> None:
+    """Size parquet scan splits so the stage runs ~``waves`` task waves
+    across every core.
+
+    Spark's defaults (maxPartitionBytes=128MB, openCostInBytes=4MB) bin-
+    pack a small-to-medium input into a handful of scan partitions — a
+    20k-doc/82MB corpus becomes 3 tasks, so a 32-core build runs 3-wide
+    and MORE cores only add overhead (measured: local[32] slower than
+    local[8]). At 100TB the default is fine (800k splits); the conf only
+    matters when input_bytes / 128MB < cores, i.e. the tail of a build or
+    bench-scale runs — exactly where scaling evidence is collected. The
+    floor keeps splits from degenerating into per-row files."""
+    par = spark.sparkContext.defaultParallelism
+    target = input_bytes // max(par * waves, 1)
+    target = max(256 * 1024, min(128 << 20, target or 1))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
+    spark.conf.set(
+        "spark.sql.files.openCostInBytes", str(min(target // 4, 4 << 20))
+    )
 
 
 def _tokenize_with_bucket(stem: bool, n_buckets: int):
@@ -104,6 +150,41 @@ def build_index(
 
     corpus = with_docid(corpus, "url")
 
+    saved_conf = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.files.maxPartitionBytes",
+            "spark.sql.files.openCostInBytes",
+        )
+    }
+    try:
+        return _build_stages(
+            spark, corpus, index_dir, manifest, stem, n_buckets,
+            bucket_groups, salt_bits,
+        )
+    finally:
+        for k, v in saved_conf.items():
+            if v is not None:
+                spark.conf.set(k, v)
+
+
+def _build_stages(
+    spark, corpus, index_dir, manifest, stem, n_buckets, bucket_groups,
+    salt_bits,
+) -> Manifest:
+    # scan-split tuning: corpus files (if file-backed) drive the tokenize
+    # stage's parallelism
+    import os as _os
+
+    in_files = [
+        f[len("file:"):] if f.startswith("file:") else f
+        for f in corpus.inputFiles()
+    ]
+    if in_files and all(_os.path.exists(f) for f in in_files):
+        tune_scan_splits(
+            spark, sum(_os.path.getsize(f) for f in in_files)
+        )
+
     # --- stage: tokens (staging parquet) ---------------------------------
     # bucket-partitioned ONLY when postings build is split into resumable
     # groups (the partitioned layout costs an extra shuffle + many small
@@ -125,11 +206,39 @@ def build_index(
                 .partitionBy("bucket")
             )
         writer.parquet(f"{index_dir}/tokens")
+        rows, nbytes, files = _parquet_lineage(f"{index_dir}/tokens")
         manifest.mark(
             "tokens",
-            rows_out=_parquet_rows(f"{index_dir}/tokens"),
+            rows_out=rows,
+            bytes_out=nbytes,
+            partitions=files,
             wall_ms=int(1000 * (time.time() - t0)),
         )
+    # --- stage: docs (hydration side table: url, title, snippet) ---------
+    # runs while scan splits are still sized to the CORPUS (it re-scans
+    # html-laden corpus files; tokens-sized splits would shatter it into
+    # hundreds of overhead-bound tasks)
+    if not manifest.is_done("docs"):
+        t0 = time.time()
+        docs = corpus.select(
+            "docid",
+            "url",
+            F.regexp_extract("url", r"([^/]+)$", 1).alias("title"),
+            snippet(F.col("text")).alias("snippet"),
+        )
+        docs.write.mode("overwrite").parquet(f"{index_dir}/docs")
+        rows, nbytes, files = _parquet_lineage(f"{index_dir}/docs")
+        manifest.mark(
+            "docs",
+            rows_out=rows,
+            bytes_out=nbytes,
+            partitions=files,
+            wall_ms=int(1000 * (time.time() - t0)),
+        )
+
+    # downstream stages (doc_stats agg, range-sample + encode) scan the
+    # much smaller tokens staging table — retune splits to ITS size
+    tune_scan_splits(spark, _dir_bytes(f"{index_dir}/tokens"))
     tokens = spark.read.parquet(f"{index_dir}/tokens")
 
     # --- stage: doc_stats + corpus stats ---------------------------------
@@ -169,22 +278,6 @@ def build_index(
     stats_tbl = _pq.read_table(f"{index_dir}/stats").to_pandas().iloc[0]
     avgdl = float(stats_tbl["avgdl"])
 
-    # --- stage: docs (hydration side table: url, title, snippet) ---------
-    if not manifest.is_done("docs"):
-        t0 = time.time()
-        docs = corpus.select(
-            "docid",
-            "url",
-            F.regexp_extract("url", r"([^/]+)$", 1).alias("title"),
-            snippet(F.col("text")).alias("snippet"),
-        )
-        docs.write.mode("overwrite").parquet(f"{index_dir}/docs")
-        manifest.mark(
-            "docs",
-            rows_out=_parquet_rows(f"{index_dir}/docs"),
-            wall_ms=int(1000 * (time.time() - t0)),
-        )
-
     # --- stage: postings, one manifest unit per bucket group -------------
     per_group = (n_buckets + bucket_groups - 1) // bucket_groups
     for g in range(bucket_groups):
@@ -200,16 +293,47 @@ def build_index(
             salt_bits=salt_bits,
             n_buckets=n_buckets,
         )
-        # each group owns its subdirectory -> overwrite is idempotent and
-        # a crashed group rewrites only itself on resume. Files inside are
-        # term-range-sorted (see build_postings) for stats-based pruning.
-        postings.write.mode("overwrite").parquet(
-            f"{index_dir}/postings/g{g}"
+        # bucket-directory layout: every group writes only ITS bucket=N
+        # directories (buckets partition the term space, groups partition
+        # the buckets), so dynamic partition overwrite is idempotent per
+        # group — a crashed group rewrites only its own directories on
+        # resume, and query terms prune to single directories via their
+        # driver-computed bucket. Rows within a bucket file are term-
+        # sorted (see build_postings) for row-group stats pruning.
+        (
+            postings.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(f"{index_dir}/postings")
+        )
+        rows, nbytes, files = _bucket_range_lineage(
+            f"{index_dir}/postings", lo, hi
         )
         manifest.mark(
             unit,
-            rows_out=_parquet_rows(f"{index_dir}/postings/g{g}"),
+            rows_out=rows,
+            bytes_out=nbytes,
+            partitions=files,
             wall_ms=int(1000 * (time.time() - t0)),
         )
     manifest.mark("all", status="done")
     return manifest
+
+
+def _bucket_range_lineage(
+    postings_dir: str, lo: int, hi: int
+) -> tuple[int, int, list[dict]]:
+    import os
+
+    rows, nbytes, files = 0, 0, []
+    for b in range(lo, hi + 1):
+        d = os.path.join(postings_dir, f"bucket={b}")
+        if not os.path.isdir(d):
+            continue
+        r, nb, fs = _parquet_lineage(d)
+        rows += r
+        nbytes += nb
+        for f in fs:
+            f["file"] = f"bucket={b}/" + f["file"]
+        files.extend(fs)
+    return rows, nbytes, files
