@@ -89,6 +89,15 @@ def main() -> None:
             eng.search_ids(text, k=10, mode=mode, path="wand").collect()
             lat.append(time.time() - t0)
         q[f"query_{name}_p50"] = round(statistics.median(lat), 3)
+        # driver-local serving path (search-head mode): same kernel and
+        # index, no Spark job — the apples-to-apples number vs the
+        # reference's Node+Mongo per-query wall
+        lat = []
+        for _ in range(9):
+            t0 = time.time()
+            eng.search_local(text, k=10, mode=mode)
+            lat.append(time.time() - t0)
+        q[f"query_{name}_local_p50"] = round(statistics.median(lat), 4)
 
     # ---- training-data ops on the driver tables ---------------------------
     import __spark_entry__ as E

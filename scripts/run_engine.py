@@ -43,6 +43,11 @@ def main(argv=None):
     b.add_argument("--index", required=True)
     b.add_argument("--resume", action="store_true")
     b.add_argument("--no-stem", action="store_true")
+    b.add_argument(
+        "--analyzer", choices=["base", "porter", "ner"], default=None,
+        help="None -> porter (or base with --no-stem); 'ner' enables "
+        "entity dual-indexing",
+    )
     b.add_argument("--buckets", type=int, default=64)
     b.add_argument("--bucket-groups", type=int, default=4)
     b.add_argument("--salt-bits", type=int, default=3)
@@ -58,7 +63,7 @@ def main(argv=None):
     q.add_argument("--k", type=int, default=50)
     q.add_argument("--mode", choices=["bm25", "tfidf"], default="bm25")
     q.add_argument(
-        "--path", choices=["wand", "exhaustive"], default="wand"
+        "--path", choices=["wand", "exhaustive", "local"], default="wand"
     )
     args = p.parse_args(argv)
 
@@ -82,6 +87,7 @@ def main(argv=None):
             spark.read.parquet(args.corpus),
             args.index,
             stem=not args.no_stem,
+            analyzer=args.analyzer,
             resume=args.resume,
             n_buckets=args.buckets,
             bucket_groups=args.bucket_groups,

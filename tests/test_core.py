@@ -133,3 +133,28 @@ def test_term_bucket_col_matches_python(spark):
     for r in rows:
         assert r["b64"] == term_bucket(r["term"], 64), r["term"]
         assert r["b16"] == term_bucket(r["term"], 16), r["term"]
+
+
+def test_ner_analyzer_reference_case():
+    """Mirror of backend/__tests__/stemmingService.test.js:3-8 — the
+    reference's own test expects entity-aware output."""
+    from wiki_search_engine_spark.functions.analyzer import ner_tokens
+
+    toks = ner_tokens("Barack Obama visited New York")
+    assert "obama" in toks
+    assert "visit" in toks          # non-entity word, Porter-stemmed
+    assert "new york" in toks       # entity phrase
+    assert "barack obama" in toks
+    assert "barack" in toks and "new" in toks and "york" in toks
+    # entity component words are not double-indexed via the stem pass
+    assert "visited" not in toks
+
+
+def test_ner_entity_words_skipped_in_stem_pass():
+    from wiki_search_engine_spark.functions.analyzer import ner_tokens
+
+    # 'York' appears both inside an entity and alone lowercase: the
+    # lowercase occurrence is skipped (inverted_index.py:56-61 semantics)
+    toks = ner_tokens("New York is big. york returns")
+    assert toks.count("york") == 1
+    assert "return" in toks

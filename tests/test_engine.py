@@ -14,7 +14,7 @@ from tests.conftest import assert_rank_identical
 
 
 @pytest.mark.parametrize("mode", ["bm25", "tfidf"])
-@pytest.mark.parametrize("path", ["wand", "exhaustive"])
+@pytest.mark.parametrize("path", ["wand", "exhaustive", "local"])
 def test_rank_identity(engine, oracle, fixture_queries, mode, path):
     for q in fixture_queries:
         exp = oracle.search(q, k=10, mode=mode)
@@ -149,3 +149,48 @@ def test_resume_skips_completed_units(spark, corpus_df, tmp_path):
 
     eng = SearchEngine.load(spark, d)
     assert eng.n > 0
+
+
+def test_ner_index_rank_identity(spark, corpus_rows, tmp_path):
+    """Entity-analyzer plug end-to-end: ner-built index answers entity
+    queries rank-identically to the oracle with the same analyzer."""
+    import pandas as pd
+
+    from wiki_search_engine_spark.engine import SearchEngine
+    from wiki_search_engine_spark.operators.tokenize import with_docid
+    from wiki_search_engine_spark.oracle_py.oracle import IndexOracle
+
+    rows = corpus_rows[:30]
+    corpus_df = spark.createDataFrame(pd.DataFrame(rows))
+    eng = SearchEngine.build(
+        spark, corpus_df, str(tmp_path / "ner_index"),
+        n_buckets=8, bucket_groups=1, salt_bits=1, analyzer="ner",
+    )
+    assert eng.analyzer == "ner"
+
+    oracle = IndexOracle(analyzer="ner")
+    iddf = with_docid(corpus_df, "url").select("docid", "text").collect()
+    for r in iddf:
+        oracle.add_document(r["docid"], r["text"])
+
+    # pick an entity phrase actually present in a doc (synth capitalizes
+    # ~10% of words, so capitalized bigrams occur)
+    from wiki_search_engine_spark.functions.analyzer import ner_tokens
+
+    phrase = next(
+        t for r in rows for t in ner_tokens(r["text"]) if " " in t
+    )
+    for q in [phrase, f"{phrase} xyznotaword", "Some Words here"]:
+        exp = oracle.search(q, k=10, mode="bm25")
+        got = [
+            (r["docid"], r["score"])
+            for r in eng.search_ids(q, k=10, mode="bm25", path="wand")
+            .collect()
+        ]
+        from tests.conftest import assert_rank_identical
+
+        assert_rank_identical(got, exp)
+    # local path answers the phrase query identically too
+    loc = eng.search_local(phrase, k=10, mode="bm25")
+    exp = oracle.search(phrase, k=10, mode="bm25")
+    assert_rank_identical(loc, exp)

@@ -55,6 +55,10 @@ class SearchEngine:
             if n_buckets is None
             else n_buckets
         )
+        self.salt_bits = int(meta.get("salt_bits", 3))
+        self.analyzer = meta.get(
+            "analyzer", "porter" if self.stem else "base"
+        )
         import pyarrow.parquet as pq
 
         stats = pq.read_table(f"{index_dir}/stats").to_pandas().iloc[0]
@@ -99,9 +103,90 @@ class SearchEngine:
     def analyze(self, query: str) -> list[str]:
         if not query or not query.strip():
             raise EmptyQueryError("Empty query")
-        return analyze_query(query, stem=self.stem)
+        return analyze_query(query, stem=self.stem, analyzer=self.analyzer)
+
+    def term_df(self, terms: list[str]) -> dict[str, int]:
+        """Driver-side lexicon lookup: global df per query term from the
+        term_stats side table — pyarrow over the terms' bucket directories
+        only (dictionary-compressed, term-sorted), NO Spark job. The
+        reference's analogue is the metaData/posting-length read per query
+        (mongoService.js:16-32)."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        out: dict[str, int] = {}
+        by_bucket: dict[int, list[str]] = {}
+        for t in terms:
+            by_bucket.setdefault(term_bucket(t, self.n_buckets), []).append(t)
+        for b, ts in by_bucket.items():
+            d = f"{self.index_dir}/term_stats/bucket={b}"
+            if not os.path.isdir(d):
+                continue
+            tbl = pq.read_table(
+                d, columns=["term", "df"],
+                filters=[("term", "in", ts)],
+            )
+            for term, df in zip(
+                tbl.column("term").to_pylist(), tbl.column("df").to_pylist()
+            ):
+                out[term] = int(df)
+        return out
 
     # -- queries -----------------------------------------------------------
+    def search_local(
+        self, query: str, k: int = 50, mode: str = "bm25"
+    ) -> list[tuple[int, float]]:
+        """Serve a query entirely on the DRIVER: pyarrow reads of the
+        terms' bucket directories (row-group pruned on the term-sorted
+        files), the same NumPy block-max kernel per doc-range shard, and
+        a driver-side merge — zero Spark jobs, rank-identical to the
+        distributed paths (pytest-enforced).
+
+        This is the search-head serving mode: a Spark job costs ~0.5s of
+        scheduling alone, which dwarfs the reference server's per-query
+        wall (backend/services/mongoService.js). Use the distributed
+        'wand' path when candidate posting lists exceed driver memory —
+        at 10^12 docs that's head terms, exactly where the cluster earns
+        its keep; the two paths share kernel and index format."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from .operators.wand import merge_topk, score_shard_topk
+
+        terms = self.analyze(query)
+        if not terms:
+            return []
+        if not os.path.isdir(f"{self.index_dir}/term_stats"):
+            raise FileNotFoundError(
+                f"{self.index_dir}/term_stats missing — the local serving "
+                "path needs the lexicon side table; rebuild the index or "
+                "use path='wand'"
+            )
+        df_map = {t: d for t, d in self.term_df(terms).items() if d > 0}
+        if not df_map:
+            return []
+        by_salt: dict[int, list[dict]] = {}
+        for b in sorted({term_bucket(t, self.n_buckets) for t in df_map}):
+            d = f"{self.index_dir}/postings/bucket={b}"
+            if not os.path.isdir(d):
+                continue
+            tbl = pq.read_table(
+                d,
+                columns=["term", "salt", "blocks"],
+                filters=[("term", "in", list(df_map))],
+            )
+            for row in tbl.to_pylist():
+                by_salt.setdefault(row["salt"], []).append(
+                    {"df": df_map[row["term"]], "blocks": row["blocks"]}
+                )
+        shard_results = [
+            score_shard_topk(tls, self.n, self.avgdl, k, mode)
+            for tls in by_salt.values()
+        ]
+        return merge_topk(shard_results, k)
+
     def search_ids(
         self,
         query: str,
@@ -110,14 +195,32 @@ class SearchEngine:
         path: str = "wand",
     ) -> DataFrame:
         """Top-k (docid, score). ``path``: 'wand' = block-max pruned kernel;
-        'exhaustive' = decode + Catalyst aggregation (oracle path)."""
+        'exhaustive' = decode + Catalyst aggregation (oracle path);
+        'local' = driver-side serve (see search_local) wrapped back into
+        a DataFrame."""
         terms = self.analyze(query)
         if not terms:
             return self.spark.createDataFrame([], "docid long, score double")
+        if path == "local":
+            rows = [
+                (int(d), float(s)) for d, s in self.search_local(
+                    query, k=k, mode=mode
+                )
+            ]
+            return self.spark.createDataFrame(
+                rows, "docid long, score double"
+            )
         postings = self._postings(terms)
         if path == "wand":
+            import os
+
+            has_lexicon = os.path.isdir(f"{self.index_dir}/term_stats")
             return search_topk(
-                postings, terms, self.n, self.avgdl, k=k, mode=mode
+                postings, terms, self.n, self.avgdl, k=k, mode=mode,
+                # no lexicon (pre-term_stats index): search_topk falls
+                # back to collecting df from the candidate metadata
+                df_map=self.term_df(terms) if has_lexicon else None,
+                n_shards=1 << self.salt_bits,
             )
         flat = decode_postings_df(
             postings.filter(F.col("term").isin(terms))

@@ -82,7 +82,7 @@ def full_tokens(text: str) -> list[str]:
     return [porter_stem(t) for t in base_tokens(text) if t not in STOPWORDS]
 
 
-def tokenize_frame(docids, texts, stem: bool):
+def tokenize_frame(docids, texts, stem: bool, analyzer: str | None = None):
     """Vectorized batch tokenization: (docids, texts) -> pandas DataFrame
     (docid, term, tf, doc_len), one row per distinct (doc, term).
 
@@ -91,9 +91,31 @@ def tokenize_frame(docids, texts, stem: bool):
     and Porter applied to UNIQUE tokens only (then mapped back) — per-row
     Python never touches the token stream. Semantics identical to
     ``base_tokens``/``full_tokens`` (property-tested in tests/).
+
+    ``analyzer='ner'`` routes through the per-doc entity analyzer
+    (run detection needs original casing + adjacency, so it's a python
+    loop per doc within the Arrow batch — the optional plug's cost, still
+    batch-at-a-time, unlike the reference's per-row spaCy UDF).
     """
     import numpy as np
     import pandas as pd
+
+    if analyzer == "ner":
+        from collections import Counter
+
+        recs = []
+        for docid, text in zip(docids, texts):
+            toks = ner_tokens(text or "")
+            if not toks:
+                continue
+            dl = len(toks)
+            for term, tf in Counter(toks).items():
+                recs.append((int(docid), term, tf, dl))
+        return pd.DataFrame(
+            recs, columns=["docid", "term", "tf", "doc_len"]
+        ).astype(
+            {"docid": "int64", "tf": "int32", "doc_len": "int32"}
+        )
 
     texts = pd.Series(texts).fillna("")
     token_lists = (
@@ -144,12 +166,88 @@ def tokenize_frame(docids, texts, stem: bool):
     return out
 
 
-def analyze_query(query: str, stem: bool = True) -> list[str]:
-    """Query-side analysis. Duplicate terms are deduped (order-preserving)
-    because the reference's Mongo ``$in`` returns each posting list once —
-    duplicate query terms never double-count
+ENTITY_CORE_RE = re.compile(r"^[A-Z][a-z]+$")
+STRIP_EDGE_RE = re.compile(r"^[^A-Za-z0-9]+|[^A-Za-z0-9]+$")
+
+
+def ner_tokens(text: str) -> list[str]:
+    """Entity-aware dual-indexing analyzer (the reference's INTENDED
+    behavior: spaCy PERSON/ORG/GPE phrases indexed alongside their
+    component words, Indexer/inverted_index.py:24-72; its own test
+    expects 'new york' from 'Barack Obama visited New York',
+    backend/__tests__/stemmingService.test.js:3-8).
+
+    spaCy is a heavyweight model-versioned dependency, so the entity
+    detector here is a deterministic surrogate: a maximal run of >= 2
+    consecutive capitalized alphabetic words ([A-Z][a-z]+) is an entity.
+    For each entity run we emit the lowercased phrase AND each component
+    word (reference quirk Q2); remaining tokens go through the normal
+    stopword/junk/Porter chain, except tokens whose cleaned form is an
+    entity component elsewhere in the doc, which are skipped
+    (inverted_index.py:56-61 semantics)."""
+    raw = text.split()
+    cores = [STRIP_EDGE_RE.sub("", t) for t in raw]
+    is_ent_word = [bool(ENTITY_CORE_RE.match(c)) for c in cores]
+
+    # maximal runs of >= 2 entity-shaped words
+    runs: list[tuple[int, int]] = []
+    i = 0
+    while i < len(raw):
+        if is_ent_word[i]:
+            j = i
+            while j + 1 < len(raw) and is_ent_word[j + 1]:
+                j += 1
+            if j > i:
+                runs.append((i, j))
+            i = j + 1
+        else:
+            i += 1
+    in_run = set()
+    for a, b in runs:
+        in_run.update(range(a, b + 1))
+    entity_words = {cores[i].lower() for i in in_run}
+
+    out: list[str] = []
+    for i, t in enumerate(raw):
+        if i in in_run:
+            a, b = next(r for r in runs if r[0] <= i <= r[1])
+            if i == a:
+                out.append(" ".join(cores[x].lower() for x in range(a, b + 1)))
+            out.append(cores[i].lower())
+            continue
+        for tok in base_tokens(t):
+            if tok in entity_words:
+                continue  # already indexed via the entity pass
+            if tok in STOPWORDS:
+                continue
+            out.append(porter_stem(tok))
+    return out
+
+
+def tokens_for(text: str, analyzer: str = "porter") -> list[str]:
+    """Analyzer dispatch: 'base' (SQL-expressible), 'porter' (default
+    full chain), 'ner' (entity dual-indexing plug)."""
+    if analyzer == "base":
+        return base_tokens(text)
+    if analyzer == "porter":
+        return full_tokens(text)
+    if analyzer == "ner":
+        return ner_tokens(text)
+    raise ValueError(f"unknown analyzer: {analyzer}")
+
+
+def analyze_query(
+    query: str, stem: bool = True, analyzer: str | None = None
+) -> list[str]:
+    """Query-side analysis (same analyzer as the index side — the
+    deliberate fix of the reference's asymmetry, SURVEY §8.Q4).
+    Duplicate terms are deduped (order-preserving) because the
+    reference's Mongo ``$in`` returns each posting list once — duplicate
+    query terms never double-count
     (reference: backend/services/mongoService.js:18-30)."""
-    toks = full_tokens(query) if stem else base_tokens(query)
+    if analyzer is None:
+        analyzer = "porter" if stem else "base"
+    toks = tokens_for(query, analyzer)
     seen: dict[str, None] = {}
     for t in toks:
         seen.setdefault(t)

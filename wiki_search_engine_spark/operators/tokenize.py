@@ -27,19 +27,21 @@ from ..functions.analyzer import tokenize_frame
 TOKENS_SCHEMA = "docid long, term string, tf int, doc_len int"
 
 
-def _tokenize_batches(stem: bool):
+def _tokenize_batches(stem: bool, analyzer: str | None = None):
     def fn(batches):
         for pdf in batches:
             # zero-term docs drop out here -> excluded from index and N (Q8)
-            yield tokenize_frame(pdf["docid"], pdf["text"], stem)
+            yield tokenize_frame(pdf["docid"], pdf["text"], stem, analyzer)
 
     return fn
 
 
-def tokenize(corpus: DataFrame, stem: bool = True) -> DataFrame:
+def tokenize(
+    corpus: DataFrame, stem: bool = True, analyzer: str | None = None
+) -> DataFrame:
     """(docid, text) -> (docid, term, tf, doc_len). Shuffle-free."""
     return corpus.select("docid", "text").mapInPandas(
-        _tokenize_batches(stem), schema=TOKENS_SCHEMA
+        _tokenize_batches(stem, analyzer), schema=TOKENS_SCHEMA
     )
 
 

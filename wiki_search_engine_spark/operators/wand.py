@@ -123,6 +123,22 @@ def score_shard_topk(
     return acc_docids[idx], acc_scores[idx]
 
 
+def merge_topk(
+    shard_results: list[tuple[np.ndarray, np.ndarray]], k: int
+) -> list[tuple[int, float]]:
+    """Merge per-shard (docids, scores) top-ks into the global top-k with
+    the engine's tie-break (score desc, docid asc). Shards are docid-range
+    disjoint, so concatenation (no re-aggregation) is exact."""
+    if not shard_results:
+        return []
+    d = np.concatenate([r[0] for r in shard_results])
+    s = np.concatenate([r[1] for r in shard_results])
+    if d.size == 0:
+        return []
+    idx = np.lexsort((d, -s))[: min(k, d.size)]
+    return [(int(d[i]), float(s[i])) for i in idx]
+
+
 def search_topk(
     postings: DataFrame,
     query_terms: list[str],
@@ -130,32 +146,45 @@ def search_topk(
     avgdl: float,
     k: int = 50,
     mode: str = "bm25",
+    df_map: dict[str, int] | None = None,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Distributed top-k over the sharded postings table.
 
     ``postings`` should already be filtered to the query's term buckets
     (partition pruning) — this function adds the exact term filter, runs
     the shard kernel per salt group, and merges.
+
+    ``df_map``: global df per term (reference semantics: df is the
+    posting-list length at query time, mongoService.js:32). When the
+    caller has a lexicon (SearchEngine.term_df — a driver-side pyarrow
+    read of the term_stats side table), passing it makes the whole query
+    exactly ONE Spark job. Without it, df is computed here from a
+    column-pruned collect of the candidate metadata (<= |terms| *
+    2^salt_bits tiny rows; the block payloads are never read) — still
+    never a groupBy, which would plan a full shuffle-partition-wide
+    exchange for a handful of rows.
     """
     spark = postings.sparkSession
     if not query_terms:
         return spark.createDataFrame([], "docid long, score double")
     cand = postings.filter(F.col("term").isin(query_terms))
 
-    # global df per term = sum of shard dfs (reference semantics: df is the
-    # posting-list length at query time, mongoService.js:32). Computed
-    # driver-side from a column-pruned scan (<= |terms| * 2^salt_bits tiny
-    # rows; the block payloads are never read) — a groupBy here would plan
-    # a full shuffle-partition-wide exchange for a handful of rows and
-    # dominate query latency on wide clusters.
-    meta_rows = cand.select("term", "salt", "df_shard").collect()
-    if not meta_rows:
+    if df_map is None:
+        meta_rows = cand.select("term", "salt", "df_shard").collect()
+        df_map = {}
+        shard_ids = set()
+        for r in meta_rows:
+            df_map[r["term"]] = (
+                df_map.get(r["term"], 0) + int(r["df_shard"])
+            )
+            shard_ids.add(r["salt"])
+        n_shards = max(len(shard_ids), 1)
+    else:
+        df_map = {t: d for t, d in df_map.items() if d > 0}
+        n_shards = max(n_shards or 1, 1)
+    if not df_map:
         return spark.createDataFrame([], "docid long, score double")
-    df_map: dict[str, int] = {}
-    shard_ids = set()
-    for r in meta_rows:
-        df_map[r["term"]] = df_map.get(r["term"], 0) + int(r["df_shard"])
-        shard_ids.add(r["salt"])
 
     # NB: deliberately un-annotated — applyInPandas warns (on stdout!)
     # when it can't infer an eval type from partial type hints, which
@@ -169,7 +198,7 @@ def search_topk(
                 ],
             }
             for term, blocks in zip(pdf["term"], pdf["blocks"])
-            if len(blocks)
+            if len(blocks) and term in df_map
         ]
         if not term_lists:
             return pd.DataFrame({"docid": [], "score": []})
@@ -182,7 +211,7 @@ def search_topk(
     # in |shards| tasks instead of spark.sql.shuffle.partitions (mostly
     # empty on a wide cluster, pure scheduling overhead per query).
     shard_topk = (
-        cand.repartition(max(len(shard_ids), 1), "salt")
+        cand.repartition(n_shards, "salt")
         .groupBy("salt")
         .applyInPandas(kernel, schema="docid long, score double")
     )

@@ -20,7 +20,7 @@ from __future__ import annotations
 import math
 from collections import Counter, defaultdict
 
-from ..functions.analyzer import analyze_query, base_tokens, full_tokens
+from ..functions.analyzer import analyze_query, tokens_for
 
 K1 = 1.5
 B = 0.75
@@ -37,13 +37,14 @@ def tfidf_idf(n: int, df: int) -> float:
 class IndexOracle:
     """In-memory inverted index + scorer with reference semantics."""
 
-    def __init__(self, stem: bool = True):
+    def __init__(self, stem: bool = True, analyzer: str | None = None):
         self.stem = stem
+        self.analyzer = analyzer or ("porter" if stem else "base")
         self.postings: dict[str, dict[int, int]] = defaultdict(dict)
         self.doc_len: dict[int, int] = {}
 
     def _analyze(self, text: str) -> list[str]:
-        return full_tokens(text) if self.stem else base_tokens(text)
+        return tokens_for(text, self.analyzer)
 
     def add_document(self, docid: int, text: str) -> None:
         toks = self._analyze(text)

@@ -103,10 +103,12 @@ def tune_scan_splits(spark: SparkSession, input_bytes: int,
     )
 
 
-def _tokenize_with_bucket(stem: bool, n_buckets: int):
+def _tokenize_with_bucket(
+    stem: bool, n_buckets: int, analyzer: str | None = None
+):
     def fn(batches):
         for pdf in batches:
-            out = tokenize_frame(pdf["docid"], pdf["text"], stem)
+            out = tokenize_frame(pdf["docid"], pdf["text"], stem, analyzer)
             # bucket per UNIQUE term, mapped back (few distinct terms/batch)
             uniq = pd.unique(out["term"])
             mapping = {t: term_bucket(t, n_buckets) for t in uniq}
@@ -125,8 +127,14 @@ def build_index(
     bucket_groups: int = 4,
     salt_bits: int = 3,
     resume: bool = False,
+    analyzer: str | None = None,
 ) -> Manifest:
-    """Build the full index under ``index_dir``; returns the manifest."""
+    """Build the full index under ``index_dir``; returns the manifest.
+
+    ``analyzer``: None -> 'porter' if stem else 'base'; or 'ner' for the
+    entity dual-indexing plug (functions/analyzer.py ner_tokens)."""
+    if analyzer is None:
+        analyzer = "porter" if stem else "base"
     manifest = Manifest(f"{index_dir}/manifest.json")
     if not resume:
         manifest.entries = {}
@@ -143,6 +151,7 @@ def build_index(
                 "n_buckets": n_buckets,
                 "salt_bits": salt_bits,
                 "stem": stem,
+                "analyzer": analyzer,
                 "format_version": 1,
             },
             f,
@@ -160,7 +169,7 @@ def build_index(
     try:
         return _build_stages(
             spark, corpus, index_dir, manifest, stem, n_buckets,
-            bucket_groups, salt_bits,
+            bucket_groups, salt_bits, analyzer,
         )
     finally:
         for k, v in saved_conf.items():
@@ -170,7 +179,7 @@ def build_index(
 
 def _build_stages(
     spark, corpus, index_dir, manifest, stem, n_buckets, bucket_groups,
-    salt_bits,
+    salt_bits, analyzer=None,
 ) -> Manifest:
     # scan-split tuning: corpus files (if file-backed) drive the tokenize
     # stage's parallelism
@@ -192,7 +201,7 @@ def _build_stages(
     if not manifest.is_done("tokens"):
         t0 = time.time()
         tokens = corpus.select("docid", "text").mapInPandas(
-            _tokenize_with_bucket(stem, n_buckets),
+            _tokenize_with_bucket(stem, n_buckets, analyzer),
             schema=(
                 "docid long, term string, tf int, doc_len int, bucket int"
             ),
@@ -277,6 +286,38 @@ def _build_stages(
 
     stats_tbl = _pq.read_table(f"{index_dir}/stats").to_pandas().iloc[0]
     avgdl = float(stats_tbl["avgdl"])
+
+    # --- stage: term_stats (the lexicon side table) ----------------------
+    # (term, df, bucket), partitionBy bucket, term-sorted within file.
+    # This is the IR dictionary: at query time the DRIVER reads the query
+    # terms' bucket files with pyarrow (no Spark job) to get global df —
+    # query latency then costs exactly ONE Spark job (the WAND kernel).
+    # df here == posting-list length (SURVEY §8.Q7) because both derive
+    # from the same staged token relation.
+    if not manifest.is_done("term_stats"):
+        t0 = time.time()
+        from ..operators.aggregates import term_df_salted
+        from ..operators.postings import term_bucket_col
+
+        stats_np = min(
+            n_buckets, spark.sparkContext.defaultParallelism
+        )
+        (
+            term_df_salted(tokens.select("term", "docid"))
+            .withColumn("bucket", term_bucket_col(F.col("term"), n_buckets))
+            .repartition(stats_np, "bucket")
+            .sortWithinPartitions("bucket", "term")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{index_dir}/term_stats")
+        )
+        rows, nbytes, files = _parquet_lineage(f"{index_dir}/term_stats")
+        manifest.mark(
+            "term_stats",
+            rows_out=rows,
+            bytes_out=nbytes,
+            wall_ms=int(1000 * (time.time() - t0)),
+        )
 
     # --- stage: postings, one manifest unit per bucket group -------------
     per_group = (n_buckets + bucket_groups - 1) // bucket_groups
