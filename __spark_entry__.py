@@ -465,6 +465,28 @@ def q_events_window_agg(spark, sf_dir):
     )
 
 
+def q_worker_totals(spark, sf_dir):
+    """Batch form of the stateful liveness monitor's running totals
+    (streaming/heartbeats.py — applyInPandasWithState op; the streaming
+    totals are pytest-verified against this exact aggregation)."""
+    from wiki_search_engine_spark.streaming.heartbeats import (
+        worker_totals_batch,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    hb = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_type").alias("worker_id"),
+        "ts",
+        F.floor("value").cast("long").alias("pages"),
+    )
+    return worker_totals_batch(hb).select(
+        "worker_id",
+        F.unix_timestamp("last_ts").cast("long").alias("last_ts_epoch"),
+        F.col("n_beats").cast("long").alias("n_beats"),
+        "total_pages",
+    )
+
+
 def q_lineitem_pricing_summary(spark, sf_dir):
     """TPC-H Q1-style scan+agg (pushdown/codegen demo on the big table)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -673,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "doc_fingerprint": q_doc_fingerprint,
         "events_window_agg": q_events_window_agg,
+        "worker_totals": q_worker_totals,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "orders_by_segment": q_orders_by_segment,
         "bm25_stemmed": q_bm25_stemmed,
@@ -859,6 +882,12 @@ SELECT epoch(date_trunc('minute', ts))::BIGINT AS win_start,
        event_type, count(*)::BIGINT AS n_events,
        round(sum(value), 6) AS sum_value
 FROM events GROUP BY 1, 2, 3""",
+        "worker_totals": """
+SELECT event_type AS worker_id,
+       floor(epoch(max(ts)))::BIGINT AS last_ts_epoch,
+       count(*)::BIGINT AS n_beats,
+       sum(floor(value)::BIGINT)::BIGINT AS total_pages
+FROM events GROUP BY 1""",
         "lineitem_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

@@ -194,3 +194,38 @@ def test_ner_index_rank_identity(spark, corpus_rows, tmp_path):
     loc = eng.search_local(phrase, k=10, mode="bm25")
     exp = oracle.search(phrase, k=10, mode="bm25")
     assert_rank_identical(loc, exp)
+
+
+def test_docs_image_metadata_parity(spark, engine, corpus_rows, index_dir,
+                                    docid_map):
+    """JVM image extraction in the docs stage == the python reference
+    (functions/extraction.py extract_image_srcs), ids <file_id>-<i>."""
+    from wiki_search_engine_spark.functions.extraction import (
+        extract_image_srcs,
+    )
+
+    docs = {
+        r["docid"]: r
+        for r in spark.read.parquet(f"{index_dir}/docs").collect()
+    }
+    n_with_images = 0
+    for row in corpus_rows:
+        docid = docid_map[row["url"]]
+        exp = extract_image_srcs(row["html"].decode("utf-8"))
+        got = docs[docid]["images"]
+        assert [g["src"] for g in got] == exp
+        assert [g["image_id"] for g in got] == [
+            f"{docid}-{j}" for j in range(len(exp))
+        ]
+        assert docs[docid]["image_count"] == len(exp)
+        n_with_images += bool(exp)
+    assert n_with_images > 0  # synth actually produces images
+
+
+def test_image_results_flatten(engine, fixture_queries):
+    ids = engine.image_results(fixture_queries[0], k=5)
+    assert all("-" in i for i in ids)
+    rows = engine.search(
+        fixture_queries[0], k=5, with_images=True
+    ).collect()
+    assert sum(r["image_count"] for r in rows) == len(ids)

@@ -117,3 +117,79 @@ def test_streaming_window_agg_equals_batch(spark, tmp_path):
         for r in spark.sql(f"select * from {name}").collect()
     }
     assert got == expected
+
+
+def test_worker_liveness_stateful(spark, tmp_path):
+    """applyInPandasWithState liveness monitor: running totals equal the
+    batch oracle across multiple micro-batches, and a worker that stops
+    beating is emitted 'dead' once the watermark passes its timeout."""
+    import datetime as dt
+    import os
+
+    import pandas as pd
+
+    from wiki_search_engine_spark.streaming.heartbeats import (
+        worker_liveness, worker_totals_batch,
+    )
+
+    t0 = dt.datetime(2025, 10, 1, 12, 0, 0)
+    batches = [
+        # batch 1: both workers beat
+        [("w1", t0, 5), ("w2", t0 + dt.timedelta(seconds=10), 3),
+         ("w1", t0 + dt.timedelta(seconds=20), 7)],
+        # batch 2: only w1 — w2 goes silent
+        [("w1", t0 + dt.timedelta(minutes=5), 11)],
+        # batch 3: w1 much later -> watermark passes w2's timeout
+        [("w1", t0 + dt.timedelta(minutes=20), 2)],
+    ]
+    src = str(tmp_path / "hb")
+    os.makedirs(src)
+    schema = "worker_id string, ts timestamp, pages long"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["worker_id", "ts", "pages"])
+        ).coalesce(1).write.mode("append").parquet(src)
+        # write sequentially so maxFilesPerTrigger sees ordered files
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = worker_liveness(stream, timeout="2 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("liveness")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM liveness").collect()
+    assert rows, "no liveness output"
+
+    # final alive totals per worker == batch oracle
+    all_hb = spark.createDataFrame(
+        pd.DataFrame(
+            [r for b in batches for r in b],
+            columns=["worker_id", "ts", "pages"],
+        )
+    )
+    oracle = {
+        r["worker_id"]: (r["n_beats"], r["total_pages"])
+        for r in worker_totals_batch(all_hb).collect()
+    }
+    last_alive = {}
+    for r in rows:
+        if r["status"] == "alive":
+            last_alive[r["worker_id"]] = (r["n_beats"], r["total_pages"])
+    assert last_alive == oracle
+
+    # w2 flagged dead (watermark moved past its last_ts + 2 min)
+    dead = [r["worker_id"] for r in rows if r["status"] == "dead"]
+    assert "w2" in dead
+    # state persisted across micro-batches: w1's totals grew over time
+    w1_counts = sorted(
+        r["n_beats"] for r in rows if r["worker_id"] == "w1"
+        and r["status"] == "alive"
+    )
+    assert len(w1_counts) >= 2 and w1_counts[0] < w1_counts[-1]

@@ -228,15 +228,41 @@ class SearchEngine:
         return score_exhaustive(flat, terms, self.n, self.avgdl, k, mode)
 
     def search(
-        self, query: str, k: int = 50, mode: str = "bm25", path: str = "wand"
+        self,
+        query: str,
+        k: int = 50,
+        mode: str = "bm25",
+        path: str = "wand",
+        with_images: bool = False,
     ) -> DataFrame:
         """Hydrated top-k: (docid, url, title, snippet, score) — the
         reference's result-fetch join (mongoService.js:75-113), as a
-        broadcast join of the k-row result against the docs table."""
+        broadcast join of the k-row result against the docs table.
+        ``with_images`` adds the per-doc image metadata columns
+        (images: array<struct<image_id,src>>, image_count) when the index
+        was built with them."""
         ids = self.search_ids(query, k=k, mode=mode, path=path)
         docs = self.spark.read.parquet(f"{self.index_dir}/docs")
+        cols = ["docid", "url", "title", "snippet", "score"]
+        if with_images:
+            cols += ["images", "image_count"]
         return (
             docs.join(F.broadcast(ids), "docid")
-            .select("docid", "url", "title", "snippet", "score")
+            .select(*cols)
             .orderBy(F.desc("score"), F.asc("docid"))
         )
+
+    def image_results(
+        self, query: str, k: int = 50, mode: str = "bm25",
+        path: str = "wand",
+    ) -> list[str]:
+        """Flattened image_ids across the top-k docs, result order — the
+        reference's imageResult payload (backend/utils/fileUtils.js:6-28:
+        flatten doc.images[].image_id over the <=50 result rows,
+        driver-side)."""
+        rows = self.search(
+            query, k=k, mode=mode, path=path, with_images=True
+        ).collect()
+        return [
+            img["image_id"] for r in rows for img in (r["images"] or [])
+        ]

@@ -191,3 +191,25 @@ def normalize_title(title: str) -> str:
     import re
 
     return re.sub(r"\s*-\s*wikipedia$", "", title, flags=re.I).strip().lower()
+
+
+IMG_SRC_RE = None  # initialized lazily below
+
+MAX_IMAGES_PER_DOC = 10
+
+
+def extract_image_srcs(html: str, max_images: int = MAX_IMAGES_PER_DOC):
+    """Image srcs from the RAW page in document order, capped.
+
+    The reference crawler downloads page images BEFORE DOM cleanup and
+    keeps at most 10 per document (Crawler/crawler.py:326-361), so decoy
+    subtrees count too; ids follow insertScript.py:84-92
+    (``<file_id>-<i>``) at the caller."""
+    global IMG_SRC_RE
+    if IMG_SRC_RE is None:
+        import re
+
+        IMG_SRC_RE = re.compile(
+            r"<img\b[^>]*\bsrc\s*=\s*[\"']([^\"']+)[\"']", re.IGNORECASE
+        )
+    return IMG_SRC_RE.findall(html or "")[:max_images]

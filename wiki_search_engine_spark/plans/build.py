@@ -229,11 +229,35 @@ def _build_stages(
     # hundreds of overhead-bound tasks)
     if not manifest.is_done("docs"):
         t0 = time.time()
+        # image metadata from the RAW page, JVM-side (same regex as
+        # functions/extraction.py extract_image_srcs — parity-tested);
+        # ids follow the reference's <file_id>-<i> convention
+        # (mongodb_scripts/insertScript.py:84-92, max 10/doc)
+        srcs = F.slice(
+            F.regexp_extract_all(
+                F.col("html").cast("string"),
+                F.lit(r"""(?i)<img\b[^>]*\bsrc\s*=\s*["']([^"']+)["']"""),
+                F.lit(1),
+            ),
+            1,
+            10,
+        )
+        images = F.transform(
+            srcs,
+            lambda x, j: F.struct(
+                F.concat_ws(
+                    "-", F.col("docid").cast("string"), j.cast("string")
+                ).alias("image_id"),
+                x.alias("src"),
+            ),
+        )
         docs = corpus.select(
             "docid",
             "url",
             F.regexp_extract("url", r"([^/]+)$", 1).alias("title"),
             snippet(F.col("text")).alias("snippet"),
+            images.alias("images"),
+            F.size(images).alias("image_count"),
         )
         docs.write.mode("overwrite").parquet(f"{index_dir}/docs")
         rows, nbytes, files = _parquet_lineage(f"{index_dir}/docs")

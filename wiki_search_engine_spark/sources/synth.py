@@ -111,9 +111,20 @@ def doc_html(i: int, seed: int = 42) -> str:
             pos, f"<{level}>{_draw(rng, words, cum).capitalize()} "
             f"{_draw(rng, words, cum)}</{level}>"
         )
+    # 0-3 content images + 1 decoy image (the reference crawler collects
+    # images from the RAW page before cleanup, Crawler/crawler.py:326-361)
+    n_imgs = rng.randint(0, 3)
+    for j in range(n_imgs):
+        pos = rng.randint(0, len(paragraphs))
+        paragraphs.insert(
+            pos,
+            f'<img src="https://upload.example.org/{i}/img_{j}.jpg" '
+            f'alt="figure {j}">',
+        )
     body = "\n".join(paragraphs)
     decoys = (
-        f'<div class="navbox">{POISON} navbox</div>'
+        f'<div class="navbox">{POISON} navbox '
+        f'<img src="https://decoy.example.org/{POISON}.jpg"></div>'
         f'<table class="infobox"><tr><td>{POISON} infobox</td></tr></table>'
         f'<span class="mw-editsection">{POISON} edit</span>'
         f'<div id="footer">{POISON} footer</div>'
