@@ -158,3 +158,40 @@ def test_ner_entity_words_skipped_in_stem_pass():
     toks = ner_tokens("New York is big. york returns")
     assert toks.count("york") == 1
     assert "return" in toks
+
+
+def test_extract_links_filters():
+    from wiki_search_engine_spark.functions.extraction import extract_links
+
+    html = (
+        '<a href="/wiki/Foo">f</a><a href="https://other.com/x">o</a>'
+        '<a href="/w/index.php?action=edit">e</a>'
+        '<a href="/wiki/Special:Random">s</a><a href="/wiki/Foo">dup</a>'
+        '<a href="ftp://en.wikipedia.org/f">ftp</a>'
+    )
+    got = extract_links(html, "https://en.wikipedia.org/wiki/Base")
+    assert got == ["https://en.wikipedia.org/wiki/Foo"]
+
+
+def test_link_table_over_synth(spark):
+    from wiki_search_engine_spark.operators.tokenize import link_table
+    from wiki_search_engine_spark.sources.synth import synth_corpus
+    from wiki_search_engine_spark.functions.extraction import extract_links
+
+    corpus = synth_corpus(spark, 12, partitions=2)
+    edges = link_table(corpus).collect()
+    assert edges, "synth docs should link out"
+    by_src = {}
+    for r in edges:
+        by_src.setdefault(r["src_url"], []).append(r["dst_url"])
+    rows = corpus.collect()
+    for r in rows:
+        exp = extract_links(
+            r["html"].decode("utf-8"), base_url=r["url"]
+        )
+        assert by_src.get(r["url"], []) == exp
+    # every edge is in-domain wikipedia
+    assert all(
+        r["dst_url"].startswith("https://en.wikipedia.org/wiki/")
+        for r in edges
+    )

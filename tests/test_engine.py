@@ -229,3 +229,56 @@ def test_image_results_flatten(engine, fixture_queries):
         fixture_queries[0], k=5, with_images=True
     ).collect()
     assert sum(r["image_count"] for r in rows) == len(ids)
+
+
+def test_build_from_raw_html(spark, corpus_rows, tmp_path, docid_map):
+    """Rows with text=NULL are ingested via the extraction UDF: the
+    resulting index equals one built from pre-extracted text."""
+    import pandas as pd
+
+    from wiki_search_engine_spark.engine import SearchEngine
+
+    rows = [dict(r) for r in corpus_rows[:20]]
+    withtext = spark.createDataFrame(pd.DataFrame(rows))
+    for r in rows:
+        r["text"] = None
+    raw = spark.createDataFrame(pd.DataFrame(rows)).withColumn(
+        "text", __import__("pyspark.sql.functions", fromlist=["lit"])
+        .lit(None).cast("string")
+    )
+    a = SearchEngine.build(
+        spark, withtext, str(tmp_path / "a"), n_buckets=8,
+        bucket_groups=1, salt_bits=1,
+    )
+    b = SearchEngine.build(
+        spark, raw, str(tmp_path / "b"), n_buckets=8,
+        bucket_groups=1, salt_bits=1,
+    )
+    assert a.n == 20 and (a.n, a.total_length) == (b.n, b.total_length)
+    from wiki_search_engine_spark.sources.synth import vocabulary
+
+    w, _ = vocabulary(42)
+    qa = a.search_local(f"{w[0]} {w[3]}", k=10)
+    qb = b.search_local(f"{w[0]} {w[3]}", k=10)
+    assert qa and qa == qb
+
+
+def test_query_response_shape(engine, fixture_queries):
+    """Reference HTTP response contract (queryController.js:11-59)."""
+    r = engine.query_response(fixture_queries[0], option_name="BM25", k=5)
+    assert set(r) >= {"imageResult", "textResult", "searchTime", "profile"}
+    assert r["textResult"] and all(
+        set(d) >= {"docId", "chunkedBody", "url", "file_id", "score"}
+        for d in r["textResult"]
+    )
+    scores = [d["score"] for d in r["textResult"]]
+    assert scores == sorted(scores, reverse=True)  # scoringBM25.test.js
+    names = [m["name"] for m in r["profile"]["measures"]]
+    assert names[:2] == ["stem_query", "get_documents"]
+    assert names[-1] == "total_request"
+    assert engine.query_response("   ") == {
+        "success": False, "error": "Empty query",
+    }
+    # unknown optionName falls back to tfidf (queryController.js:19)
+    r2 = engine.query_response(fixture_queries[0], option_name="weird", k=3)
+    assert r2["textResult"]

@@ -252,6 +252,95 @@ class SearchEngine:
             .orderBy(F.desc("score"), F.asc("docid"))
         )
 
+    def query_response(
+        self,
+        query: str,
+        option_name: str = "tfidf",
+        k: int = 50,
+        path: str = "local",
+    ) -> dict:
+        """The reference's full HTTP response shape
+        (backend/controllers/queryController.js:11-59):
+
+        - empty/whitespace query -> {"success": False, "error":
+          "Empty query"} (the 400 body, queryController.js:21-25);
+        - optionName defaults to 'tfidf', lowercased
+          (queryController.js:19);
+        - otherwise {"imageResult", "textResult", "searchTime",
+          "profile": {"measures": [{name, duration_ms}, ...]}} with
+          per-stage spans mirroring utils/profiler.js:8-29
+          (stem_query / get_documents / fetch_results /
+          get_image_filenames / total_request).
+        """
+        import time
+
+        mode = (option_name or "tfidf").lower()
+        if mode not in ("tfidf", "bm25"):
+            mode = "tfidf"
+        t_all = time.time()
+        measures = []
+
+        def span(name, fn):
+            t0 = time.time()
+            out = fn()
+            measures.append(
+                {"name": name,
+                 "duration_ms": round(1000 * (time.time() - t0), 3)}
+            )
+            return out
+
+        try:
+            terms = span("stem_query", lambda: self.analyze(query))
+        except EmptyQueryError:
+            return {"success": False, "error": "Empty query"}
+        ids = span(
+            "get_documents",
+            lambda: self.search_ids(
+                query, k=k, mode=mode, path=path
+            ).collect() if path != "local" else self.search_local(
+                query, k=k, mode=mode
+            ),
+        )
+        id_rows = [
+            (int(r[0]), float(r[1]))
+            if not hasattr(r, "asDict") else (r["docid"], r["score"])
+            for r in ids
+        ]
+        score_map = dict(id_rows)
+        docs = span(
+            "fetch_results",
+            lambda: self.search(
+                query, k=k, mode=mode, path=path, with_images=True
+            ).collect(),
+        )
+        text_result = [
+            {
+                "docId": r["title"],
+                "chunkedBody": r["snippet"],
+                "url": r["url"],
+                "file_id": str(r["docid"]),
+                "score": score_map.get(r["docid"], r["score"]),
+            }
+            for r in docs
+        ]
+        image_result = span(
+            "get_image_filenames",
+            lambda: [
+                img["image_id"] for r in docs for img in (r["images"] or [])
+            ],
+        )
+        measures.append(
+            {"name": "total_request",
+             "duration_ms": round(1000 * (time.time() - t_all), 3)}
+        )
+        return {
+            "imageResult": image_result,
+            "textResult": text_result,
+            "searchTime": round(time.time() - t_all, 3),
+            "profile": {"measures": measures},
+            "query_terms": terms,
+        }
+
     def image_results(
         self, query: str, k: int = 50, mode: str = "bm25",
         path: str = "wand",

@@ -213,3 +213,47 @@ def extract_image_srcs(html: str, max_images: int = MAX_IMAGES_PER_DOC):
             r"<img\b[^>]*\bsrc\s*=\s*[\"']([^\"']+)[\"']", re.IGNORECASE
         )
     return IMG_SRC_RE.findall(html or "")[:max_images]
+
+
+LINK_HREF_RE = None
+
+SKIP_LINK_MARKERS = ("action=edit", "Special:", "File:", "Talk:", "#")
+
+
+def extract_links(
+    html: str,
+    base_url: str = "",
+    allow_domains: tuple = ("en.wikipedia.org",),
+    max_links: int = 200,
+):
+    """Outgoing page links per the reference crawler's filter chain
+    (Crawler/crawler.py:227-269): absolutize against ``base_url``, keep
+    http(s) only, drop edit/special/fragment links, restrict to the
+    domain allow-list, de-dup preserving order, cap."""
+    global LINK_HREF_RE
+    if LINK_HREF_RE is None:
+        import re
+
+        LINK_HREF_RE = re.compile(
+            r"<a\b[^>]*\bhref\s*=\s*[\"']([^\"']+)[\"']", re.IGNORECASE
+        )
+    from urllib.parse import urljoin, urlparse
+
+    out: list[str] = []
+    seen: set[str] = set()
+    for href in LINK_HREF_RE.findall(html or ""):
+        if any(m in href for m in SKIP_LINK_MARKERS):
+            continue
+        url = urljoin(base_url, href)
+        p = urlparse(url)
+        if p.scheme not in ("http", "https"):
+            continue
+        if allow_domains and p.netloc not in allow_domains:
+            continue
+        if url in seen:
+            continue
+        seen.add(url)
+        out.append(url)
+        if len(out) >= max_links:
+            break
+    return out

@@ -55,3 +55,39 @@ def with_docid(corpus: DataFrame, id_col: str = "url") -> DataFrame:
     return corpus.withColumn(
         "docid", F.shiftrightunsigned(F.xxhash64(F.col(id_col)), 1)
     )
+
+
+def link_table(
+    corpus: DataFrame,
+    allow_domains: tuple = ("en.wikipedia.org",),
+) -> DataFrame:
+    """(src_url, dst_url) edge list from the corpus html — the batch form
+    of the reference crawler's link frontier (Crawler/crawler.py:227-269,
+    SURVEY P13). Arrow-batched pandas UDF + explode; downstream this is
+    the input for link-graph work (pagerank-ish signals, dedup by URL)."""
+    import pandas as pd
+
+    from ..functions.extraction import extract_links
+
+    # no annotations: 'pd.Series' hints can't resolve with pandas imported
+    # function-locally, and partial hints break eval-type inference
+    @F.pandas_udf("array<string>")
+    def _links(html, url):
+        return pd.Series(
+            [
+                extract_links(
+                    bytes(h).decode("utf-8", "replace") if h is not None
+                    else "",
+                    base_url=u or "",
+                    allow_domains=allow_domains,
+                )
+                for h, u in zip(html, url)
+            ]
+        )
+
+    return (
+        corpus.select(
+            F.col("url").alias("src_url"),
+            F.explode(_links(F.col("html"), F.col("url"))).alias("dst_url"),
+        )
+    )

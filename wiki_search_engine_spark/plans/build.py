@@ -194,6 +194,30 @@ def _build_stages(
             spark, sum(_os.path.getsize(f) for f in in_files)
         )
 
+    # ingest raw-html rows: the input_hint contract says `text` IS the
+    # extraction of `html`; rows arriving with text NULL get it filled by
+    # the byte-identical extraction kernel (pandas UDF over Arrow
+    # batches, same function as the pytest oracle). The probe is one
+    # cheap limit(1) job; fully-extracted corpora skip the UDF entirely
+    # so the html bytes never cross into Python.
+    if "html" in corpus.columns and (
+        corpus.filter(F.col("text").isNull()).limit(1).count() > 0
+    ):
+        from ..functions.extraction import extract_text
+
+        @F.pandas_udf("string")
+        def _extract(html: pd.Series) -> pd.Series:
+            return html.map(
+                lambda b: extract_text(
+                    bytes(b).decode("utf-8", "replace")
+                ) if b is not None else None
+            )
+
+        corpus = corpus.withColumn(
+            "text",
+            F.coalesce(F.col("text"), _extract(F.col("html"))),
+        )
+
     # --- stage: tokens (staging parquet) ---------------------------------
     # bucket-partitioned ONLY when postings build is split into resumable
     # groups (the partitioned layout costs an extra shuffle + many small
@@ -311,38 +335,6 @@ def _build_stages(
     stats_tbl = _pq.read_table(f"{index_dir}/stats").to_pandas().iloc[0]
     avgdl = float(stats_tbl["avgdl"])
 
-    # --- stage: term_stats (the lexicon side table) ----------------------
-    # (term, df, bucket), partitionBy bucket, term-sorted within file.
-    # This is the IR dictionary: at query time the DRIVER reads the query
-    # terms' bucket files with pyarrow (no Spark job) to get global df —
-    # query latency then costs exactly ONE Spark job (the WAND kernel).
-    # df here == posting-list length (SURVEY §8.Q7) because both derive
-    # from the same staged token relation.
-    if not manifest.is_done("term_stats"):
-        t0 = time.time()
-        from ..operators.aggregates import term_df_salted
-        from ..operators.postings import term_bucket_col
-
-        stats_np = min(
-            n_buckets, spark.sparkContext.defaultParallelism
-        )
-        (
-            term_df_salted(tokens.select("term", "docid"))
-            .withColumn("bucket", term_bucket_col(F.col("term"), n_buckets))
-            .repartition(stats_np, "bucket")
-            .sortWithinPartitions("bucket", "term")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(f"{index_dir}/term_stats")
-        )
-        rows, nbytes, files = _parquet_lineage(f"{index_dir}/term_stats")
-        manifest.mark(
-            "term_stats",
-            rows_out=rows,
-            bytes_out=nbytes,
-            wall_ms=int(1000 * (time.time() - t0)),
-        )
-
     # --- stage: postings, one manifest unit per bucket group -------------
     per_group = (n_buckets + bucket_groups - 1) // bucket_groups
     for g in range(bucket_groups):
@@ -381,6 +373,36 @@ def _build_stages(
             partitions=files,
             wall_ms=int(1000 * (time.time() - t0)),
         )
+    # --- stage: term_stats (the lexicon side table) ----------------------
+    # (term, df), partitionBy bucket, term-sorted within file. This is
+    # the IR dictionary: at query time the DRIVER reads the query terms'
+    # bucket files with pyarrow (no Spark job) to get global df — query
+    # latency then costs exactly ONE Spark job (the WAND kernel). Derived
+    # from the POSTINGS table (sum of shard dfs; ~|vocab| rows, blocks
+    # column never read) rather than re-scanning the token relation —
+    # df == posting-list length by construction (SURVEY §8.Q7).
+    if not manifest.is_done("term_stats"):
+        t0 = time.time()
+        stats_np = min(n_buckets, spark.sparkContext.defaultParallelism)
+        (
+            spark.read.parquet(f"{index_dir}/postings")
+            .select("bucket", "term", "df_shard")
+            .repartition(stats_np, "bucket")
+            .groupBy("bucket", "term")
+            .agg(F.sum("df_shard").cast("long").alias("df"))
+            .sortWithinPartitions("bucket", "term")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{index_dir}/term_stats")
+        )
+        rows, nbytes, files = _parquet_lineage(f"{index_dir}/term_stats")
+        manifest.mark(
+            "term_stats",
+            rows_out=rows,
+            bytes_out=nbytes,
+            wall_ms=int(1000 * (time.time() - t0)),
+        )
+
     manifest.mark("all", status="done")
     return manifest
 

@@ -111,6 +111,19 @@ def doc_html(i: int, seed: int = 42) -> str:
             pos, f"<{level}>{_draw(rng, words, cum).capitalize()} "
             f"{_draw(rng, words, cum)}</{level}>"
         )
+    # 1-3 inter-doc links (exercises link_table / the P13 filter chain:
+    # one absolute in-domain link, relative links, one off-domain decoy,
+    # one action=edit decoy)
+    n_links = rng.randint(1, 3)
+    link_bits = [
+        f'<a href="/wiki/Doc_{rng.randint(0, 99999):06d}">l{j}</a>'
+        for j in range(n_links)
+    ]
+    link_bits.append('<a href="https://other.example.com/x">off</a>')
+    link_bits.append('<a href="/w/index.php?action=edit">edit</a>')
+    pos = rng.randint(0, len(paragraphs))
+    paragraphs.insert(pos, "<p>" + " ".join(link_bits) + "</p>")
+
     # 0-3 content images + 1 decoy image (the reference crawler collects
     # images from the RAW page before cleanup, Crawler/crawler.py:326-361)
     n_imgs = rng.randint(0, 3)
