@@ -53,11 +53,14 @@ def main() -> None:
     q: dict[str, float] = {}
 
     # ---- corpus index build (html extraction + tokenize + postings) ------
-    corpus_path = f"{WORK}/corpus_{CORPUS_DOCS}"
+    corpus_path = f"{WORK}/corpus_raw_{CORPUS_DOCS}"
     if not os.path.exists(corpus_path):
-        synth_corpus(spark, CORPUS_DOCS, partitions=CPUS * 2).write.mode(
-            "overwrite"
-        ).parquet(corpus_path)
+        # text column NULLed: the timed build pays the byte-identical
+        # html->text extraction kernel too, so build docs/sec covers the
+        # full north-rule pipeline (extraction + tokenize + postings)
+        synth_corpus(spark, CORPUS_DOCS, partitions=CPUS * 2).withColumn(
+            "text", F.lit(None).cast("string")
+        ).write.mode("overwrite").parquet(corpus_path)
     corpus = spark.read.parquet(corpus_path)
     index_dir = f"{WORK}/index"
     shutil.rmtree(index_dir, ignore_errors=True)

@@ -283,7 +283,13 @@ def _build_stages(
             images.alias("images"),
             F.size(images).alias("image_count"),
         )
-        docs.write.mode("overwrite").parquet(f"{index_dir}/docs")
+        # docid-sorted within each file: hydration point-lookups then
+        # prune ROW GROUPS via footer min/max stats (no extra shuffle —
+        # a range partition would re-execute the snippet/image
+        # projections for its sampling pass)
+        docs.sortWithinPartitions("docid").write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/docs")
         rows, nbytes, files = _parquet_lineage(f"{index_dir}/docs")
         manifest.mark(
             "docs",
