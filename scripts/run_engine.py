@@ -20,6 +20,11 @@ multi-executor cluster):
     spark-submit --py-files /tmp/wse.zip scripts/run_engine.py search \
         --index /tmp/index --query "messi argentina" --k 10 --mode bm25
 
+    # fold a new crawl batch's index into an existing one (delta wins
+    # per url; only collided posting groups are re-encoded)
+    spark-submit --py-files /tmp/wse.zip scripts/run_engine.py merge \
+        --base /tmp/index --delta /tmp/index_batch2 --out /tmp/index_v2
+
 Scale defaults: on a 1000-executor cluster raise --buckets (file-pruning
 granularity), --bucket-groups (resume granularity), and --salt-bits
 (docid-range shards per term; bounds the largest encode group and the WAND
@@ -52,6 +57,12 @@ def main(argv=None):
     b.add_argument("--bucket-groups", type=int, default=4)
     b.add_argument("--salt-bits", type=int, default=3)
 
+    m = sub.add_parser("merge")
+    m.add_argument("--base", required=True)
+    m.add_argument("--delta", required=True)
+    m.add_argument("--out", required=True)
+    m.add_argument("--resume", action="store_true")
+
     s = sub.add_parser("synth")
     s.add_argument("--docs", type=int, default=2000)
     s.add_argument("--out", required=True)
@@ -78,6 +89,23 @@ def main(argv=None):
             "overwrite"
         ).parquet(args.out)
         print(json.dumps({"written": args.out, "docs": args.docs}))
+    elif args.cmd == "merge":
+        from wiki_search_engine_spark.engine import SearchEngine
+
+        t0 = time.time()
+        eng = SearchEngine.merge(
+            spark, args.base, args.delta, args.out, resume=args.resume
+        )
+        print(
+            json.dumps(
+                {
+                    "index": args.out,
+                    "N": eng.n,
+                    "avgdl": round(eng.avgdl, 3),
+                    "merge_sec": round(time.time() - t0, 2),
+                }
+            )
+        )
     elif args.cmd == "build":
         from wiki_search_engine_spark.engine import SearchEngine
 

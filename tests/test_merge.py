@@ -1,0 +1,181 @@
+"""Incremental index merge == from-scratch rebuild.
+
+merge(build(A), build(B)) must equal build((A \\ updated-urls) U B) —
+delta wins per url (plans/merge.py, operators/merge.py): identical
+corpus stats, identical decoded postings, identical lexicon, and
+rank-identical top-k on the query set; WAND stays exact on the merged
+index (its pass-through blocks carry scaled — sound — max_score bounds).
+"""
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SEED
+
+BASE_IDX = list(range(60))
+UPDATED = list(range(10, 20))  # re-crawled: same urls, new content
+NEW = list(range(60, 80))  # fresh urls
+DELTA_SEED = 7  # different vocabulary -> updated docs change heavily
+
+BUILD_KW = dict(stem=True, n_buckets=8, bucket_groups=1, salt_bits=2)
+
+
+def _rows(idxs, seed):
+    from wiki_search_engine_spark.sources.synth import doc_row
+
+    # doc_row's url depends only on the index, not the seed, so the same
+    # index at another seed IS a re-crawl of the same url
+    return [doc_row(i, seed) for i in idxs]
+
+
+@pytest.fixture(scope="module")
+def merged_and_full(spark, tmp_path_factory):
+    from wiki_search_engine_spark.engine import SearchEngine
+
+    tmp = tmp_path_factory.mktemp("merge")
+    base_rows = _rows(BASE_IDX, SEED)
+    delta_rows = _rows(UPDATED, DELTA_SEED) + _rows(NEW, SEED)
+    expected_rows = [
+        r for i, r in zip(BASE_IDX, base_rows) if i not in set(UPDATED)
+    ] + delta_rows
+
+    def build(rows, name):
+        return SearchEngine.build(
+            spark,
+            spark.createDataFrame(pd.DataFrame(rows)),
+            str(tmp / name),
+            **BUILD_KW,
+        )
+
+    build(base_rows, "base")
+    build(delta_rows, "delta")
+    full = build(expected_rows, "full")
+    merged = SearchEngine.merge(
+        spark, str(tmp / "base"), str(tmp / "delta"), str(tmp / "merged")
+    )
+    return merged, full
+
+
+def test_merged_stats_equal_rebuild(merged_and_full):
+    merged, full = merged_and_full
+    assert merged.n == full.n
+    assert math.isclose(merged.avgdl, full.avgdl, rel_tol=1e-12)
+    assert merged.total_length == full.total_length
+
+
+def _decoded(spark, index_dir):
+    from wiki_search_engine_spark.operators.postings import (
+        decode_postings_df,
+    )
+
+    return (
+        decode_postings_df(spark.read.parquet(f"{index_dir}/postings"))
+        .orderBy("term", "docid")
+        .toPandas()
+    )
+
+
+def test_merged_postings_equal_rebuild(spark, merged_and_full):
+    merged, full = merged_and_full
+    a = _decoded(spark, merged.index_dir)
+    b = _decoded(spark, full.index_dir)
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+
+
+def test_merged_lexicon_equals_rebuild(spark, merged_and_full):
+    merged, full = merged_and_full
+    get = lambda eng: {
+        r["term"]: r["df"]
+        for r in spark.read.parquet(f"{eng.index_dir}/term_stats").collect()
+    }
+    assert get(merged) == get(full)
+
+
+@pytest.mark.parametrize("mode", ["bm25", "tfidf"])
+def test_merged_rank_identity(merged_and_full, mode):
+    from wiki_search_engine_spark.sources.synth import vocabulary
+
+    merged, full = merged_and_full
+    w42, _ = vocabulary(SEED)
+    w7, _ = vocabulary(DELTA_SEED)
+    queries = [
+        w42[0],  # heavy base term
+        f"{w42[3]} {w42[50]}",
+        w7[0],  # heavy DELTA-vocab term (hits updated docs)
+        f"{w42[5]} {w7[2]}",  # spans both vocabularies
+        "rare15x0",  # rare term of an UPDATED doc (purge check)
+        "rare65x0",  # rare term of a new doc
+    ]
+    for q in queries:
+        exp = [
+            (r["docid"], r["score"])
+            for r in full.search_ids(
+                q, k=10, mode=mode, path="exhaustive"
+            ).collect()
+        ]
+        for path in ("wand", "local"):
+            got = [
+                (r["docid"], r["score"])
+                for r in merged.search_ids(
+                    q, k=10, mode=mode, path=path
+                ).collect()
+            ]
+            assert [d for d, _ in got] == [d for d, _ in exp], (q, path)
+            for (_, gs), (_, es) in zip(got, exp):
+                assert math.isclose(gs, es, rel_tol=1e-9), (q, path)
+
+
+def test_merged_wand_equals_exhaustive(merged_and_full):
+    # bound-soundness probe: pass-through blocks carry max_score scaled
+    # from their source index's avgdl — pruning must still be exact
+    from wiki_search_engine_spark.sources.synth import vocabulary
+
+    merged, _ = merged_and_full
+    w42, _ = vocabulary(SEED)
+    for q in [w42[0], f"{w42[1]} {w42[20]} {w42[300]}"]:
+        a = merged.search_ids(q, k=50, mode="bm25", path="wand").collect()
+        b = merged.search_ids(
+            q, k=50, mode="bm25", path="exhaustive"
+        ).collect()
+        assert [r["docid"] for r in a] == [r["docid"] for r in b]
+
+
+def test_merged_docs_table_updated(spark, merged_and_full):
+    # hydration side table: updated urls carry the DELTA snippet
+    merged, full = merged_and_full
+    a = (
+        spark.read.parquet(f"{merged.index_dir}/docs")
+        .select("docid", "url", "snippet")
+        .orderBy("docid")
+        .toPandas()
+    )
+    b = (
+        spark.read.parquet(f"{full.index_dir}/docs")
+        .select("docid", "url", "snippet")
+        .orderBy("docid")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+
+
+def test_merge_rejects_mismatched_config(spark, tmp_path):
+    from wiki_search_engine_spark.engine import SearchEngine
+    from wiki_search_engine_spark.plans.merge import merge_indexes
+
+    rows = _rows(range(8), SEED)
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    SearchEngine.build(spark, df, str(tmp_path / "a"), **BUILD_KW)
+    kw = dict(BUILD_KW, n_buckets=16)
+    SearchEngine.build(spark, df, str(tmp_path / "b"), **kw)
+    with pytest.raises(ValueError, match="n_buckets"):
+        merge_indexes(
+            spark, str(tmp_path / "a"), str(tmp_path / "b"),
+            str(tmp_path / "out"),
+        )

@@ -86,6 +86,24 @@ class SearchEngine:
     def load(cls, spark: SparkSession, index_dir: str, stem: bool | None = None):
         return cls(spark, index_dir, stem=stem)
 
+    @classmethod
+    def merge(
+        cls,
+        spark: SparkSession,
+        base_dir: str,
+        delta_dir: str,
+        out_dir: str,
+        resume: bool = False,
+    ) -> "SearchEngine":
+        """Fold a delta index (a build over a new crawl batch) into a
+        base index — incremental indexing without rebuilding unchanged
+        posting lists (plans/merge.py; the reference's analogue rewrites
+        the whole index, Indexer/merge_index_files.py:5-15)."""
+        from .plans.merge import merge_indexes
+
+        merge_indexes(spark, base_dir, delta_dir, out_dir, resume=resume)
+        return cls(spark, out_dir)
+
     # -- internals ---------------------------------------------------------
     def _postings(self, terms: list[str]) -> DataFrame:
         """Postings scan for the query terms (the Spark analogue of the

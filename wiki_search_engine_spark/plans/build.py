@@ -379,38 +379,46 @@ def _build_stages(
             partitions=files,
             wall_ms=int(1000 * (time.time() - t0)),
         )
-    # --- stage: term_stats (the lexicon side table) ----------------------
-    # (term, df), partitionBy bucket, term-sorted within file. This is
-    # the IR dictionary: at query time the DRIVER reads the query terms'
-    # bucket files with pyarrow (no Spark job) to get global df — query
-    # latency then costs exactly ONE Spark job (the WAND kernel). Derived
-    # from the POSTINGS table (sum of shard dfs; ~|vocab| rows, blocks
-    # column never read) rather than re-scanning the token relation —
-    # df == posting-list length by construction (SURVEY §8.Q7).
-    if not manifest.is_done("term_stats"):
-        t0 = time.time()
-        stats_np = min(n_buckets, spark.sparkContext.defaultParallelism)
-        (
-            spark.read.parquet(f"{index_dir}/postings")
-            .select("bucket", "term", "df_shard")
-            .repartition(stats_np, "bucket")
-            .groupBy("bucket", "term")
-            .agg(F.sum("df_shard").cast("long").alias("df"))
-            .sortWithinPartitions("bucket", "term")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(f"{index_dir}/term_stats")
-        )
-        rows, nbytes, files = _parquet_lineage(f"{index_dir}/term_stats")
-        manifest.mark(
-            "term_stats",
-            rows_out=rows,
-            bytes_out=nbytes,
-            wall_ms=int(1000 * (time.time() - t0)),
-        )
+    write_term_stats(spark, index_dir, n_buckets, manifest)
 
     manifest.mark("all", status="done")
     return manifest
+
+
+def write_term_stats(
+    spark, index_dir: str, n_buckets: int, manifest: Manifest
+) -> None:
+    """The lexicon side table stage: (term, df), partitionBy bucket,
+    term-sorted within file. This is the IR dictionary: at query time the
+    DRIVER reads the query terms' bucket files with pyarrow (no Spark
+    job) to get global df — query latency then costs exactly ONE Spark
+    job (the WAND kernel). Derived from the POSTINGS table (sum of shard
+    dfs; ~|vocab| rows, blocks column never read) rather than re-scanning
+    the token relation — df == posting-list length by construction
+    (SURVEY §8.Q7). Shared by the full build and the incremental merge
+    (plans/merge.py)."""
+    if manifest.is_done("term_stats"):
+        return
+    t0 = time.time()
+    stats_np = min(n_buckets, spark.sparkContext.defaultParallelism)
+    (
+        spark.read.parquet(f"{index_dir}/postings")
+        .select("bucket", "term", "df_shard")
+        .repartition(stats_np, "bucket")
+        .groupBy("bucket", "term")
+        .agg(F.sum("df_shard").cast("long").alias("df"))
+        .sortWithinPartitions("bucket", "term")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{index_dir}/term_stats")
+    )
+    rows, nbytes, files = _parquet_lineage(f"{index_dir}/term_stats")
+    manifest.mark(
+        "term_stats",
+        rows_out=rows,
+        bytes_out=nbytes,
+        wall_ms=int(1000 * (time.time() - t0)),
+    )
 
 
 def _bucket_range_lineage(

@@ -1,0 +1,191 @@
+"""Incremental index merge orchestration: staged, metered, resumable.
+
+``merge_indexes(spark, base_dir, delta_dir, out_dir)`` folds a delta
+index (an independent ``plans/build.py`` build over a new crawl batch)
+into a base index, producing a complete index at ``out_dir`` that equals
+a from-scratch build over (base corpus minus re-crawled urls) union
+(delta corpus) — delta wins per url, mirroring the reference crawler's
+re-crawl overwrite (reference: Crawler/crawler.py:401-406; its only
+"merge" is the driver-side CSV concat in Indexer/merge_index_files.py,
+which rewrites everything).
+
+Stages (each a manifest unit, resumable like the build):
+
+  doc_stats   base minus delta-universe, union delta   [broadcast anti-join]
+  stats       N / avgdl / total_length of the merged corpus
+  docs        same anti-join union on the hydration side table
+  postings    operators/merge.py kernel — pass-through untouched
+              (term, salt) groups, re-encode only collided ones
+  term_stats  recomputed lexicon (plans/build.py write_term_stats)
+
+Pytest asserts merged == from-scratch rebuild: decoded postings
+identical, stats identical, and top-k rank-identical on the fixture
+query set (tests/test_merge.py).
+
+Scale notes: the anti-joins broadcast the DELTA docid set (the crawl
+batch — the small side by construction). The updated-docid array shipped
+to the postings kernel is that same set, sorted, as one broadcast numpy
+array; at 10^12-doc base scale a crawl batch of ~10^8 updated docids is
+~800MB — still broadcastable; beyond that, partition it by the index's
+docid-range salt so each kernel task receives only its shard's slice.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.merge import merge_postings_tables
+from .build import _parquet_lineage, write_term_stats
+from .manifest import Manifest
+
+_META_COMPAT_KEYS = ("n_buckets", "salt_bits", "stem", "analyzer",
+                     "format_version")
+
+
+def _read_meta(index_dir: str) -> dict:
+    with open(f"{index_dir}/meta.json") as f:
+        return json.load(f)
+
+
+def _read_avgdl(index_dir: str) -> float:
+    import pyarrow.parquet as pq
+
+    row = pq.read_table(f"{index_dir}/stats").to_pandas().iloc[0]
+    return float(row["avgdl"])
+
+
+def merge_indexes(
+    spark: SparkSession,
+    base_dir: str,
+    delta_dir: str,
+    out_dir: str,
+    resume: bool = False,
+) -> Manifest:
+    """Merge ``delta_dir``'s index into ``base_dir``'s, writing a full
+    index at ``out_dir``. Both inputs must share layout config
+    (n_buckets / salt_bits / analyzer — checked against meta.json)."""
+    meta_b, meta_d = _read_meta(base_dir), _read_meta(delta_dir)
+    mismatched = [
+        k for k in _META_COMPAT_KEYS if meta_b.get(k) != meta_d.get(k)
+    ]
+    if mismatched:
+        raise ValueError(
+            f"incompatible index configs, cannot merge: {mismatched} "
+            f"(base={meta_b}, delta={meta_d})"
+        )
+    n_buckets = int(meta_b["n_buckets"])
+
+    manifest = Manifest(f"{out_dir}/manifest.json")
+    if not resume:
+        manifest.entries = {}
+    os.makedirs(out_dir, exist_ok=True)
+    with open(f"{out_dir}/meta.json", "w") as f:
+        json.dump(meta_b, f)
+
+    # the delta's corpus universe = its docs side table (includes docs
+    # whose new version has zero indexed terms — their stale base
+    # postings must still be purged)
+    import pyarrow.parquet as pq
+
+    updated = np.sort(
+        pq.read_table(f"{delta_dir}/docs", columns=["docid"])
+        .column("docid")
+        .to_numpy()
+    )
+    updated_df = spark.createDataFrame(
+        [(int(d),) for d in updated], "docid long"
+    )
+
+    def _anti_union(sub: str) -> DataFrame:
+        base = spark.read.parquet(f"{base_dir}/{sub}")
+        delta = spark.read.parquet(f"{delta_dir}/{sub}")
+        return base.join(
+            F.broadcast(updated_df), "docid", "left_anti"
+        ).unionByName(delta)
+
+    # --- stage: doc_stats -------------------------------------------------
+    if not manifest.is_done("doc_stats"):
+        t0 = time.time()
+        _anti_union("doc_stats").write.mode("overwrite").parquet(
+            f"{out_dir}/doc_stats"
+        )
+        rows, nbytes, files = _parquet_lineage(f"{out_dir}/doc_stats")
+        manifest.mark(
+            "doc_stats", rows_out=rows, bytes_out=nbytes, partitions=files,
+            wall_ms=int(1000 * (time.time() - t0)),
+        )
+
+    # --- stage: stats (driver-side pyarrow, as in the build) --------------
+    if not manifest.is_done("stats"):
+        t0 = time.time()
+        import pandas as pd
+        import pyarrow as pa
+
+        dl = (
+            pq.read_table(f"{out_dir}/doc_stats", columns=["doc_len"])
+            .column("doc_len")
+            .to_pandas()
+        )
+        n, total = int(len(dl)), int(dl.sum())
+        stats_pdf = pd.DataFrame(
+            {"N": [n], "avgdl": [total / n], "total_length": [total]}
+        )
+        os.makedirs(f"{out_dir}/stats", exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(stats_pdf, preserve_index=False),
+            f"{out_dir}/stats/part-0.parquet",
+        )
+        manifest.mark(
+            "stats", rows_out=n, wall_ms=int(1000 * (time.time() - t0))
+        )
+
+    # --- stage: docs ------------------------------------------------------
+    if not manifest.is_done("docs"):
+        t0 = time.time()
+        _anti_union("docs").sortWithinPartitions("docid").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/docs")
+        rows, nbytes, files = _parquet_lineage(f"{out_dir}/docs")
+        manifest.mark(
+            "docs", rows_out=rows, bytes_out=nbytes, partitions=files,
+            wall_ms=int(1000 * (time.time() - t0)),
+        )
+
+    # --- stage: postings --------------------------------------------------
+    if not manifest.is_done("postings"):
+        t0 = time.time()
+        avgdl_m = _read_avgdl(out_dir)
+        f_base = max(1.0, avgdl_m / _read_avgdl(base_dir))
+        f_delta = max(1.0, avgdl_m / _read_avgdl(delta_dir))
+        merged = merge_postings_tables(
+            spark.read.parquet(f"{base_dir}/postings"),
+            spark.read.parquet(f"{delta_dir}/postings"),
+            updated_docids=updated,
+            avgdl_merged=avgdl_m,
+            f_base=f_base,
+            f_delta=f_delta,
+        )
+        (
+            merged.sortWithinPartitions("bucket", "term")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{out_dir}/postings")
+        )
+        rows, nbytes, files = _parquet_lineage(f"{out_dir}/postings")
+        manifest.mark(
+            "postings", rows_out=rows, bytes_out=nbytes, partitions=files,
+            wall_ms=int(1000 * (time.time() - t0)),
+            max_score_scale={"base": f_base, "delta": f_delta},
+        )
+
+    # --- stage: term_stats ------------------------------------------------
+    write_term_stats(spark, out_dir, n_buckets, manifest)
+
+    manifest.mark("all", status="done")
+    return manifest
