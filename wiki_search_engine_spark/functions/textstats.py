@@ -114,14 +114,23 @@ def lang_id(text: Column) -> Column:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingle strings (space-joined)."""
+    """Distinct word n-gram shingle strings (space-joined).
+
+    Formulated as arrays_zip over n shifted slices of the token array,
+    NOT element_at(toks, i+j) inside a transform lambda: HOF lambdas are
+    interpreted (no codegen), so a lambda body that references ``toks``
+    re-evaluates the whole tokenizing split PER ELEMENT — O(tokens^2)
+    per document (measured 13x slower on 5k real-length docs). Here the
+    lambda touches only its own struct argument; the split is evaluated
+    O(n) times per ROW."""
     toks = ws_tokens(F.lower(text))
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(toks, j + 1, m).alias(f"t{j}") for j in range(n)]
+    )
     grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-        ),
+        zipped,
+        lambda s: F.concat_ws(" ", *[s[f"t{j}"] for j in range(n)]),
     )
     return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
         F.array_distinct(grams)

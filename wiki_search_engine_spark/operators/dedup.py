@@ -138,19 +138,30 @@ def minhash_lsh_candidates(
             )
         ).alias("bh"),
     ).select(id_col, "bh.band", "bh.band_hash")
-    a = band_rows.alias("a")
-    b = band_rows.alias("b")
+    # bucket-grouped pair generation, NOT a band_rows self-join: a self-
+    # join plans the signature pipeline (scan -> shingle -> md5 -> 16-min
+    # agg) TWICE (no exchange reuse across the join sides) — at corpus
+    # scale that doubles the most expensive pass. Grouping each LSH
+    # bucket to an array and expanding ordered pairs JVM-side keeps one
+    # linear pipeline; per-bucket pair blowup is identical to the join's
+    # (both are m^2 on an m-doc bucket).
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        band_rows.groupBy("band", "band_hash")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_bands"))
     )
 
