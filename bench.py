@@ -102,6 +102,34 @@ def main() -> None:
             lat.append(time.time() - t0)
         q[f"query_{name}_local_p50"] = round(statistics.median(lat), 4)
 
+    # ---- incremental merge: 10% re-crawl batch folded into the index -----
+    # delta urls are a subset of the corpus urls (synth urls depend only
+    # on the doc index), so this is a pure update batch: build the
+    # delta's own index, then merge — stale postings purged, untouched
+    # posting groups pass through. merge_sec + delta build << full
+    # rebuild is the operator's reason to exist.
+    delta_docs = max(CORPUS_DOCS // 10, 200)
+    delta_path = f"{WORK}/delta_raw_{delta_docs}"
+    if not os.path.exists(delta_path):
+        synth_corpus(
+            spark, delta_docs, seed=9, partitions=CPUS
+        ).withColumn("text", F.lit(None).cast("string")).write.mode(
+            "overwrite"
+        ).parquet(delta_path)
+    delta_idx = f"{WORK}/delta_idx"
+    merged_idx = f"{WORK}/index_merged"
+    shutil.rmtree(delta_idx, ignore_errors=True)
+    shutil.rmtree(merged_idx, ignore_errors=True)
+    q["index_build_delta"] = timed(
+        lambda: SearchEngine.build(
+            spark, spark.read.parquet(delta_path), delta_idx,
+            stem=True, n_buckets=64, bucket_groups=1, salt_bits=3,
+        )
+    )
+    q["index_merge_delta"] = timed(
+        lambda: SearchEngine.merge(spark, index_dir, delta_idx, merged_idx)
+    )
+
     # ---- training-data ops on the driver tables ---------------------------
     import __spark_entry__ as E
 

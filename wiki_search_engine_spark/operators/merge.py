@@ -108,7 +108,8 @@ def merge_postings_tables(
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        from .codec import decode_posting_list, encode_postings
+        from .codec import varbyte_decode
+        from .postings import encode_groups_arrow
 
         dd = bc.value
         out_schema = pa.schema(
@@ -198,54 +199,98 @@ def merge_postings_tables(
             )
 
         def emit_rebuilt(tbl: pa.Table):
-            rows = tbl.to_pylist()
-            out: list[dict] = []
-            i = 0
-            while i < len(rows):
-                group = [rows[i]]
-                while (
-                    i + 1 < len(rows)
-                    and rows[i + 1]["term"] == rows[i]["term"]
-                    and rows[i + 1]["salt"] == rows[i]["salt"]
-                ):
-                    group.append(rows[i + 1])
-                    i += 1
-                i += 1
-                d_parts, t_parts, l_parts = [], [], []
-                for row in group:
-                    d, t, dl = decode_posting_list(row["blocks"])
-                    if row["src"] == 0 and dd.size and d.size:
-                        pos = np.searchsorted(dd, d)
-                        hit = (pos < dd.size) & (
-                            dd[np.minimum(pos, dd.size - 1)] == d
-                        )
-                        d, t, dl = d[~hit], t[~hit], dl[~hit]
-                    d_parts.append(d)
-                    t_parts.append(t)
-                    l_parts.append(dl)
-                d = np.concatenate(d_parts)
-                if d.size == 0:
-                    continue  # term vanished from this shard
-                t = np.concatenate(t_parts)
-                dl = np.concatenate(l_parts)
-                # base-minus-updated and delta docid sets are disjoint,
-                # so a plain sort (inside encode_postings) is a merge
-                blocks = encode_postings(
-                    d, t, dl, idf=1.0, avgdl=avgdl_merged,
-                    block_size=block_size,
+            """Vectorized re-encode of every collided group at once: bulk
+            varbyte-decode of the concatenated block streams, one filter/
+            merge pass, one encode_partition_flat — NOT a per-group
+            decode/encode loop (~100us of NumPy fixed cost x |groups|
+            dominates when a wide update batch makes most groups
+            collide)."""
+            n_rows = len(tbl)
+            mask_rows = new_group_mask(tbl)
+            gid_rows = np.cumsum(mask_rows) - 1
+            src = tbl.column("src").to_numpy()
+            salt_rows = tbl.column("salt").to_numpy()
+            bucket_rows = tbl.column("bucket").to_numpy()
+            term_rows = tbl.column("term")
+            if isinstance(term_rows, pa.ChunkedArray):
+                term_rows = term_rows.combine_chunks()
+
+            la = tbl.column("blocks")
+            if isinstance(la, pa.ChunkedArray):
+                la = la.combine_chunks()
+            blocks_per_row = pc.list_value_length(la).to_numpy().astype(
+                np.int64
+            )
+            flat = la.flatten()
+            counts = flat.field("count").to_numpy().astype(np.int64)
+            first_docid = flat.field("first_docid").to_numpy()
+
+            def concat_bin(arr):
+                return b"".join(arr.to_pylist())
+
+            deltas = varbyte_decode(
+                concat_bin(flat.field("docids_bytes"))
+            ).astype(np.int64)
+            tfs = varbyte_decode(
+                concat_bin(flat.field("tfs_bytes"))
+            ).astype(np.int64)
+            doclens = varbyte_decode(
+                concat_bin(flat.field("doclens_bytes"))
+            ).astype(np.int64)
+
+            # docid reconstruction across all blocks at once: within a
+            # block docid[i] = first_docid + cumsum(deltas); reset the
+            # running sum at block starts via a per-block offset
+            c = np.cumsum(deltas)
+            block_starts = np.zeros(counts.size, dtype=np.int64)
+            np.cumsum(counts[:-1], out=block_starts[1:])
+            docids = c + np.repeat(first_docid - c[block_starts], counts)
+
+            post_per_row = np.zeros(n_rows, dtype=np.int64)
+            row_block_starts = np.zeros(n_rows, dtype=np.int64)
+            np.cumsum(blocks_per_row[:-1], out=row_block_starts[1:])
+            # rows may have zero blocks in theory; reduceat needs care,
+            # but the build never writes empty block lists
+            post_per_row = np.add.reduceat(counts, row_block_starts) if (
+                counts.size
+            ) else post_per_row
+            post_row = np.repeat(np.arange(n_rows), post_per_row)
+
+            # purge updated docids from BASE rows
+            keep = np.ones(docids.size, dtype=bool)
+            if dd.size:
+                pos = np.searchsorted(dd, docids)
+                hit = (pos < dd.size) & (
+                    dd[np.minimum(pos, dd.size - 1)] == docids
                 )
-                out.append(
-                    {
-                        "term": group[0]["term"],
-                        "salt": group[0]["salt"],
-                        "df_shard": int(d.size),
-                        "bucket": group[0]["bucket"],
-                        "blocks": blocks,
-                    }
-                )
-            if not out:
+                keep = ~(hit & (src[post_row] == 0))
+            docids, tfs, doclens, post_row = (
+                docids[keep], tfs[keep], doclens[keep], post_row[keep]
+            )
+            if docids.size == 0:
                 return None
-            return pa.RecordBatch.from_pylist(out, schema=out_schema)
+            gid_post = gid_rows[post_row]
+            # merge base+delta within each group: the two docid sets are
+            # disjoint after the purge, so sorting by (group, docid) is
+            # the merge
+            order = np.lexsort((docids, gid_post))
+            docids, tfs, doclens, post_row, gid_post = (
+                docids[order], tfs[order], doclens[order],
+                post_row[order], gid_post[order],
+            )
+            new_group = np.ones(docids.size, dtype=bool)
+            new_group[1:] = gid_post[1:] != gid_post[:-1]
+            return encode_groups_arrow(
+                term_rows.take(pa.array(post_row)),
+                salt_rows[post_row],
+                bucket_rows[post_row],
+                new_group,
+                docids,
+                tfs,
+                doclens,
+                avgdl=avgdl_merged,
+                block_size=block_size,
+            )
 
         def process(tbl: pa.Table):
             n = len(tbl)

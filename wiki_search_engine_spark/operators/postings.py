@@ -95,6 +95,72 @@ def term_bucket_col(term_col, n_buckets: int = DEFAULT_BUCKETS):
     ).cast("int")
 
 
+def encode_groups_arrow(
+    term_per_row,
+    salts: "np.ndarray",
+    buckets: "np.ndarray",
+    new_group: "np.ndarray",
+    docids: "np.ndarray",
+    tfs: "np.ndarray",
+    doclens: "np.ndarray",
+    avgdl: float,
+    block_size: int = BLOCK_SIZE,
+):
+    """One flat vectorized encode of many (term, salt) groups -> a
+    POSTINGS_SCHEMA RecordBatch. ``term_per_row`` is a pyarrow
+    StringArray aligned with the posting rows (only group-start entries
+    are ever materialized into Python); ``new_group`` marks group starts
+    over rows sorted by (group, docid). Shared by the build encoder
+    (build_postings) and the incremental-merge re-encode path
+    (operators/merge.py)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .codec import encode_partition_flat
+
+    (
+        starts, sizes, bpg_counts,
+        first_docid, last_docid, block_counts, max_u, max_tf,
+        d_bytes, t_bytes, l_bytes,
+    ) = encode_partition_flat(
+        new_group, docids, tfs, doclens, avgdl=avgdl,
+        block_size=block_size,
+    )
+    g_terms = term_per_row.take(pa.array(starts)).to_pylist()
+    g_buckets = buckets[starts].astype(np.int32)
+    block_struct = pa.StructArray.from_arrays(
+        [
+            pa.array(first_docid, pa.int64()),
+            pa.array(last_docid, pa.int64()),
+            pa.array(block_counts.astype(np.int32), pa.int32()),
+            pa.array(max_u, pa.float64()),
+            pa.array(max_tf.astype(np.int32), pa.int32()),
+            pa.array(d_bytes, pa.binary()),
+            pa.array(t_bytes, pa.binary()),
+            pa.array(l_bytes, pa.binary()),
+        ],
+        names=[
+            "first_docid", "last_docid", "count", "max_score",
+            "max_tf", "docids_bytes", "tfs_bytes", "doclens_bytes",
+        ],
+    )
+    offsets = np.zeros(len(starts) + 1, dtype=np.int32)
+    np.cumsum(bpg_counts, out=offsets[1:])
+    blocks = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), block_struct
+    )
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(g_terms, pa.string()),
+            pa.array(salts[starts].astype(np.int32), pa.int32()),
+            pa.array(sizes, pa.int64()),
+            pa.array(g_buckets, pa.int32()),
+            blocks,
+        ],
+        names=["term", "salt", "df_shard", "bucket", "blocks"],
+    )
+
+
 def build_postings(
     tokens: DataFrame,
     avgdl: float,
@@ -152,8 +218,6 @@ def build_postings(
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        from .codec import encode_partition_flat
-
         carry: pa.Table | None = None
 
         def new_group_mask(tbl: pa.Table) -> np.ndarray:
@@ -171,55 +235,20 @@ def build_postings(
             return mask
 
         def encode_tbl(tbl: pa.Table) -> pa.RecordBatch:
-            mask = new_group_mask(tbl)
-            salts = tbl.column("salt").to_numpy()
-            (
-                starts, sizes, bpg_counts,
-                first_docid, last_docid, block_counts, max_u, max_tf,
-                d_bytes, t_bytes, l_bytes,
-            ) = encode_partition_flat(
-                mask,
+            # bucket arrives precomputed from the JVM expr (term_bucket_col)
+            term_col = tbl.column("term")
+            if isinstance(term_col, pa.ChunkedArray):
+                term_col = term_col.combine_chunks()
+            return encode_groups_arrow(
+                term_col,
+                tbl.column("salt").to_numpy(),
+                tbl.column("bucket").to_numpy(),
+                new_group_mask(tbl),
                 tbl.column("docid").to_numpy(),
                 tbl.column("tf").to_numpy(),
                 tbl.column("doc_len").to_numpy(),
                 avgdl=avgdl,
                 block_size=block_size,
-            )
-            g_terms = tbl.column("term").take(pa.array(starts)).to_pylist()
-            # bucket arrives precomputed from the JVM expr (term_bucket_col)
-            buckets = tbl.column("bucket").to_numpy()[starts].astype(
-                np.int32
-            )
-            block_struct = pa.StructArray.from_arrays(
-                [
-                    pa.array(first_docid, pa.int64()),
-                    pa.array(last_docid, pa.int64()),
-                    pa.array(block_counts.astype(np.int32), pa.int32()),
-                    pa.array(max_u, pa.float64()),
-                    pa.array(max_tf.astype(np.int32), pa.int32()),
-                    pa.array(d_bytes, pa.binary()),
-                    pa.array(t_bytes, pa.binary()),
-                    pa.array(l_bytes, pa.binary()),
-                ],
-                names=[
-                    "first_docid", "last_docid", "count", "max_score",
-                    "max_tf", "docids_bytes", "tfs_bytes", "doclens_bytes",
-                ],
-            )
-            offsets = np.zeros(len(starts) + 1, dtype=np.int32)
-            np.cumsum(bpg_counts, out=offsets[1:])
-            blocks = pa.ListArray.from_arrays(
-                pa.array(offsets, pa.int32()), block_struct
-            )
-            return pa.RecordBatch.from_arrays(
-                [
-                    pa.array(g_terms, pa.string()),
-                    pa.array(salts[starts].astype(np.int32), pa.int32()),
-                    pa.array(sizes, pa.int64()),
-                    pa.array(buckets, pa.int32()),
-                    blocks,
-                ],
-                names=["term", "salt", "df_shard", "bucket", "blocks"],
             )
 
         for batch in batches:
