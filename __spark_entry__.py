@@ -542,6 +542,64 @@ def q_bm25_stemmed(spark, sf_dir):
     )
 
 
+def q_merged_index_bm25(spark, sf_dir):
+    """Incremental index merge (operators/merge.py) end-to-end: base
+    index over doc_id < 400, a "re-crawl" delta over doc_id >= 300 with
+    appended text, merged with delta-wins purge semantics, then BM25
+    top-50 via the WAND kernel over the MERGED postings. The oracle
+    scores the same query over the expected merged corpus
+    (docs < 300 original, docs >= 300 modified) — so stale-posting
+    purge, delta-only terms ('mergedelta'), merged stats, and the
+    rescaled block-max bounds are all value-checked against DuckDB."""
+    import numpy as np
+
+    from wiki_search_engine_spark.operators.merge import (
+        merge_postings_tables,
+    )
+    from wiki_search_engine_spark.operators.postings import build_postings
+    from wiki_search_engine_spark.operators.wand import search_topk
+
+    docs = _docs(spark, sf_dir)
+    base_corpus = docs.filter(F.col("doc_id") < 400).select(
+        F.col("doc_id").alias("docid"), "text"
+    )
+    delta_corpus = docs.filter(F.col("doc_id") >= 300).select(
+        F.col("doc_id").alias("docid"),
+        F.concat(F.col("text"), F.lit(" mergedelta mergedelta")).alias(
+            "text"
+        ),
+    )
+    tok_b = tokenize(base_corpus, stem=False)
+    tok_d = tokenize(delta_corpus, stem=False)
+    _, avgdl_b = _stats_scalars(tok_b)
+    _, avgdl_d = _stats_scalars(tok_d)
+    n_m, avgdl_m = _stats_scalars(
+        tok_b.filter(F.col("docid") < 300).unionByName(tok_d)
+    )
+    updated = np.sort(
+        np.array(
+            [r[0] for r in delta_corpus.select("docid").collect()],
+            dtype=np.int64,
+        )
+    )
+    merged = merge_postings_tables(
+        build_postings(tok_b, avgdl=avgdl_b, salt_bits=2),
+        build_postings(tok_d, avgdl=avgdl_d, salt_bits=2),
+        updated_docids=updated,
+        avgdl_merged=avgdl_m,
+        f_base=max(1.0, avgdl_m / avgdl_b),
+        f_delta=max(1.0, avgdl_m / avgdl_d),
+    )
+    res = search_topk(
+        merged, ["table", "scan", "mergedelta"], n_m, avgdl_m, k=50,
+        mode="bm25",
+    )
+    return res.select(
+        F.col("docid").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: synthetic binary payloads -> Arrow-batched
     feature kernel (decode stubbed; see operators/multimodal.py)."""
@@ -699,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "orders_by_segment": q_orders_by_segment,
         "bm25_stemmed": q_bm25_stemmed,
+        "merged_index_bm25": q_merged_index_bm25,
         "media_features": q_media_features,
     }
 
@@ -747,6 +806,22 @@ FROM tf JOIN qdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s""",
         "bm25_mid_wand": _bm25_sql(Q_MID, 50, "bm25"),
         "bm25_or_semantics": _bm25_sql(Q_OR, 50, "bm25"),
         "bm25_single_term_wand": _bm25_sql(Q_ONE, 20, "bm25"),
+        # merged-index query == BM25 over the EXPECTED merged corpus:
+        # originals below the re-crawl range, modified text at and above
+        # it (delta wins) — same corpus-override applied inside the CTE
+        "merged_index_bm25": _bm25_sql(
+            ["table", "scan", "mergedelta"], 50, "bm25"
+        )
+        .replace("FROM documents", "FROM corpus")
+        .replace(
+            "\nWITH ",
+            "\nWITH corpus AS ("
+            "SELECT doc_id, text FROM documents WHERE doc_id < 300 "
+            "UNION ALL "
+            "SELECT doc_id, text || ' mergedelta mergedelta' AS text "
+            "FROM documents WHERE doc_id >= 300),\n",
+            1,
+        ),
         "search_hydrated": f"""
 WITH ranked AS ({_bm25_sql(Q_MAIN, 10, "bm25")})
 SELECT r.doc_id, r.score, {_SNIPPET_SQL} AS snippet
