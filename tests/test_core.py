@@ -195,3 +195,41 @@ def test_link_table_over_synth(spark):
         r["dst_url"].startswith("https://en.wikipedia.org/wiki/")
         for r in edges
     )
+
+
+def test_export_index_formats(spark, tmp_path):
+    """S4-S6 sink parity: csv/json/tsv single-file exports with the
+    reference's rename convention (Indexer/inverted_index.py:120-133)."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from wiki_search_engine_spark.sources import export as X
+
+    df = spark.createDataFrame(
+        [("alpha", 1, 2), ("beta", 3, 4)], "term string, tf int, df int"
+    )
+    p = X.export_index(df, str(tmp_path / "pq"), "parquet")
+    assert spark.read.parquet(p).count() == 2
+
+    f = X.export_index(df, str(tmp_path / "csv"), "csv", single_file=True)
+    lines = open(f).read().strip().splitlines()
+    assert lines[0] == "term,tf,df" and len(lines) == 3
+
+    f = X.export_index(df, str(tmp_path / "tsv"), "tsv", single_file=True)
+    assert f.endswith("inverted_index.txt")
+    assert open(f).readline().rstrip("\n") == "term\ttf\tdf"
+
+    f = X.export_index(df, str(tmp_path / "js"), "json", single_file=True)
+    rows = [_json.loads(ln) for ln in open(f)]
+    assert {r["term"] for r in rows} == {"alpha", "beta"}
+
+    with _pytest.raises(ValueError, match="fmt"):
+        X.export_index(df, str(tmp_path / "x"), "orc")
+
+    X.SINGLE_FILE_MAX_ROWS, saved = 1, X.SINGLE_FILE_MAX_ROWS
+    try:
+        with _pytest.raises(ValueError, match="refused"):
+            X.export_index(df, str(tmp_path / "y"), "csv", single_file=True)
+    finally:
+        X.SINGLE_FILE_MAX_ROWS = saved
