@@ -542,6 +542,28 @@ def q_bm25_stemmed(spark, sf_dir):
     )
 
 
+def q_bm25_batch(spark, sf_dir):
+    """Batched top-k (operators/wand.py search_topk_many): three query
+    sets scored in ONE job over a shared postings build; per-query rows
+    must equal the per-query oracle (UNION ALL of the single-query
+    SQLs)."""
+    from wiki_search_engine_spark.operators.postings import build_postings
+    from wiki_search_engine_spark.operators.wand import search_topk_many
+
+    tokens = _base_tokens_df(spark, sf_dir)
+    n, avgdl = _stats_scalars(tokens)
+    postings = build_postings(tokens, avgdl=avgdl, salt_bits=2)
+    res = search_topk_many(
+        postings, {0: Q_MAIN, 1: Q_MID, 2: Q_ONE}, n, avgdl, k=20,
+        mode="bm25",
+    )
+    return res.select(
+        "query_id",
+        F.col("docid").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def q_merged_index_bm25(spark, sf_dir):
     """Incremental index merge (operators/merge.py) end-to-end: base
     index over doc_id < 400, a "re-crawl" delta over doc_id >= 300 with
@@ -757,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "orders_by_segment": q_orders_by_segment,
         "bm25_stemmed": q_bm25_stemmed,
+        "bm25_batch": q_bm25_batch,
         "merged_index_bm25": q_merged_index_bm25,
         "media_features": q_media_features,
     }
@@ -806,6 +829,14 @@ FROM tf JOIN qdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s""",
         "bm25_mid_wand": _bm25_sql(Q_MID, 50, "bm25"),
         "bm25_or_semantics": _bm25_sql(Q_OR, 50, "bm25"),
         "bm25_single_term_wand": _bm25_sql(Q_ONE, 20, "bm25"),
+        "bm25_batch": " UNION ALL ".join(
+            f"SELECT {qid} AS query_id, doc_id, score FROM ({sql})"
+            for qid, sql in (
+                (0, _bm25_sql(Q_MAIN, 20, "bm25")),
+                (1, _bm25_sql(Q_MID, 20, "bm25")),
+                (2, _bm25_sql(Q_ONE, 20, "bm25")),
+            )
+        ),
         # merged-index query == BM25 over the EXPECTED merged corpus:
         # originals below the re-crawl range, modified text at and above
         # it (delta wins) — same corpus-override applied inside the CTE

@@ -282,3 +282,24 @@ def test_query_response_shape(engine, fixture_queries):
     # unknown optionName falls back to tfidf (queryController.js:19)
     r2 = engine.query_response(fixture_queries[0], option_name="weird", k=3)
     assert r2["textResult"]
+
+
+def test_search_many_matches_individual(engine, fixture_queries):
+    """Batch path: each query's rows in the one-job batch result equal
+    its individual search_ids ranking (incl. empty/absent queries
+    contributing no rows)."""
+    batch = engine.search_many(fixture_queries, k=10, mode="bm25")
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append((r["docid"], r["score"]))
+    for i, q in enumerate(fixture_queries):
+        try:
+            exp = [
+                (r["docid"], r["score"])
+                for r in engine.search_ids(
+                    q, k=10, mode="bm25", path="wand"
+                ).collect()
+            ]
+        except Exception:
+            exp = []
+        assert got.get(i, []) == exp, f"query {i}: {q!r}"

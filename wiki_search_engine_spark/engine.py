@@ -245,6 +245,46 @@ class SearchEngine:
         )
         return score_exhaustive(flat, terms, self.n, self.avgdl, k, mode)
 
+    def search_many(
+        self, queries: list[str], k: int = 50, mode: str = "bm25"
+    ) -> DataFrame:
+        """Batch serving: top-k for MANY queries in ONE Spark job —
+        (query_id, docid, score), query_id = position in ``queries``.
+        Rank-identical per query to search_ids (pytest-enforced);
+        queries that analyze to nothing (empty, all-absent terms)
+        produce no rows rather than erroring the whole batch. The bulk
+        analogue of the reference's one-request-per-query serving
+        (backend/controllers/queryController.js); see
+        operators/wand.py search_topk_many for the cost model."""
+        from .operators.wand import search_topk_many
+
+        qmap: dict[int, list[str]] = {}
+        for i, q in enumerate(queries):
+            try:
+                terms = self.analyze(q)
+            except EmptyQueryError:
+                continue
+            if terms:
+                qmap[i] = terms
+        if not qmap:
+            return self.spark.createDataFrame(
+                [], "query_id int, docid long, score double"
+            )
+        all_terms = sorted({t for ts in qmap.values() for t in ts})
+        import os
+
+        has_lexicon = os.path.isdir(f"{self.index_dir}/term_stats")
+        return search_topk_many(
+            self._postings(all_terms),
+            qmap,
+            self.n,
+            self.avgdl,
+            k=k,
+            mode=mode,
+            df_map=self.term_df(all_terms) if has_lexicon else None,
+            n_shards=1 << self.salt_bits,
+        )
+
     def search(
         self,
         query: str,

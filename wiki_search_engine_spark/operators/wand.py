@@ -139,6 +139,95 @@ def merge_topk(
     return [(int(d[i]), float(s[i])) for i in idx]
 
 
+def search_topk_many(
+    postings: DataFrame,
+    queries: dict[int, list[str]],
+    n: int,
+    avgdl: float,
+    k: int = 50,
+    mode: str = "bm25",
+    df_map: dict[str, int] | None = None,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Batched top-k: score MANY queries in ONE Spark job.
+
+    Per-query serving pays a full job schedule per query (~0.5s on an
+    idle cluster — the dominant cost of the distributed path); a batch
+    of Q queries shares the postings scan, the shuffle, and the shard
+    kernel, so throughput scales with the union of candidate postings
+    instead of Q x fixed-cost. Returns (query_id, docid, score), each
+    query's rows rank-identical to its search_topk result
+    (pytest-enforced). Queries whose terms are all absent contribute no
+    rows. The reference has no batch path (one HTTP request per query,
+    backend/controllers/queryController.js) — this is the bulk-scoring
+    form a training-data pipeline uses (e.g. mining hard negatives for
+    retrieval training: thousands of queries against the corpus).
+    """
+    spark = postings.sparkSession
+    out_schema = "query_id int, docid long, score double"
+    queries = {qid: terms for qid, terms in queries.items() if terms}
+    if not queries:
+        return spark.createDataFrame([], out_schema)
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    cand = postings.filter(F.col("term").isin(all_terms))
+
+    if df_map is None:
+        meta_rows = cand.select("term", "salt", "df_shard").collect()
+        df_map = {}
+        shard_ids = set()
+        for r in meta_rows:
+            df_map[r["term"]] = (
+                df_map.get(r["term"], 0) + int(r["df_shard"])
+            )
+            shard_ids.add(r["salt"])
+        n_shards = max(len(shard_ids), 1)
+    else:
+        df_map = {t: d for t, d in df_map.items() if d > 0}
+        n_shards = max(n_shards or 1, 1)
+
+    def kernel(key, pdf):
+        by_term: dict[str, list] = {}
+        for term, blocks in zip(pdf["term"], pdf["blocks"]):
+            if len(blocks) and term in df_map:
+                by_term[term] = [
+                    b if isinstance(b, dict) else b.asDict() for b in blocks
+                ]
+        out_q, out_d, out_s = [], [], []
+        for qid, terms in queries.items():
+            term_lists = [
+                {"df": df_map[t], "blocks": by_term[t]}
+                for t in set(terms)
+                if t in by_term
+            ]
+            if not term_lists:
+                continue
+            docids, scores = score_shard_topk(
+                term_lists, n, avgdl, k, mode
+            )
+            out_q.extend([qid] * docids.size)
+            out_d.extend(docids.tolist())
+            out_s.extend(scores.tolist())
+        return pd.DataFrame(
+            {"query_id": out_q, "docid": out_d, "score": out_s}
+        )
+
+    from pyspark.sql import Window
+
+    shard_topk = (
+        cand.repartition(n_shards, "salt")
+        .groupBy("salt")
+        .applyInPandas(kernel, schema=out_schema)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("docid")
+    )
+    return (
+        shard_topk.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def search_topk(
     postings: DataFrame,
     query_terms: list[str],
