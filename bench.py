@@ -102,6 +102,20 @@ def main() -> None:
             lat.append(time.time() - t0)
         q[f"query_{name}_local_p50"] = round(statistics.median(lat), 4)
 
+    # ---- batch serving: 20 queries in ONE Spark job ----------------------
+    # vs ~0.5s/query of job scheduling on the per-query distributed path
+    # (query_*_p50 above) — the bulk-scoring form a training pipeline uses
+    batch_queries = [
+        f"{words[i]} {words[(i * 37) % 1000]}" for i in range(20)
+    ]
+    lat = []
+    for _ in range(3):
+        t0 = time.time()
+        eng.search_many(batch_queries, k=10, mode="bm25").collect()
+        lat.append(time.time() - t0)
+    q["batch_20q_total"] = round(statistics.median(lat), 3)
+    q["batch_20q_per_query"] = round(statistics.median(lat) / 20, 4)
+
     # ---- incremental merge: 10% re-crawl batch folded into the index -----
     # delta urls are a subset of the corpus urls (synth urls depend only
     # on the doc index), so this is a pure update batch: build the
