@@ -63,6 +63,15 @@ def main(argv=None):
     m.add_argument("--out", required=True)
     m.add_argument("--resume", action="store_true")
 
+    d = sub.add_parser("delete")
+    d.add_argument("--index", required=True)
+    d.add_argument("--out", required=True)
+    d.add_argument(
+        "--urls", required=True,
+        help="comma-separated urls to purge from the index",
+    )
+    d.add_argument("--resume", action="store_true")
+
     s = sub.add_parser("synth")
     s.add_argument("--docs", type=int, default=2000)
     s.add_argument("--out", required=True)
@@ -103,6 +112,25 @@ def main(argv=None):
                     "N": eng.n,
                     "avgdl": round(eng.avgdl, 3),
                     "merge_sec": round(time.time() - t0, 2),
+                }
+            )
+        )
+    elif args.cmd == "delete":
+        from wiki_search_engine_spark.engine import SearchEngine
+
+        t0 = time.time()
+        eng = SearchEngine.delete(
+            spark, args.index, args.out,
+            urls=[u for u in args.urls.split(",") if u],
+            resume=args.resume,
+        )
+        print(
+            json.dumps(
+                {
+                    "index": args.out,
+                    "N": eng.n,
+                    "avgdl": round(eng.avgdl, 3),
+                    "delete_sec": round(time.time() - t0, 2),
                 }
             )
         )

@@ -179,3 +179,45 @@ def test_merge_rejects_mismatched_config(spark, tmp_path):
             spark, str(tmp_path / "a"), str(tmp_path / "b"),
             str(tmp_path / "out"),
         )
+
+
+def test_delete_equals_rebuild(spark, tmp_path):
+    """delete(build(A), urls) == build(A minus those urls): postings,
+    stats, lexicon, and ranks."""
+    import math as _math
+
+    from wiki_search_engine_spark.engine import SearchEngine
+    from wiki_search_engine_spark.sources.synth import vocabulary
+
+    rows = _rows(range(50), SEED)
+    gone = {rows[i]["url"] for i in (3, 10, 29, 44)}
+    SearchEngine.build(
+        spark, spark.createDataFrame(pd.DataFrame(rows)),
+        str(tmp_path / "base"), **BUILD_KW,
+    )
+    expected = SearchEngine.build(
+        spark,
+        spark.createDataFrame(
+            pd.DataFrame([r for r in rows if r["url"] not in gone])
+        ),
+        str(tmp_path / "exp"), **BUILD_KW,
+    )
+    got = SearchEngine.delete(
+        spark, str(tmp_path / "base"), str(tmp_path / "del"),
+        urls=sorted(gone),
+    )
+    assert got.n == expected.n
+    assert _math.isclose(got.avgdl, expected.avgdl, rel_tol=1e-12)
+    pd.testing.assert_frame_equal(
+        _decoded(spark, got.index_dir).reset_index(drop=True),
+        _decoded(spark, expected.index_dir).reset_index(drop=True),
+    )
+    w42, _ = vocabulary(SEED)
+    for q in [w42[0], f"{w42[3]} {w42[50]}", "rare3x0"]:
+        a = got.search_ids(q, k=10, mode="bm25", path="wand").collect()
+        b = expected.search_ids(
+            q, k=10, mode="bm25", path="exhaustive"
+        ).collect()
+        assert [r["docid"] for r in a] == [r["docid"] for r in b], q
+        for x, y in zip(a, b):
+            assert _math.isclose(x["score"], y["score"], rel_tol=1e-9)

@@ -104,6 +104,27 @@ class SearchEngine:
         merge_indexes(spark, base_dir, delta_dir, out_dir, resume=resume)
         return cls(spark, out_dir)
 
+    @classmethod
+    def delete(
+        cls,
+        spark: SparkSession,
+        base_dir: str,
+        out_dir: str,
+        urls: list[str] | None = None,
+        docids: list[int] | None = None,
+        resume: bool = False,
+    ) -> "SearchEngine":
+        """Purge documents (by url or docid) from an index without a
+        rebuild — stale postings removed via the merge kernel's
+        block-range purge (plans/merge.py delete_docs)."""
+        from .plans.merge import delete_docs
+
+        delete_docs(
+            spark, base_dir, out_dir, urls=urls, docids=docids,
+            resume=resume,
+        )
+        return cls(spark, out_dir)
+
     # -- internals ---------------------------------------------------------
     def _postings(self, terms: list[str]) -> DataFrame:
         """Postings scan for the query terms (the Spark analogue of the

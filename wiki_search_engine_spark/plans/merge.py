@@ -189,3 +189,137 @@ def merge_indexes(
 
     manifest.mark("all", status="done")
     return manifest
+
+
+def delete_docs(
+    spark: SparkSession,
+    base_dir: str,
+    out_dir: str,
+    urls: list[str] | None = None,
+    docids: list[int] | None = None,
+    resume: bool = False,
+) -> Manifest:
+    """Purge documents from an index without rebuilding it — the
+    right-to-be-forgotten / takedown operation a persistent web index
+    needs (the reference can only drop Mongo documents, leaving stale
+    postings behind: nothing removes a doc from `invertedIndex`'s
+    docIdLists). Implemented as an incremental merge with an EMPTY
+    delta: every posting of the given docs is purged via the same
+    block-range kernel (untouched posting groups pass through as raw
+    buffers), doc_stats/docs lose the rows, stats and the lexicon are
+    recomputed. Pytest asserts delete == rebuild without those docs."""
+    if (urls is None) == (docids is None):
+        raise ValueError("pass exactly one of urls= or docids=")
+    if urls is not None:
+        # docid derivation must match the build (operators/tokenize.py
+        # with_docid: xxhash64(url) >> 1) — one tiny Spark job rather
+        # than reimplementing Spark's xxhash64 seed in Python
+        from ..operators.tokenize import with_docid
+
+        rows = with_docid(
+            spark.createDataFrame([(u,) for u in urls], "url string"),
+            "url",
+        ).select("docid").collect()
+        docids = [r["docid"] for r in rows]
+
+    import numpy as np
+
+    updated = np.sort(np.asarray(docids, dtype=np.int64))
+
+    meta_b = _read_meta(base_dir)
+    n_buckets = int(meta_b["n_buckets"])
+    manifest = Manifest(f"{out_dir}/manifest.json")
+    if not resume:
+        manifest.entries = {}
+    os.makedirs(out_dir, exist_ok=True)
+    with open(f"{out_dir}/meta.json", "w") as f:
+        json.dump(meta_b, f)
+
+    updated_df = spark.createDataFrame(
+        [(int(d),) for d in updated], "docid long"
+    )
+
+    def _minus(sub: str) -> DataFrame:
+        return spark.read.parquet(f"{base_dir}/{sub}").join(
+            F.broadcast(updated_df), "docid", "left_anti"
+        )
+
+    import pyarrow.parquet as pq
+
+    if not manifest.is_done("doc_stats"):
+        t0 = time.time()
+        _minus("doc_stats").write.mode("overwrite").parquet(
+            f"{out_dir}/doc_stats"
+        )
+        rows, nbytes, files = _parquet_lineage(f"{out_dir}/doc_stats")
+        manifest.mark(
+            "doc_stats", rows_out=rows, bytes_out=nbytes, partitions=files,
+            wall_ms=int(1000 * (time.time() - t0)),
+        )
+
+    if not manifest.is_done("stats"):
+        t0 = time.time()
+        import pandas as pd
+        import pyarrow as pa
+
+        dl = (
+            pq.read_table(f"{out_dir}/doc_stats", columns=["doc_len"])
+            .column("doc_len")
+            .to_pandas()
+        )
+        n, total = int(len(dl)), int(dl.sum())
+        stats_pdf = pd.DataFrame(
+            {
+                "N": [n],
+                "avgdl": [total / n if n else 0.0],
+                "total_length": [total],
+            }
+        )
+        os.makedirs(f"{out_dir}/stats", exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(stats_pdf, preserve_index=False),
+            f"{out_dir}/stats/part-0.parquet",
+        )
+        manifest.mark(
+            "stats", rows_out=n, wall_ms=int(1000 * (time.time() - t0))
+        )
+
+    if not manifest.is_done("docs"):
+        t0 = time.time()
+        _minus("docs").sortWithinPartitions("docid").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/docs")
+        rows, nbytes, files = _parquet_lineage(f"{out_dir}/docs")
+        manifest.mark(
+            "docs", rows_out=rows, bytes_out=nbytes, partitions=files,
+            wall_ms=int(1000 * (time.time() - t0)),
+        )
+
+    if not manifest.is_done("postings"):
+        t0 = time.time()
+        base_postings = spark.read.parquet(f"{base_dir}/postings")
+        avgdl_m = _read_avgdl(out_dir)
+        f_base = max(1.0, avgdl_m / _read_avgdl(base_dir))
+        merged = merge_postings_tables(
+            base_postings,
+            spark.createDataFrame([], base_postings.schema),
+            updated_docids=updated,
+            avgdl_merged=avgdl_m,
+            f_base=f_base,
+            f_delta=1.0,
+        )
+        (
+            merged.sortWithinPartitions("bucket", "term")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{out_dir}/postings")
+        )
+        rows, nbytes, files = _parquet_lineage(f"{out_dir}/postings")
+        manifest.mark(
+            "postings", rows_out=rows, bytes_out=nbytes, partitions=files,
+            wall_ms=int(1000 * (time.time() - t0)),
+        )
+
+    write_term_stats(spark, out_dir, n_buckets, manifest)
+    manifest.mark("all", status="done")
+    return manifest
