@@ -221,3 +221,27 @@ def test_delete_equals_rebuild(spark, tmp_path):
         assert [r["docid"] for r in a] == [r["docid"] for r in b], q
         for x, y in zip(a, b):
             assert _math.isclose(x["score"], y["score"], rel_tol=1e-9)
+
+
+def test_merge_resume_skips_completed(spark, merged_and_full, tmp_path):
+    """Re-running a finished merge with resume=True re-runs nothing
+    (every unit already 'done') and leaves the index identical."""
+    import json as _json
+    import time as _time
+
+    from wiki_search_engine_spark.plans.merge import merge_indexes
+
+    merged, _ = merged_and_full
+    base = merged.index_dir.replace("/merged", "/base")
+    delta = merged.index_dir.replace("/merged", "/delta")
+    before = _json.load(open(f"{merged.index_dir}/manifest.json"))
+    t0 = _time.time()
+    m = merge_indexes(spark, base, delta, merged.index_dir, resume=True)
+    wall = _time.time() - t0
+    after = m.metrics()
+    # no stage re-ran: finished_at timestamps unchanged for data stages
+    for unit in ("doc_stats", "stats", "docs", "postings", "term_stats"):
+        assert after[unit]["finished_at"] == before[unit]["finished_at"]
+    assert wall < 5, f"resume re-ran work ({wall:.1f}s)"
+    a = _decoded(spark, merged.index_dir)
+    assert len(a) > 0
