@@ -62,6 +62,10 @@ def main(argv=None):
     m.add_argument("--delta", required=True)
     m.add_argument("--out", required=True)
     m.add_argument("--resume", action="store_true")
+    m.add_argument(
+        "--bucket-groups", type=int, default=1,
+        help="resumable postings-rewrite units (same scheme as build)",
+    )
 
     d = sub.add_parser("delete")
     d.add_argument("--index", required=True)
@@ -103,7 +107,8 @@ def main(argv=None):
 
         t0 = time.time()
         eng = SearchEngine.merge(
-            spark, args.base, args.delta, args.out, resume=args.resume
+            spark, args.base, args.delta, args.out, resume=args.resume,
+            bucket_groups=args.bucket_groups,
         )
         print(
             json.dumps(

@@ -245,3 +245,23 @@ def test_merge_resume_skips_completed(spark, merged_and_full, tmp_path):
     assert wall < 5, f"resume re-ran work ({wall:.1f}s)"
     a = _decoded(spark, merged.index_dir)
     assert len(a) > 0
+
+
+def test_merge_bucket_groups_equal_single(spark, merged_and_full):
+    """Group-resumable merge (bucket_groups=2) produces the identical
+    index, with per-group manifest units."""
+    import json as _json
+
+    from wiki_search_engine_spark.engine import SearchEngine
+
+    merged, _ = merged_and_full
+    base = merged.index_dir.replace("/merged", "/base")
+    delta = merged.index_dir.replace("/merged", "/delta")
+    out = merged.index_dir.replace("/merged", "/merged_g2")
+    SearchEngine.merge(spark, base, delta, out, bucket_groups=2)
+    m = _json.load(open(f"{out}/manifest.json"))
+    assert "postings_g0" in m and "postings_g1" in m
+    pd.testing.assert_frame_equal(
+        _decoded(spark, out).reset_index(drop=True),
+        _decoded(spark, merged.index_dir).reset_index(drop=True),
+    )

@@ -94,6 +94,7 @@ class SearchEngine:
         delta_dir: str,
         out_dir: str,
         resume: bool = False,
+        bucket_groups: int = 1,
     ) -> "SearchEngine":
         """Fold a delta index (a build over a new crawl batch) into a
         base index — incremental indexing without rebuilding unchanged
@@ -101,7 +102,10 @@ class SearchEngine:
         the whole index, Indexer/merge_index_files.py:5-15)."""
         from .plans.merge import merge_indexes
 
-        merge_indexes(spark, base_dir, delta_dir, out_dir, resume=resume)
+        merge_indexes(
+            spark, base_dir, delta_dir, out_dir, resume=resume,
+            bucket_groups=bucket_groups,
+        )
         return cls(spark, out_dir)
 
     @classmethod

@@ -66,10 +66,17 @@ def merge_indexes(
     delta_dir: str,
     out_dir: str,
     resume: bool = False,
+    bucket_groups: int = 1,
 ) -> Manifest:
     """Merge ``delta_dir``'s index into ``base_dir``'s, writing a full
     index at ``out_dir``. Both inputs must share layout config
-    (n_buckets / salt_bits / analyzer — checked against meta.json)."""
+    (n_buckets / salt_bits / analyzer — checked against meta.json).
+
+    ``bucket_groups`` splits the postings rewrite into resumable units
+    (same scheme as the build): each group filters both inputs to its
+    bucket range and dynamic-partition-overwrites only its own
+    ``bucket=N`` directories, so a crashed 100-TB merge re-runs only
+    incomplete groups on ``resume=True``."""
     meta_b, meta_d = _read_meta(base_dir), _read_meta(delta_dir)
     mismatched = [
         k for k in _META_COMPAT_KEYS if meta_b.get(k) != meta_d.get(k)
@@ -157,15 +164,28 @@ def merge_indexes(
             wall_ms=int(1000 * (time.time() - t0)),
         )
 
-    # --- stage: postings --------------------------------------------------
-    if not manifest.is_done("postings"):
+    # --- stage: postings, one manifest unit per bucket group --------------
+    avgdl_m = _read_avgdl(out_dir)
+    f_base = max(1.0, avgdl_m / _read_avgdl(base_dir))
+    f_delta = max(1.0, avgdl_m / _read_avgdl(delta_dir))
+    base_p = spark.read.parquet(f"{base_dir}/postings")
+    delta_p = spark.read.parquet(f"{delta_dir}/postings")
+    per_group = (n_buckets + bucket_groups - 1) // bucket_groups
+    from .build import _bucket_range_lineage
+
+    for g in range(bucket_groups):
+        unit = f"postings_g{g}" if bucket_groups > 1 else "postings"
+        if manifest.is_done(unit):
+            continue
         t0 = time.time()
-        avgdl_m = _read_avgdl(out_dir)
-        f_base = max(1.0, avgdl_m / _read_avgdl(base_dir))
-        f_delta = max(1.0, avgdl_m / _read_avgdl(delta_dir))
+        lo, hi = g * per_group, min((g + 1) * per_group, n_buckets) - 1
+        if bucket_groups > 1:
+            in_range = F.col("bucket").between(lo, hi)
+            b_in, d_in = base_p.filter(in_range), delta_p.filter(in_range)
+        else:
+            b_in, d_in = base_p, delta_p
         merged = merge_postings_tables(
-            spark.read.parquet(f"{base_dir}/postings"),
-            spark.read.parquet(f"{delta_dir}/postings"),
+            b_in, d_in,
             updated_docids=updated,
             avgdl_merged=avgdl_m,
             f_base=f_base,
@@ -174,12 +194,15 @@ def merge_indexes(
         (
             merged.sortWithinPartitions("bucket", "term")
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket")
             .parquet(f"{out_dir}/postings")
         )
-        rows, nbytes, files = _parquet_lineage(f"{out_dir}/postings")
+        rows, nbytes, files = _bucket_range_lineage(
+            f"{out_dir}/postings", lo, hi
+        )
         manifest.mark(
-            "postings", rows_out=rows, bytes_out=nbytes, partitions=files,
+            unit, rows_out=rows, bytes_out=nbytes, partitions=files,
             wall_ms=int(1000 * (time.time() - t0)),
             max_score_scale={"base": f_base, "delta": f_delta},
         )
