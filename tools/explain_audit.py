@@ -122,7 +122,51 @@ def main() -> None:
         must_not=[r"SortMergeJoin"],
     )
 
-    # 5. lineitem demo: filter + column pruning pushed to scan
+    # 5. incremental merge postings plan: exactly ONE exchange (the
+    # explicit repartition on (bucket, salt) — the union of base+delta
+    # must not add a shuffle) and a Python Arrow map, no join operator
+    # (the merge is a co-partitioned kernel, not a relational join)
+    import numpy as np
+
+    from wiki_search_engine_spark.operators.merge import (
+        merge_postings_tables,
+    )
+
+    base_p = spark.read.parquet(f"{index_dir}/postings")
+    merged = merge_postings_tables(
+        base_p, base_p, np.array([1, 2], dtype=np.int64),
+        avgdl_merged=eng.avgdl, f_base=1.0, f_delta=1.0,
+    )
+    mplan = plan_of(merged)
+    check(
+        "merge_kernel_plan",
+        mplan,
+        must=[r"MapInArrow", r"Union"],
+        must_not=[r"Join"],
+    )
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", mplan))
+    if n_exchanges != 1:
+        FAILURES.append(
+            f"merge_kernel_plan: {n_exchanges} exchanges, expected 1"
+        )
+        print("FAIL merge_single_exchange")
+    else:
+        print("PASS merge_single_exchange")
+
+    # 6. merge side-table update: anti-join of the updated-docid set is
+    # broadcast (the delta is the small side by construction)
+    upd = spark.createDataFrame([(1,), (2,)], "docid long")
+    anti = spark.read.parquet(f"{index_dir}/doc_stats").join(
+        F.broadcast(upd), "docid", "left_anti"
+    )
+    check(
+        "merge_anti_join_broadcast",
+        plan_of(anti),
+        must=[r"BroadcastHashJoin.*LeftAnti|BroadcastNestedLoop|BroadcastHashJoin"],
+        must_not=[r"SortMergeJoin"],
+    )
+
+    # 7. lineitem demo: filter + column pruning pushed to scan
     li = (
         spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
         .filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
