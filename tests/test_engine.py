@@ -303,3 +303,46 @@ def test_search_many_matches_individual(engine, fixture_queries):
         except Exception:
             exp = []
         assert got.get(i, []) == exp, f"query {i}: {q!r}"
+
+
+def test_build_text_only_corpus(spark, corpus_rows, tmp_path):
+    """A corpus with no html column (pre-extracted text) must build and
+    serve; image metadata degrades to empty arrays (ADVICE r1: the docs
+    stage previously referenced F.col('html') unconditionally)."""
+    import pandas as pd
+
+    from wiki_search_engine_spark.engine import SearchEngine
+
+    rows = [{"url": r["url"], "text": r["text"]} for r in corpus_rows[:20]]
+    eng = SearchEngine.build(
+        spark,
+        spark.createDataFrame(pd.DataFrame(rows)),
+        str(tmp_path / "textonly"),
+        stem=True, n_buckets=8, bucket_groups=1, salt_bits=1,
+    )
+    query = rows[0]["text"].split()[0]
+    hits = eng.search(query, k=5, with_images=True).collect()
+    assert hits
+    assert all(r["image_count"] == 0 and r["images"] == [] for r in hits)
+
+
+def test_engine_rejects_old_format_version(spark, engine, index_dir,
+                                           tmp_path):
+    """format_version mismatch -> clear error, not a confusing path or
+    schema failure deep in the serving path."""
+    import json
+    import shutil
+
+    import pytest as _pytest
+
+    from wiki_search_engine_spark.engine import SearchEngine
+
+    old = str(tmp_path / "oldfmt")
+    shutil.copytree(index_dir, old)
+    with open(f"{old}/meta.json") as f:
+        meta = json.load(f)
+    meta["format_version"] = 1
+    with open(f"{old}/meta.json", "w") as f:
+        json.dump(meta, f)
+    with _pytest.raises(ValueError, match="format_version"):
+        SearchEngine.load(spark, old)

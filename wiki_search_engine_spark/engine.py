@@ -49,6 +49,26 @@ class SearchEngine:
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 meta = json.load(f)
+        from .plans.build import FORMAT_VERSION
+
+        version = meta.get("format_version")
+        if version is not None and int(version) != FORMAT_VERSION:
+            raise ValueError(
+                f"index at {index_dir} has format_version={version}, this "
+                f"engine reads format_version={FORMAT_VERSION} "
+                "(bucket-partitioned postings + term_stats lexicon); "
+                "rebuild the index with plans.build.build_index"
+            )
+        if not meta and os.path.isdir(f"{index_dir}/postings") and not any(
+            e.startswith("bucket=")
+            for e in os.listdir(f"{index_dir}/postings")
+        ):
+            raise ValueError(
+                f"index at {index_dir} has no meta.json and a legacy "
+                "non-bucketed postings layout — rebuild with "
+                "plans.build.build_index (format_version "
+                f"{FORMAT_VERSION})"
+            )
         self.stem = meta.get("stem", True) if stem is None else stem
         self.n_buckets = (
             meta.get("n_buckets", DEFAULT_BUCKETS)

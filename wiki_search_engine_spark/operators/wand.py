@@ -171,19 +171,22 @@ def search_topk_many(
     all_terms = sorted({t for ts in queries.values() for t in ts})
     cand = postings.filter(F.col("term").isin(all_terms))
 
-    if df_map is None:
+    if df_map is None or n_shards is None:
+        # one tiny metadata collect (block payloads never read) supplies
+        # global df and/or the TRUE shard count — a caller-supplied
+        # df_map without n_shards must not default to one shard, which
+        # would silently serialize the scoring kernel into a single task
         meta_rows = cand.select("term", "salt", "df_shard").collect()
-        df_map = {}
-        shard_ids = set()
-        for r in meta_rows:
-            df_map[r["term"]] = (
-                df_map.get(r["term"], 0) + int(r["df_shard"])
-            )
-            shard_ids.add(r["salt"])
+        shard_ids = {int(r["salt"]) for r in meta_rows}
+        if df_map is None:
+            df_map = {}
+            for r in meta_rows:
+                df_map[r["term"]] = (
+                    df_map.get(r["term"], 0) + int(r["df_shard"])
+                )
         n_shards = max(len(shard_ids), 1)
-    else:
-        df_map = {t: d for t, d in df_map.items() if d > 0}
-        n_shards = max(n_shards or 1, 1)
+    df_map = {t: d for t, d in df_map.items() if d > 0}
+    n_shards = max(n_shards, 1)
 
     def kernel(key, pdf):
         by_term: dict[str, list] = {}
@@ -259,19 +262,21 @@ def search_topk(
         return spark.createDataFrame([], "docid long, score double")
     cand = postings.filter(F.col("term").isin(query_terms))
 
-    if df_map is None:
+    if df_map is None or n_shards is None:
+        # same contract as search_topk_many: never default a missing
+        # n_shards to 1 (single-task kernel); derive it from the
+        # candidate metadata instead
         meta_rows = cand.select("term", "salt", "df_shard").collect()
-        df_map = {}
-        shard_ids = set()
-        for r in meta_rows:
-            df_map[r["term"]] = (
-                df_map.get(r["term"], 0) + int(r["df_shard"])
-            )
-            shard_ids.add(r["salt"])
+        shard_ids = {int(r["salt"]) for r in meta_rows}
+        if df_map is None:
+            df_map = {}
+            for r in meta_rows:
+                df_map[r["term"]] = (
+                    df_map.get(r["term"], 0) + int(r["df_shard"])
+                )
         n_shards = max(len(shard_ids), 1)
-    else:
-        df_map = {t: d for t, d in df_map.items() if d > 0}
-        n_shards = max(n_shards or 1, 1)
+    df_map = {t: d for t, d in df_map.items() if d > 0}
+    n_shards = max(n_shards, 1)
     if not df_map:
         return spark.createDataFrame([], "docid long, score double")
 

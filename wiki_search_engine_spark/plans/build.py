@@ -41,6 +41,11 @@ from ..operators.postings import (
 from ..operators.tokenize import with_docid
 from .manifest import Manifest
 
+# On-disk index layout version. 2 = bucket=N partition directories for
+# postings/term_stats (term_stats side table required by the local and
+# lexicon serving paths). 1 was the pre-bucket postings/g* layout.
+FORMAT_VERSION = 2
+
 
 def _parquet_lineage(path: str) -> tuple[int, int, list[dict]]:
     """(rows, bytes, per-file lineage) from parquet footers (driver-side,
@@ -152,7 +157,7 @@ def build_index(
                 "salt_bits": salt_bits,
                 "stem": stem,
                 "analyzer": analyzer,
-                "format_version": 1,
+                "format_version": FORMAT_VERSION,
             },
             f,
         )
@@ -256,25 +261,34 @@ def _build_stages(
         # image metadata from the RAW page, JVM-side (same regex as
         # functions/extraction.py extract_image_srcs — parity-tested);
         # ids follow the reference's <file_id>-<i> convention
-        # (mongodb_scripts/insertScript.py:84-92, max 10/doc)
-        srcs = F.slice(
-            F.regexp_extract_all(
-                F.col("html").cast("string"),
-                F.lit(r"""(?i)<img\b[^>]*\bsrc\s*=\s*["']([^"']+)["']"""),
-                F.lit(1),
-            ),
-            1,
-            10,
-        )
-        images = F.transform(
-            srcs,
-            lambda x, j: F.struct(
-                F.concat_ws(
-                    "-", F.col("docid").cast("string"), j.cast("string")
-                ).alias("image_id"),
-                x.alias("src"),
-            ),
-        )
+        # (mongodb_scripts/insertScript.py:84-92, max 10/doc). html is
+        # optional (text-only corpora get empty image arrays), matching
+        # the extraction guard above.
+        if "html" in corpus.columns:
+            srcs = F.slice(
+                F.regexp_extract_all(
+                    F.col("html").cast("string"),
+                    F.lit(
+                        r"""(?i)<img\b[^>]*\bsrc\s*=\s*["']([^"']+)["']"""
+                    ),
+                    F.lit(1),
+                ),
+                1,
+                10,
+            )
+            images = F.transform(
+                srcs,
+                lambda x, j: F.struct(
+                    F.concat_ws(
+                        "-", F.col("docid").cast("string"), j.cast("string")
+                    ).alias("image_id"),
+                    x.alias("src"),
+                ),
+            )
+        else:
+            images = F.expr(
+                "CAST(array() AS array<struct<image_id:string,src:string>>)"
+            )
         docs = corpus.select(
             "docid",
             "url",

@@ -53,6 +53,16 @@ def _read_meta(index_dir: str) -> dict:
         return json.load(f)
 
 
+def _docid_df(spark: SparkSession, docids: np.ndarray) -> DataFrame:
+    """Columnar numpy -> DataFrame conversion (Arrow path): a 10^8-docid
+    crawl batch must not become a driver-side list of Python tuples."""
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame({"docid": np.asarray(docids, dtype=np.int64)})
+    )
+
+
 def _read_avgdl(index_dir: str) -> float:
     import pyarrow.parquet as pq
 
@@ -105,9 +115,7 @@ def merge_indexes(
         .column("docid")
         .to_numpy()
     )
-    updated_df = spark.createDataFrame(
-        [(int(d),) for d in updated], "docid long"
-    )
+    updated_df = _docid_df(spark, updated)
 
     def _anti_union(sub: str) -> DataFrame:
         base = spark.read.parquet(f"{base_dir}/{sub}")
@@ -258,9 +266,7 @@ def delete_docs(
     with open(f"{out_dir}/meta.json", "w") as f:
         json.dump(meta_b, f)
 
-    updated_df = spark.createDataFrame(
-        [(int(d),) for d in updated], "docid long"
-    )
+    updated_df = _docid_df(spark, updated)
 
     def _minus(sub: str) -> DataFrame:
         return spark.read.parquet(f"{base_dir}/{sub}").join(
