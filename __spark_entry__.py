@@ -659,10 +659,10 @@ def _lsh_planes_sql() -> list[str]:
     ]
 
 
-# per-seed hash = 16-hex-char window of ONE md5 per shingle, offset by
-# seed (matches operators/dedup.py minhash_signatures exactly)
+# independent per-seed hash family: h_s = md5('<s>|' || shingle)
+# (matches operators/dedup.py minhash_signatures exactly)
 _MINHASH_COLS = ",\n  ".join(
-    f"min(substr(md5(shingle), {s + 1}, 16)) AS h{s}" for s in range(16)
+    f"min(md5('{s}' || '|' || shingle)) AS h{s}" for s in range(16)
 )
 _BAND_SELECTS = "\nUNION ALL\n".join(
     f"SELECT doc_id, {b} AS band, "

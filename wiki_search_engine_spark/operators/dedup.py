@@ -75,30 +75,35 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc minhash signature as ``num_hashes`` columns h0..h{n-1}.
 
-    Each shingle is md5-hashed ONCE (whole-stage codegen); the per-seed
-    hash is the 16-hex-char window of that digest starting at offset
-    ``seed`` — seed windows of one uniform 128-bit hash, minimized
-    lexicographically. One explode + one hash-agg with ``num_hashes``
-    partial-min expressions: no higher-order functions (Catalyst
-    interprets HOF lambdas row-at-a-time — the previous formulation spent
-    ~150s on 5k docs recomputing shingles+md5 16x interpreted; this one
-    takes ~2s), map-side partial aggregation shrinks the shuffle to
-    |docs| rows, and the identical expression runs in DuckDB
-    (min(substr(md5(shingle), s+1, 16))) for the oracle gate.
+    The per-seed hash family is INDEPENDENT: h_s(shingle) =
+    md5("<s>|" + shingle) — seeded re-hashes, so band-collision
+    probability approximates Jaccard^rows_per_band (overlapping windows
+    of one digest, the previous scheme, are strongly correlated: adjacent
+    windows share 15 hex chars). Still a single whole-stage-codegen
+    projection: one explode + ``num_hashes`` md5 columns + one hash-agg
+    with ``num_hashes`` partial-min expressions. No higher-order
+    functions (Catalyst interprets HOF lambdas row-at-a-time — an early
+    formulation spent ~150s on 5k docs recomputing shingles+md5 16x
+    interpreted; this shape takes ~2s), map-side partial aggregation
+    shrinks the shuffle to |docs| rows, and the identical expression
+    runs in DuckDB (min(md5('<s>|' || shingle))) for the oracle gate.
     Docs with fewer than ``shingle_n`` tokens produce no signature row
     (explode drops empty shingle arrays)."""
-    if num_hashes > 17:
-        raise ValueError("num_hashes > 17 exceeds md5 hex windows")
     sh = df.select(
         F.col(id_col),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"),
     )
-    hashed = sh.select(id_col, F.md5("shingle").alias("h"))
-    return hashed.groupBy(id_col).agg(
+    hashed = sh.select(
+        id_col,
         *[
-            F.min(F.substring("h", s + 1, 16)).alias(f"h{s}")
+            F.md5(
+                F.concat_ws("|", F.lit(str(s)), F.col("shingle"))
+            ).alias(f"m{s}")
             for s in range(num_hashes)
-        ]
+        ],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"m{s}").alias(f"h{s}") for s in range(num_hashes)]
     )
 
 
