@@ -671,6 +671,58 @@ _BAND_SELECTS = "\nUNION ALL\n".join(
     for b in range(4)
 )
 
+def _simhash_sql(max_hamming: int) -> str:
+    """Full SQL transliteration of operators/dedup.py simhash +
+    simhash_near_dups: per-token 64-bit hash = first 8 md5 bytes
+    (big-endian, rebuilt from the hex digest via strpos + shifts),
+    per-bit +-count accumulation, 16-bit band blocking, bit_count(xor)
+    hamming. Docs with no tokens hash to 0 (all-band collisions among
+    empty docs are real pairs in both engines)."""
+    hexpr = "(" + " + ".join(
+        f"((strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1)"
+        f"::HUGEINT << {4 * (15 - i)})"
+        for i in range(16)
+    ) + ")::UBIGINT"
+    band_cond = "\n     OR ".join(
+        f"((a.hv >> {16 * b}::UBIGINT) & 65535::UBIGINT) = "
+        f"((b.hv >> {16 * b}::UBIGINT) & 65535::UBIGINT)"
+        for b in range(4)
+    )
+    return f"""
+WITH rtoks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+    FROM documents) t
+  WHERE tok <> ''),
+tcount AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS c FROM rtoks GROUP BY 1, 2),
+thash AS (
+  SELECT tok, {hexpr} AS hv
+  FROM (SELECT DISTINCT tok, substr(md5(tok), 1, 16) AS h FROM rtoks)),
+accs AS (
+  SELECT t.doc_id, g.b,
+         sum(CASE WHEN (th.hv >> g.b::UBIGINT) & 1::UBIGINT = 1::UBIGINT
+                  THEN t.c ELSE -t.c END) AS acc
+  FROM tcount t JOIN thash th USING (tok)
+  CROSS JOIN generate_series(0, 63) g(b)
+  GROUP BY 1, 2),
+sim0 AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 THEN 1::HUGEINT << b ELSE 0 END)::UBIGINT
+           AS hv
+  FROM accs GROUP BY 1),
+sim AS (
+  SELECT d.doc_id, coalesce(s.hv, 0::UBIGINT) AS hv
+  FROM documents d LEFT JOIN sim0 s USING (doc_id)),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.hv AS ha, b.hv AS hb
+  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+   AND ({band_cond}))
+SELECT id_a, id_b, bit_count(xor(ha, hb))::BIGINT AS hamming
+FROM pairs WHERE bit_count(xor(ha, hb)) <= {max_hamming}"""
+
+
 from wiki_search_engine_spark.functions.textstats import (  # noqa: E402
     LANG_MARKERS as _LANGS,
 )
@@ -975,6 +1027,7 @@ d AS (
   FROM pairs)
 SELECT id_a, id_b, round(dp / (na * nb), 6) AS cos_sim
 FROM d WHERE round(dp / (na * nb), 6) >= {NEARDUP_T}""",
+        "simhash_near_dups": _simhash_sql(12),
         "lang_id": _lang_sql(),
         "quality_scores": _QUALITY_SQL,
         "doc_fingerprint": f"""

@@ -234,33 +234,62 @@ SIMHASH_BITS = 64
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
     """64-bit SimHash over whitespace tokens (Charikar 2002), as an
     Arrow-vectorized mapInPandas kernel (bit twiddling is not worth
-    expressing in Catalyst). Returns (id, simhash:long)."""
+    expressing in Catalyst). Returns (id, simhash:long), stored signed
+    (value - 2^63).
+
+    The kernel is batch-vectorized, not per-row Python: tokens are
+    flattened across the whole Arrow batch, each UNIQUE token is
+    md5-hashed once, the (uniq x 64) sign matrix is gathered per
+    occurrence and segment-reduced per doc with one np.add.reduceat —
+    per-token-occurrence work is a NumPy gather, never a Python-level
+    loop (the r1 formulation looped per doc and per token; this one
+    measures ~10x faster at sf0.1, see bench.py simhash line)."""
     import hashlib
 
     import numpy as np
     import pandas as pd
 
+    bitpos = np.arange(SIMHASH_BITS, dtype=np.uint64)
+
     def kernel(batches):
         for pdf in batches:
-            ids, hashes = [], []
-            for i, text in zip(pdf[id_col], pdf[text_col]):
-                toks = (text or "").lower().split()
-                acc = np.zeros(SIMHASH_BITS, dtype=np.int64)
-                for tok, cnt in pd.Series(toks).value_counts().items():
-                    h = np.uint64(
+            n_docs = len(pdf)
+            tok_lists = [(t or "").lower().split() for t in pdf[text_col]]
+            lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+            flat = np.array(
+                [tok for lst in tok_lists for tok in lst], dtype=object
+            )
+            sh = np.zeros(n_docs, dtype=np.uint64)
+            if flat.size:
+                uniq, inv = np.unique(flat, return_inverse=True)
+                h = np.array(
+                    [
                         int.from_bytes(
-                            hashlib.md5(tok.encode()).digest()[:8], "big"
+                            hashlib.md5(t.encode()).digest()[:8], "big"
                         )
-                    )
-                    bits = (
-                        h >> np.arange(SIMHASH_BITS, dtype=np.uint64)
-                    ) & np.uint64(1)
-                    acc += np.where(bits == 1, cnt, -cnt)
-                sh = int(((acc > 0).astype(np.uint64)
-                          << np.arange(SIMHASH_BITS, dtype=np.uint64)).sum())
-                ids.append(i)
-                hashes.append(sh - (1 << 63))  # store as signed long
-            yield pd.DataFrame({id_col: ids, "simhash": hashes})
+                        for t in uniq
+                    ],
+                    dtype=np.uint64,
+                )
+                # (uniq x 64) sign matrix: +1 where the hash bit is set
+                signs = (
+                    ((h[:, None] >> bitpos[None, :]) & np.uint64(1))
+                    .astype(np.int64) * 2 - 1
+                )
+                starts = np.zeros(n_docs, dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                nz = lens > 0
+                acc = np.zeros((n_docs, SIMHASH_BITS), dtype=np.int64)
+                # reduceat over starts of non-empty docs: consecutive
+                # non-empty starts bound exactly one doc's occurrences
+                acc[nz] = np.add.reduceat(signs[inv], starts[nz], axis=0)
+                sh = (
+                    (acc > 0).astype(np.uint64) << bitpos[None, :]
+                ).sum(axis=1, dtype=np.uint64)
+            signed = (sh - np.uint64(1 << 63)).view(np.int64)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "simhash": signed}
+            )
 
     return df.select(id_col, text_col).mapInPandas(
         kernel, schema=f"{id_col} long, simhash long"
@@ -275,7 +304,17 @@ def simhash_near_dups(
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming, using
     16-bit band blocking (a pair within distance 3 must agree on >=1 of 4
-    bands) — the standard scalable SimHash join."""
+    bands) — the standard scalable SimHash join.
+
+    Candidate generation is bucket-grouped pair expansion, NOT a
+    band-relation self-join: a self-join plans the signature pipeline
+    (scan -> tokenize -> hash kernel) TWICE with no exchange reuse across
+    the join sides — at corpus scale that doubles the most expensive
+    pass (same fix as minhash_lsh_candidates). Each (band, band_val)
+    bucket is grouped to a sorted array of (id, simhash) structs and
+    ordered pairs expand JVM-side; per-bucket pair blowup is identical
+    to the join's (both are m^2 on an m-doc bucket), and the signature
+    rides in the struct so no hydration join is needed."""
     sh = simhash(df, text_col, id_col)
     bands = sh.select(
         id_col,
@@ -294,20 +333,36 @@ def simhash_near_dups(
             )
         ).alias("bv"),
     ).select(id_col, "simhash", "bv.band", "bv.band_val")
-    a, b = bands.alias("a"), bands.alias("b")
+    members = F.col("members")
+    pair_structs = F.flatten(
+        F.transform(
+            members,
+            lambda x, i: F.transform(
+                F.slice(members, i + 2, F.size(members)),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["sh"].alias("sh_a"),
+                    y["sh"].alias("sh_b"),
+                ),
+            ),
+        )
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        bands.groupBy("band", "band_val")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(id_col).alias("id"),
+                        F.col("simhash").alias("sh"),
+                    )
+                )
+            ).alias("members")
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
+        .filter(F.size("members") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b")
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
