@@ -110,29 +110,64 @@ def embedding_near_dups(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucket candidates
     (near-identical vectors share a bucket with high probability), then
-    exact cosine verify >= threshold."""
-    planes_df = df.withColumn(
-        "_bucket", lsh_bucket(F.col(vec_col), hyperplanes_for(df, vec_col, n_planes, seed))
+    exact cosine verify >= threshold.
+
+    Candidate generation is bucket-grouped pair expansion, NOT a
+    bucketed self-join: a self-join plans the 8-dot-product hyperplane
+    projection twice (no exchange reuse across the join sides). The
+    bucket stage emits only (id, bucket) rows — cheap to group even on
+    hot buckets — and the exact-cosine verify hydrates raw vectors by
+    id with two plain hash joins against the untouched input scan, so
+    the hyperplane arithmetic runs exactly once per vector. A pair
+    lives in exactly one bucket (the bucket is a function of the
+    vector), so no distinct pass is needed. Pass ``dim`` when known to
+    skip the driver-side first() dimensionality probe."""
+    planes = (
+        hyperplanes(dim, n_planes, seed)
+        if dim is not None
+        else hyperplanes_for(df, vec_col, n_planes, seed)
     )
-    a, b = planes_df.alias("a"), planes_df.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a._bucket") == F.col("b._bucket"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-        F.round(
-            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
-        ).alias("cos_sim"),
+    bucketed = df.select(
+        F.col(id_col),
+        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
     )
-    return pairs.filter(F.col("cos_sim") >= threshold)
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    cand = (
+        bucketed.groupBy("_bucket")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
 
 
 def hyperplanes_for(df: DataFrame, vec_col: str, n_planes: int, seed: int):
+    """Probe the vector dimensionality with a driver-side first() (one
+    tiny job) — callers that know the dim should pass it instead."""
     dim = len(df.select(vec_col).first()[0])
     return hyperplanes(dim, n_planes, seed)
 
