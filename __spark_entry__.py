@@ -324,6 +324,25 @@ def q_ngram_jaccard_dups(spark, sf_dir):
     )
 
 
+def q_ngram_jaccard_verify(spark, sf_dir):
+    """The scale path: LSH candidate pairs -> exact Jaccard verify via
+    per-pair array_intersect (no shingle self-join anywhere in the
+    plan)."""
+    from wiki_search_engine_spark.operators.dedup import (
+        minhash_lsh_candidates, ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    cands = minhash_lsh_candidates(docs, num_hashes=16, bands=4)
+    return ngram_jaccard_pairs(
+        docs, threshold=JACCARD_T, candidates=cands
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard",
+    )
+
+
 def q_simhash_near_dups(spark, sf_dir):
     from wiki_search_engine_spark.operators.dedup import simhash_near_dups
 
@@ -818,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_first_wins": q_dedup_first_wins,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "ngram_jaccard_verify": q_ngram_jaccard_verify,
         "simhash_near_dups": q_simhash_near_dups,
         "cosine_top10": q_cosine_top10,
         "ann_lsh_top10": q_ann_lsh_top10,
@@ -944,6 +964,30 @@ sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS ni
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(ni * 1.0 / (sa.n + sb.n - ni), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE ni * 1.0 / (sa.n + sb.n - ni) >= {JACCARD_T}""",
+        "ngram_jaccard_verify": f"""
+WITH {SQL_POS_TOKS}, {SQL_SHINGLES},
+minh AS (
+  SELECT doc_id, {_MINHASH_COLS}
+  FROM sh GROUP BY doc_id),
+bands AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*)::BIGINT AS ni
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
   GROUP BY 1, 2)
 SELECT id_a, id_b,
        round(ni * 1.0 / (sa.n + sb.n - ni), 6) AS jaccard

@@ -240,3 +240,46 @@ def test_embedding_near_dups_finds_planted_pair(spark):
         for r in embedding_near_dups(df, threshold=0.99).collect()
     }
     assert (2, 9) in pairs and pairs[(2, 9)] > 0.999
+
+
+def test_ngram_jaccard_candidates_path(spark):
+    """Candidates path (array_intersect per pair, no shingle self-join)
+    must equal the unrestricted self-join path restricted to the same
+    pairs — including on a corpus with one hot shingle shared by all
+    docs (the case where the r1 formulation blew up m^2)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from wiki_search_engine_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    hot = "common shared prefix"
+    rows = [
+        {"doc_id": i, "text": f"{hot} body word{i} tail{i % 3} end{i}"}
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    cand_pairs = [(0, 1), (1, 2), (3, 4), (5, 9)]
+    cands = spark.createDataFrame(
+        pd.DataFrame(cand_pairs, columns=["id_a", "id_b"])
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, threshold=0.1, candidates=cands
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.1).collect()
+    }
+    exp = {p: j for p, j in full.items() if p in set(cand_pairs)}
+    assert got == exp and got
+    # no shingle-equality join in the candidates plan
+    plan = ngram_jaccard_pairs(
+        df, threshold=0.1, candidates=cands
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "array_intersect" in plan
+    join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert join_lines and all("shingle#" not in ln for ln in join_lines)

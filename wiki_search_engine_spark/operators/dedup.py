@@ -181,12 +181,55 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact word-shingle Jaccard for pairs >= threshold.
 
-    With ``candidates`` (e.g. LSH output) the verify is a semi-join; without
-    it, pairs sharing >=1 shingle are compared (small corpora / tests)."""
+    With ``candidates`` (e.g. LSH output) each candidate pair is scored
+    DIRECTLY: per-doc distinct shingle arrays join the pair relation by
+    id (two hash joins) and the intersection size is computed JVM-side
+    with array_intersect — the shingle relation is never self-joined, so
+    a hot shingle shared by m docs cannot enumerate m^2 pairs. (The r1
+    formulation applied the candidate restriction only AFTER the full
+    shingle self-join aggregation; Catalyst does not push a semi-join
+    below an aggregation, so the restriction never limited the expensive
+    pass. tools/explain_audit.py now asserts the candidates path plans
+    no shingle-equality join.)
+
+    Without ``candidates``, pairs sharing >=1 shingle are compared via
+    the shingle self-join — quadratic on hot shingles; small corpora /
+    tests only."""
     sh = df.select(
         F.col(id_col),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"),
     ).distinct()
+    if candidates is not None:
+        doc_sh = sh.groupBy(id_col).agg(
+            F.sort_array(F.collect_list("shingle")).alias("sh_arr"),
+            F.count("*").alias("n_sh"),
+        )
+        a = doc_sh.select(
+            F.col(id_col).alias("id_a"),
+            F.col("sh_arr").alias("_sa"),
+            F.col("n_sh").alias("n_a"),
+        )
+        b = doc_sh.select(
+            F.col(id_col).alias("id_b"),
+            F.col("sh_arr").alias("_sb"),
+            F.col("n_sh").alias("n_b"),
+        )
+        return (
+            candidates.select("id_a", "id_b")
+            .join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn("n_inter", F.size(F.array_intersect("_sa", "_sb")))
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("n_inter")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -202,10 +245,6 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count("*").alias("n_inter"))
     )
-    if candidates is not None:
-        inter = inter.join(
-            candidates.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
-        )
     sa = sizes.select(
         F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")
     )
