@@ -13,9 +13,14 @@ keep the value-hash comparison stable:
   engine's base analyzer (functions/analyzer.py — lowercase, punctuation ->
   space, whitespace split, drop all-digit tokens longer than 4).
 
-Entries without an oracle (Porter-stemmed search, SimHash, media features)
-are genuinely non-SQL-expressible (stemming / bit kernels / Spark-side
-synth) and fall back to the driver's rows-only check.
+Every entry has a value-level oracle. Two use non-view sources the SQL
+reads directly: ``bm25_stemmed`` scores over a sidecar parquet of
+pure-Python-stemmed tokens (Porter is not SQL-expressible; the scoring
+math stays in SQL), and ``media_features`` compares against a sidecar of
+independently computed expected rows (the payloads are Spark-side
+synthesized binaries, not a driver view). ``simhash_near_dups`` is fully
+transliterated to SQL (md5-hex -> uint64 via strpos+shifts, bit_count/
+xor hamming).
 """
 
 from __future__ import annotations
@@ -690,6 +695,77 @@ _BAND_SELECTS = "\nUNION ALL\n".join(
     for b in range(4)
 )
 
+def _stemmed_tokens_sidecar() -> str:
+    """Sidecar parquet (doc_id, term, tf) of the FULL analyzer (stopwords
+    + Porter) over the driver's sf0.01 documents table, computed by the
+    scalar pure-Python analyzer (functions/analyzer.py full_tokens — a
+    different implementation from the vectorized tokenize_frame the
+    Spark path runs; the two are cross-verified by hypothesis property
+    tests). Porter itself is not expressible in SQL, so the oracle
+    stems here and scores in SQL: DuckDB reads this relation via
+    read_parquet and runs the same BM25 arithmetic as every other
+    scoring oracle. Tied to sf0.01 — the driver's correctness gate runs
+    at that scale (TESTDATA.md)."""
+    import os
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wiki_search_engine_spark.functions.analyzer import full_tokens
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(here, "oracle_sidecar", "stemmed_tokens_sf001.parquet")
+    if os.path.exists(path):
+        return path
+    tbl = pq.read_table(
+        "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"]
+    )
+    ids, terms, tfs = [], [], []
+    for doc_id, text in zip(
+        tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+    ):
+        for term, tf in sorted(Counter(full_tokens(text or "")).items()):
+            ids.append(int(doc_id))
+            terms.append(term)
+            tfs.append(int(tf))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+            }
+        ),
+        path,
+    )
+    return path
+
+
+def _bm25_stemmed_sql(terms: list[str], k: int) -> str:
+    part = (
+        f"ln((s.n - q.df + 0.5)/(q.df + 0.5) + 1) * tf.tf * {K1 + 1.0} "
+        f"/ (tf.tf + {K1} * (1 - {B} + {B} * dl.doc_len / s.avgdl))"
+    )
+    path = _stemmed_tokens_sidecar()
+    return f"""
+WITH tf AS (
+  SELECT doc_id, term, tf::BIGINT AS tf FROM read_parquet('{path}')),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS doc_len FROM tf GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n, avg(doc_len) AS avgdl FROM dl),
+{_sql_terms(terms)},
+qdf AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf
+  WHERE term IN (SELECT term FROM qterms) GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id, {part} AS part
+  FROM tf JOIN qdf q USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s)
+SELECT doc_id, round(sum(part), 6) AS score
+FROM contrib GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
 def _simhash_sql(max_hamming: int) -> str:
     """Full SQL transliteration of operators/dedup.py simhash +
     simhash_near_dups: per-token 64-bit hash = first 8 md5 bytes
@@ -1072,6 +1148,7 @@ d AS (
 SELECT id_a, id_b, round(dp / (na * nb), 6) AS cos_sim
 FROM d WHERE round(dp / (na * nb), 6) >= {NEARDUP_T}""",
         "simhash_near_dups": _simhash_sql(12),
+        "bm25_stemmed": _bm25_stemmed_sql(["tabl", "scan", "fast"], 50),
         "lang_id": _lang_sql(),
         "quality_scores": _QUALITY_SQL,
         "doc_fingerprint": f"""
