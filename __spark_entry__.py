@@ -646,17 +646,27 @@ def q_merged_index_bm25(spark, sf_dir):
     ).orderBy(F.desc("score"), F.asc("doc_id"))
 
 
+N_MEDIA = 200
+
+
 def q_media_features(spark, sf_dir):
-    """Multimodal plumbing: synthetic binary payloads -> Arrow-batched
-    feature kernel (decode stubbed; see operators/multimodal.py)."""
+    """Multimodal decode: synthetic binary payloads with VALID
+    PNG/JPEG/GIF headers -> Arrow-batched codec-free header parse
+    (format, width, height, md5). Value-checked against a sidecar of
+    independently expected rows: the oracle's dims come from the synth
+    FORMULAS, so the check is that build -> Arrow distribute -> parse
+    round-trips the encoded values (operators/multimodal.py)."""
     from wiki_search_engine_spark.operators.multimodal import (
-        decode_image_features, synth_media,
+        decode_media_meta, synth_media,
     )
 
-    media = synth_media(spark, 200)
-    return decode_image_features(media).select(
+    media = synth_media(spark, N_MEDIA)
+    return decode_media_meta(media).select(
         F.col("media_id").cast("long").alias("media_id"),
         "kind",
+        "format",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
         F.col("n_bytes").cast("long").alias("n_bytes"),
         "payload_md5",
     )
@@ -764,6 +774,63 @@ contrib AS (
 SELECT doc_id, round(sum(part), 6) AS score
 FROM contrib GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+def _media_sidecar() -> str:
+    """Expected rows for the media_features entry, computed WITHOUT
+    Spark: per-id spec (kind/format/width/height) from the synth
+    formulas and payload md5/length from the payload builder
+    (operators/multimodal.py synth_spec/synth_payload). The Spark side
+    must reproduce these by PARSING the headers after Arrow transfer —
+    a round-trip check of builder + distributed plumbing + parser."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wiki_search_engine_spark.operators.multimodal import (
+        synth_payload, synth_spec,
+    )
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(here, "oracle_sidecar", "media_expected_v2.parquet")
+    if os.path.exists(path):
+        return path
+    import hashlib
+
+    cols: dict[str, list] = {
+        k: []
+        for k in (
+            "media_id", "kind", "format", "width", "height", "n_bytes",
+            "payload_md5",
+        )
+    }
+    for i in range(N_MEDIA):
+        _doc, kind, fmt, w, h = synth_spec(i, N_MEDIA)
+        payload = synth_payload(i, N_MEDIA)
+        cols["media_id"].append(i)
+        cols["kind"].append(kind)
+        cols["format"].append(fmt if kind == "image" else "raw")
+        cols["width"].append(w)
+        cols["height"].append(h)
+        cols["n_bytes"].append(len(payload))
+        cols["payload_md5"].append(hashlib.md5(payload).hexdigest())
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(cols["media_id"], pa.int64()),
+                "kind": pa.array(cols["kind"], pa.string()),
+                "format": pa.array(cols["format"], pa.string()),
+                "width": pa.array(cols["width"], pa.int64()),
+                "height": pa.array(cols["height"], pa.int64()),
+                "n_bytes": pa.array(cols["n_bytes"], pa.int64()),
+                "payload_md5": pa.array(cols["payload_md5"], pa.string()),
+            }
+        ),
+        path,
+    )
+    return path
 
 
 def _simhash_sql(max_hamming: int) -> str:
@@ -1149,6 +1216,12 @@ SELECT id_a, id_b, round(dp / (na * nb), 6) AS cos_sim
 FROM d WHERE round(dp / (na * nb), 6) >= {NEARDUP_T}""",
         "simhash_near_dups": _simhash_sql(12),
         "bm25_stemmed": _bm25_stemmed_sql(["tabl", "scan", "fast"], 50),
+        "media_features": (
+            "SELECT media_id::BIGINT AS media_id, kind, format, "
+            "width::BIGINT AS width, height::BIGINT AS height, "
+            "n_bytes::BIGINT AS n_bytes, payload_md5 "
+            f"FROM read_parquet('{_media_sidecar()}')"
+        ),
         "lang_id": _lang_sql(),
         "quality_scores": _QUALITY_SQL,
         "doc_fingerprint": f"""

@@ -283,3 +283,48 @@ def test_ngram_jaccard_candidates_path(spark):
     assert "array_intersect" in plan
     join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
     assert join_lines and all("shingle#" not in ln for ln in join_lines)
+
+
+def test_media_header_parse_roundtrip():
+    """Codec-free header parsing: build -> parse round-trips dims for
+    every format; non-image and truncated payloads degrade cleanly."""
+    from wiki_search_engine_spark.operators.multimodal import (
+        gif_bytes, jpeg_bytes, parse_media_header, png_bytes,
+    )
+
+    assert parse_media_header(png_bytes(640, 480, b"x" * 20)) == (
+        "png", 640, 480,
+    )
+    assert parse_media_header(gif_bytes(33, 7)) == ("gif", 33, 7)
+    assert parse_media_header(jpeg_bytes(1024, 768, b"\x00" * 9)) == (
+        "jpeg", 1024, 768,
+    )
+    assert parse_media_header(b"RAW0junk") == ("raw", None, None)
+    assert parse_media_header(b"\xff\xd8\xff\xe0\x00\x04ab") == (
+        "jpeg", None, None,
+    )
+    assert parse_media_header(b"") == ("raw", None, None)
+
+
+def test_decode_media_meta_matches_encoded(spark):
+    """The distributed kernel's parsed dims equal the dims encoded at
+    synth time for every image row (Arrow binary plumbing round-trip)."""
+    from wiki_search_engine_spark.operators.multimodal import (
+        decode_media_meta, synth_media,
+    )
+
+    media = synth_media(spark, 60)
+    enc = {
+        r["media_id"]: (r["kind"], r["width"], r["height"])
+        for r in media.collect()
+    }
+    got = decode_media_meta(media).collect()
+    assert len(got) == 60
+    for r in got:
+        kind, w, h = enc[r["media_id"]]
+        if kind == "image":
+            assert (r["width"], r["height"]) == (w, h)
+            assert r["format"] in ("png", "jpeg", "gif")
+        else:
+            assert r["format"] == "raw"
+            assert r["width"] is None and r["height"] is None
