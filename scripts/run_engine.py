@@ -81,6 +81,14 @@ def main(argv=None):
     s.add_argument("--out", required=True)
     s.add_argument("--seed", type=int, default=42)
 
+    v = sub.add_parser("serve")
+    v.add_argument("--index", required=True)
+    v.add_argument("--host", default="127.0.0.1")
+    v.add_argument("--port", type=int, default=8080)
+    v.add_argument(
+        "--path", choices=["wand", "exhaustive", "local"], default="local"
+    )
+
     q = sub.add_parser("search")
     q.add_argument("--index", required=True)
     q.add_argument("--query", required=True)
@@ -166,6 +174,26 @@ def main(argv=None):
                 }
             )
         )
+    elif args.cmd == "serve":
+        from wiki_search_engine_spark.engine import SearchEngine
+        from wiki_search_engine_spark.server import SearchServer
+
+        eng = SearchEngine.load(spark, args.index)
+        server = SearchServer(
+            eng, host=args.host, port=args.port, path_mode=args.path
+        )
+        print(
+            json.dumps(
+                {
+                    "serving": f"http://{args.host}:"
+                    f"{server.server_address[1]}/query-stem",
+                    "path": args.path,
+                    "N": eng.n,
+                }
+            ),
+            flush=True,
+        )
+        server.serve_forever()
     else:
         from wiki_search_engine_spark.engine import (
             EmptyQueryError, SearchEngine,

@@ -274,10 +274,15 @@ def test_query_response_shape(engine, fixture_queries):
     scores = [d["score"] for d in r["textResult"]]
     assert scores == sorted(scores, reverse=True)  # scoringBM25.test.js
     names = [m["name"] for m in r["profile"]["measures"]]
-    assert names[:2] == ["stem_query", "get_documents"]
+    assert names[:3] == ["validate_input", "stem_query", "get_documents"]
     assert names[-1] == "total_request"
+    snap = r["profile"]["sysSnapshot"]  # profiler.js:20-29 shape
+    assert set(snap) == {
+        "rss_mb", "heapUsed_mb", "heapTotal_mb", "eventLoopDelay_ms",
+    }
+    assert snap["rss_mb"] > 0
     assert engine.query_response("   ") == {
-        "success": False, "error": "Empty query",
+        "success": False, "result": [], "error": "Empty query",
     }
     # unknown optionName falls back to tfidf (queryController.js:19)
     r2 = engine.query_response(fixture_queries[0], option_name="weird", k=3)

@@ -1,0 +1,87 @@
+"""HTTP surface e2e — mirrors the reference's supertest suites
+(backend/__tests__/queryRoute.test.js:7-22: 200 with textResult array +
+parseable searchTime for a valid query, success:false for blank;
+emptyQuery.test.js:14-17) against a live local server."""
+
+import json
+import urllib.error
+import urllib.parse
+import urllib.request
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server(engine):
+    from wiki_search_engine_spark.server import start_server
+
+    srv = start_server(engine, port=0, path_mode="local")
+    yield srv
+    srv.shutdown()
+
+
+def _get(server, path_qs):
+    port = server.server_address[1]
+    return urllib.request.urlopen(
+        f"http://127.0.0.1:{port}{path_qs}", timeout=30
+    )
+
+
+def test_valid_query_returns_documents(server, fixture_queries):
+    q = urllib.parse.quote(fixture_queries[0])
+    with _get(server, f"/query-stem?query={q}&optionName=tfidf") as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"] == "application/json"
+        body = json.loads(r.read())
+    assert isinstance(body["textResult"], list) and body["textResult"]
+    assert not (float(body["searchTime"]) != float(body["searchTime"]))
+    assert isinstance(body["imageResult"], list)
+    assert body["profile"]["measures"]
+
+
+def test_bm25_option(server, fixture_queries):
+    q = urllib.parse.quote(fixture_queries[0])
+    with _get(server, f"/query-stem?query={q}&optionName=BM25&k=3") as r:
+        body = json.loads(r.read())
+    assert len(body["textResult"]) <= 3
+    scores = [d["score"] for d in body["textResult"]]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_empty_query_is_400(server):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(server, "/query-stem?query=" + urllib.parse.quote("   "))
+    assert ei.value.code == 400
+    body = json.loads(ei.value.read())
+    assert body == {"success": False, "result": [], "error": "Empty query"}
+
+
+def test_missing_query_param_is_400(server):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(server, "/query-stem")
+    assert ei.value.code == 400
+    assert json.loads(ei.value.read())["success"] is False
+
+
+def test_unknown_route_404_and_health(server):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(server, "/nope")
+    assert ei.value.code == 404
+    with _get(server, "/health") as r:
+        assert json.loads(r.read()) == {"ok": True}
+
+
+def test_concurrent_requests(server, fixture_queries):
+    """ThreadingHTTPServer: parallel requests all succeed (the reference
+    serves concurrent users; the driver-local path has no Spark-job
+    serialization)."""
+    import concurrent.futures
+
+    def one(q):
+        qq = urllib.parse.quote(q)
+        with _get(server, f"/query-stem?query={qq}&k=5") as r:
+            return json.loads(r.read())["textResult"] is not None
+
+    qs = [q for q in fixture_queries[:4] if q.strip()] * 3
+    with concurrent.futures.ThreadPoolExecutor(max_workers=6) as ex:
+        assert all(ex.map(one, qs))

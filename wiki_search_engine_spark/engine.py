@@ -31,6 +31,30 @@ class EmptyQueryError(ValueError):
     for blank queries (backend/controllers/queryController.js:21-25)."""
 
 
+def sys_snapshot() -> dict:
+    """Driver-process memory snapshot mirroring the reference's
+    profiler sysSnapshot shape (backend/utils/profiler.js:20-29):
+    rss_mb / heapUsed_mb / heapTotal_mb / eventLoopDelay_ms. Values come
+    from /proc/self/status (VmRSS / VmData / VmSize); on platforms
+    without procfs the fields degrade to 0.0 rather than erroring a
+    query response."""
+    vals = {"VmRSS": 0.0, "VmData": 0.0, "VmSize": 0.0}
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                key = line.split(":")[0]
+                if key in vals:
+                    vals[key] = float(line.split()[1]) / 1024.0  # kB->MB
+    except OSError:
+        pass
+    return {
+        "rss_mb": round(vals["VmRSS"], 1),
+        "heapUsed_mb": round(vals["VmData"], 1),
+        "heapTotal_mb": round(vals["VmSize"], 1),
+        "eventLoopDelay_ms": 0,
+    }
+
+
 class SearchEngine:
     def __init__(
         self,
@@ -365,15 +389,23 @@ class SearchEngine:
         """The reference's full HTTP response shape
         (backend/controllers/queryController.js:11-59):
 
-        - empty/whitespace query -> {"success": False, "error":
-          "Empty query"} (the 400 body, queryController.js:21-25);
+        - empty/whitespace query -> {"success": False, "result": [],
+          "error": "Empty query"} (the exact 400 body,
+          queryController.js:25);
         - optionName defaults to 'tfidf', lowercased
           (queryController.js:19);
         - otherwise {"imageResult", "textResult", "searchTime",
-          "profile": {"measures": [{name, duration_ms}, ...]}} with
-          per-stage spans mirroring utils/profiler.js:8-29
-          (stem_query / get_documents / fetch_results /
-          get_image_filenames / total_request).
+          "profile": {"measures": [{name, duration_ms}, ...],
+          "sysSnapshot": {rss_mb, heapUsed_mb, heapTotal_mb,
+          eventLoopDelay_ms}}} with per-stage spans mirroring
+          utils/profiler.js:8-29 (validate_input / stem_query /
+          get_documents / fetch_results / get_image_filenames /
+          total_request; connect_to_db has no analogue — there is no
+          connection pool). sysSnapshot maps Node's process.memoryUsage
+          (profiler.js:21-29) to the driver process: rss_mb = VmRSS,
+          heapUsed_mb = VmData, heapTotal_mb = VmSize from
+          /proc/self/status; eventLoopDelay_ms pinned 0 as in the
+          reference.
         """
         import time
 
@@ -393,9 +425,15 @@ class SearchEngine:
             return out
 
         try:
+            span(
+                "validate_input",
+                lambda: (_ for _ in ()).throw(EmptyQueryError("Empty query"))
+                if not query or not query.strip()
+                else None,
+            )
             terms = span("stem_query", lambda: self.analyze(query))
         except EmptyQueryError:
-            return {"success": False, "error": "Empty query"}
+            return {"success": False, "result": [], "error": "Empty query"}
         ids = span(
             "get_documents",
             lambda: self.search_ids(
@@ -440,7 +478,10 @@ class SearchEngine:
             "imageResult": image_result,
             "textResult": text_result,
             "searchTime": round(time.time() - t_all, 3),
-            "profile": {"measures": measures},
+            "profile": {
+                "measures": measures,
+                "sysSnapshot": sys_snapshot(),
+            },
             "query_terms": terms,
         }
 

@@ -1,0 +1,99 @@
+"""HTTP serving surface — the reference's web API, dependency-free.
+
+The reference is ultimately a web service: an Express app mounting
+``GET /query-stem`` (backend/app.js:27, backend/routes/queryProcessor.js:6)
+whose controller stems the query, scores, hydrates results and images,
+and returns ``{imageResult, textResult, searchTime, profile}`` — or HTTP
+400 ``{success:false, result:[], error:'Empty query'}`` for blank input
+(backend/controllers/queryController.js:11-59). This module exposes the
+same contract over ``SearchEngine.query_response`` with a stdlib
+``ThreadingHTTPServer`` (no framework dependency in this environment).
+
+Routes:
+    GET /query-stem?query=...&optionName=tfidf|bm25[&k=50]  -> 200 JSON
+    GET /query-stem?query=                                   -> 400 JSON
+    GET /health                                              -> 200 {"ok"}
+    anything else                                            -> 404
+
+Serving model: the default ``path='local'`` serves queries entirely on
+the driver (pyarrow bucket reads + the NumPy block-max kernel — zero
+Spark jobs, 15-35 ms p50 at bench scale), so concurrent requests just
+interleave threads. ``path='wand'`` routes through Spark jobs for head
+terms whose candidate lists exceed driver memory; SparkSession is
+thread-safe for that use. This is the search-head topology the engine
+is designed for at 10^12 docs: many stateless HTTP heads, one shared
+bucket-partitioned index on object storage.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from .engine import SearchEngine
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server: "SearchServer"
+
+    def _send(self, status: int, payload: dict) -> None:
+        body = json.dumps(payload).encode("utf-8")
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self) -> None:  # noqa: N802 (stdlib handler contract)
+        parsed = urlparse(self.path)
+        if parsed.path == "/health":
+            self._send(200, {"ok": True})
+            return
+        if parsed.path != "/query-stem":
+            self._send(404, {"success": False, "error": "Not found"})
+            return
+        qs = parse_qs(parsed.query)
+        query = (qs.get("query") or [""])[0]
+        option = (qs.get("optionName") or ["tfidf"])[0]
+        try:
+            k = int((qs.get("k") or ["50"])[0])
+        except ValueError:
+            k = 50
+        try:
+            resp = self.server.engine.query_response(
+                query, option_name=option, k=k, path=self.server.path_mode
+            )
+        except Exception as e:  # mirror the controller's 500 catch
+            self._send(500, {"success": False, "error": str(e)})
+            return
+        self._send(400 if resp.get("success") is False else 200, resp)
+
+    def log_message(self, fmt, *args):  # silence per-request stderr
+        pass
+
+
+class SearchServer(ThreadingHTTPServer):
+    daemon_threads = True
+
+    def __init__(self, engine: SearchEngine, host: str = "127.0.0.1",
+                 port: int = 0, path_mode: str = "local"):
+        super().__init__((host, port), _Handler)
+        self.engine = engine
+        self.path_mode = path_mode
+
+
+def start_server(
+    engine: SearchEngine,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    path_mode: str = "local",
+) -> SearchServer:
+    """Start serving in a background thread; returns the server (its
+    bound port is ``server.server_address[1]`` — port=0 picks a free
+    one). ``server.shutdown()`` stops it."""
+    server = SearchServer(engine, host, port, path_mode)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server
