@@ -410,6 +410,30 @@ def q_ann_ivf_top10(spark, sf_dir):
     ).select(F.col("vec_id").cast("long").alias("vec_id"), "cos_sim")
 
 
+KMEANS_K, KMEANS_ITERS, TRAINED_NPROBE = 8, 2, 3
+
+
+def q_ann_ivf_trained(spark, sf_dir):
+    """IVF-Flat end-to-end WITHOUT caller-supplied centroids: seeded
+    distributed k-means training (operators/similarity.py kmeans_train —
+    per-partition partial sums, driver update, 4-dp rounding so the SQL
+    oracle replays the identical iterations), then nprobe-pruned exact
+    cosine top-k."""
+    from wiki_search_engine_spark.operators.similarity import (
+        ivf_topk, kmeans_train,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = kmeans_train(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    return ivf_topk(
+        emb,
+        _query_vec(spark, sf_dir),
+        centroids,
+        k=10,
+        nprobe=TRAINED_NPROBE,
+    ).select(F.col("vec_id").cast("long").alias("vec_id"), "cos_sim")
+
+
 def q_embedding_near_dups(spark, sf_dir):
     from wiki_search_engine_spark.operators.similarity import (
         embedding_near_dups,
@@ -776,6 +800,79 @@ FROM contrib GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT {k}"""
 
 
+def _ivf_trained_sql(qvec: str) -> str:
+    """Unrolled SQL replay of kmeans_train + ivf_topk: init = vectors of
+    the KMEANS_K smallest ids rounded to 4 dp, then KMEANS_ITERS x
+    (argmin-L2 assign -> per-dim avg -> round 4 dp, empty cells keep the
+    previous centroid), then the standard nprobe/cosine tail. Rounding
+    every iteration pins centroids across fp summation orders, so DuckDB
+    and Spark converge to identical values."""
+    dim = 64
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""c0 AS (
+  SELECT cid, cv FROM (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+           list_transform(v, x -> round(x, 4)) AS cv
+    FROM e) t WHERE cid < {KMEANS_K})""",
+    ]
+    for it in range(1, KMEANS_ITERS + 1):
+        prev = f"c{it - 1}"
+        parts.append(f"""a{it} AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             (SELECT sum((e.v[j] - c.cv[j]) * (e.v[j] - c.cv[j]))
+              FROM generate_series(1, {dim}) g(j)), c.cid) AS rn
+    FROM e CROSS JOIN {prev} c) t WHERE rn = 1)""")
+        parts.append(f"""m{it} AS (
+  SELECT a.cell AS cid, g.j, round(avg(e.v[g.j]), 4) AS mv
+  FROM a{it} a JOIN e USING (vec_id)
+  CROSS JOIN generate_series(1, {dim}) g(j)
+  GROUP BY 1, 2)""")
+        parts.append(f"""c{it} AS (
+  SELECT p.cid, coalesce(n.cv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN (
+    SELECT cid, array_agg(mv ORDER BY j) AS cv FROM m{it} GROUP BY cid
+  ) n USING (cid))""")
+    last = f"c{KMEANS_ITERS}"
+    parts.append(f"q AS (SELECT {qvec} AS qv)")
+    parts.append(f"""qd AS (
+  SELECT c.cid,
+    (SELECT sum((q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))
+     FROM generate_series(1, {dim}) g(i)) AS d
+  FROM {last} c CROSS JOIN q)""")
+    parts.append(
+        f"probe AS (SELECT cid FROM qd ORDER BY d, cid "
+        f"LIMIT {TRAINED_NPROBE})"
+    )
+    parts.append(f"""asgn AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             (SELECT sum((e.v[j] - c.cv[j]) * (e.v[j] - c.cv[j]))
+              FROM generate_series(1, {dim}) g(j)), c.cid) AS rn
+    FROM e CROSS JOIN {last} c) t WHERE rn = 1)""")
+    parts.append("""cand AS (
+  SELECT e.vec_id, e.v FROM e
+  JOIN asgn USING (vec_id)
+  WHERE asgn.cell IN (SELECT cid FROM probe))""")
+    parts.append(f"""d AS (
+  SELECT c.vec_id,
+    (SELECT sum(c.v[i] * q.qv[i]) FROM generate_series(1, {dim}) g(i))
+      AS dp,
+    sqrt((SELECT sum(c.v[i] * c.v[i])
+          FROM generate_series(1, {dim}) g(i))) AS na,
+    sqrt((SELECT sum(q.qv[i] * q.qv[i])
+          FROM generate_series(1, {dim}) g(i))) AS nb
+  FROM cand c CROSS JOIN q)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT vec_id, round(dp / (na * nb), 6) AS cos_sim"
+        + "\nFROM d ORDER BY cos_sim DESC, vec_id LIMIT 10"
+    )
+
+
 def _media_sidecar() -> str:
     """Expected rows for the media_features entry, computed WITHOUT
     Spark: per-id spec (kind/format/width/height) from the synth
@@ -985,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_top10": q_cosine_top10,
         "ann_lsh_top10": q_ann_lsh_top10,
         "ann_ivf_top10": q_ann_ivf_top10,
+        "ann_ivf_trained": q_ann_ivf_trained,
         "embedding_near_dups": q_embedding_near_dups,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
@@ -1197,6 +1295,7 @@ d AS (
   FROM cand c CROSS JOIN q)
 SELECT vec_id, round(dp / (na * nb), 6) AS cos_sim
 FROM d ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+        "ann_ivf_trained": _ivf_trained_sql(qvec),
         "embedding_near_dups": f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 bucketed AS (SELECT vec_id, v, {bucket_expr} AS bucket FROM e),

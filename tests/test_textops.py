@@ -328,3 +328,47 @@ def test_decode_media_meta_matches_encoded(spark):
         else:
             assert r["format"] == "raw"
             assert r["width"] is None and r["height"] is None
+
+
+def test_kmeans_train_deterministic_and_useful(spark):
+    """kmeans_train: deterministic across runs (4-dp rounding pins fp
+    order), shrinks mean within-cell L2 vs the init assignment, and
+    feeds ivf_topk end-to-end without caller-supplied centroids."""
+    from wiki_search_engine_spark.operators.similarity import (
+        ivf_assign, ivf_topk, kmeans_train,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(120, 16)).astype(np.float64)
+    vecs[:40] += 4.0  # three loose clusters
+    vecs[40:80] -= 4.0
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+    c1 = kmeans_train(df, k=4, iters=2)
+    c2 = kmeans_train(df, k=4, iters=2)
+    assert c1 == c2
+    assert len(c1) == 4 and all(len(v) == 16 for _, v in c1)
+
+    def mean_within(cents):
+        cmap = {cid: np.array(v) for cid, v in cents}
+        rows = ivf_assign(df, cents).select(
+            "vec_id", "cell"
+        ).collect()
+        return float(
+            np.mean(
+                [
+                    np.sum((vecs[r["vec_id"]] - cmap[r["cell"]]) ** 2)
+                    for r in rows
+                ]
+            )
+        )
+
+    init = [(i, [round(float(x), 4) for x in vecs[i]]) for i in range(4)]
+    assert mean_within(c1) < mean_within(init)
+
+    top = ivf_topk(
+        df, [float(x) for x in vecs[7]], c1, k=5, nprobe=2
+    ).collect()
+    assert len(top) == 5 and top[0]["vec_id"] == 7

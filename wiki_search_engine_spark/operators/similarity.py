@@ -184,6 +184,98 @@ def l2sq(a: Column, b: Column) -> Column:
     )
 
 
+def kmeans_train(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic distributed Lloyd's k-means for the IVF coarse
+    quantizer (no reference analogue — the training-data-pipeline
+    mandate). Returns ``[(cid, centroid), ...]`` for ``ivf_assign`` /
+    ``ivf_topk``.
+
+    - init: the vectors of the ``k`` smallest ids (deterministic and
+      replayable by the SQL oracle);
+    - assign: the same JVM-side ``ivf_assign`` projection (centroids are
+      plan literals — no join, no shuffle);
+    - update: per-partition PARTIAL sums via mapInPandas (each partition
+      emits <= k tiny (cell, n, sum[dim]) rows — the classic map-side
+      combine; only k x n_partitions rows reach the driver, never the
+      vectors), combined on the driver and rounded to ``round_dp``.
+
+    Rounding each iteration's centroids pins the result across fp
+    summation orders, so an independent engine (the DuckDB oracle
+    replays the identical iterations in SQL) reproduces the same
+    centroids bit-for-bit at 4 dp. Empty cells keep their previous
+    centroid. Cost: one shuffle-free job over the vectors per
+    iteration."""
+    import numpy as np
+    import pandas as pd
+
+    init = (
+        df.orderBy(F.asc(id_col))
+        .limit(k)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    centroids = [
+        (i, [round(float(x), round_dp) for x in r[vec_col]])
+        for i, r in enumerate(init)
+    ]
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cells = pdf["cell"].to_numpy()
+            mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+            )
+            rows = []
+            for c in np.unique(cells):
+                m = mat[cells == c]
+                rows.append(
+                    {
+                        "cell": int(c),
+                        "n": int(m.shape[0]),
+                        "s": m.sum(axis=0).tolist(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    for _ in range(iters):
+        assigned = ivf_assign(df, centroids, id_col, vec_col).select(
+            "cell", F.col(vec_col).alias("_v")
+        )
+        parts = assigned.mapInPandas(
+            partials, schema="cell int, n long, s array<double>"
+        ).collect()
+        sums: dict[int, list[float]] = {}
+        counts: dict[int, int] = {}
+        for row in sorted(parts, key=lambda r: r["cell"]):
+            c = int(row["cell"])
+            counts[c] = counts.get(c, 0) + int(row["n"])
+            prev = sums.get(c)
+            sums[c] = (
+                [a + b for a, b in zip(prev, row["s"])]
+                if prev
+                else list(row["s"])
+            )
+        centroids = [
+            (
+                cid,
+                [round(x / counts[cid], round_dp) for x in sums[cid]]
+                if counts.get(cid)
+                else vec,
+            )
+            for cid, vec in centroids
+        ]
+    return centroids
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
