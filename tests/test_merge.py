@@ -265,3 +265,43 @@ def test_merge_bucket_groups_equal_single(spark, merged_and_full):
         _decoded(spark, out).reset_index(drop=True),
         _decoded(spark, merged.index_dir).reset_index(drop=True),
     )
+
+
+def test_big_delta_partitioned_path_equals_broadcast(
+    spark, merged_and_full, tmp_path
+):
+    """docid_broadcast_limit=0 forces the per-salt sidecar delivery
+    (operators/merge.py write_updated_docids): every kernel task loads
+    only its shard slices instead of a whole-set broadcast. The merged
+    index must be decode-identical to the broadcast path's."""
+    from wiki_search_engine_spark.operators.postings import (
+        decode_postings_df,
+    )
+    from wiki_search_engine_spark.plans.merge import merge_indexes
+
+    merged, _full = merged_and_full
+    base_dir = merged.index_dir.replace("merged", "base")
+    delta_dir = merged.index_dir.replace("merged", "delta")
+    out = str(tmp_path / "merged_bigpath")
+    merge_indexes(
+        spark, base_dir, delta_dir, out, docid_broadcast_limit=0
+    )
+    import os
+
+    assert os.path.isdir(f"{out}/_updated_docids/salt=0")
+
+    def decoded(d):
+        return {
+            (r["term"], r["docid"], r["tf"], r["doc_len"])
+            for r in decode_postings_df(
+                spark.read.parquet(f"{d}/postings")
+            ).collect()
+        }
+
+    assert decoded(out) == decoded(merged.index_dir)
+    from wiki_search_engine_spark.engine import SearchEngine
+
+    eng = SearchEngine.load(spark, out)
+    assert (eng.n, round(eng.avgdl, 9)) == (
+        merged.n, round(merged.avgdl, 9),
+    )

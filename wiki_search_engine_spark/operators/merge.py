@@ -69,24 +69,103 @@ def _sorted_searchsorted_any(sorted_arr: np.ndarray, lo: np.ndarray,
     )
 
 
+def write_updated_docids(
+    updated: np.ndarray, out_dir: str, salt_bits: int
+) -> str:
+    """Materialize a (large) sorted updated-docid set as one parquet file
+    per docid-range salt shard (``salt=K/docids.parquet``). Because salt
+    is the TOP ``salt_bits`` bits of the docid, the sorted array slices
+    contiguously per salt, and any subset of slices concatenated in salt
+    order is again globally sorted — so kernel tasks can assemble exactly
+    the shards they touch and reuse the unsliced search logic. This is
+    the big-delta shipping path: at ~10^8+ updated docids a full
+    broadcast is GBs to every executor, while each (bucket, salt) task
+    only ever needs its own shard's slice from shared storage."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    updated = np.ascontiguousarray(updated, dtype=np.int64)
+    shift = 63 - salt_bits
+    for s in range(1 << salt_bits):
+        lo = np.searchsorted(updated, s << shift, "left")
+        hi = np.searchsorted(updated, (s + 1) << shift, "left")
+        d = os.path.join(out_dir, f"salt={s}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            pa.table({"docid": pa.array(updated[lo:hi], pa.int64())}),
+            os.path.join(d, "docids.parquet"),
+        )
+    return out_dir
+
+
+def _dd_provider(bc, updated_docids_dir: str | None):
+    """Returns fn(sorted unique salts present in a kernel table) ->
+    sorted docid array covering those salts. Broadcast mode ignores the
+    salts (the full array searches identically); directory mode loads
+    and caches per-salt slices from the sidecar written by
+    write_updated_docids."""
+    if updated_docids_dir is None:
+        return lambda salts: bc.value
+
+    cache: dict[int, "np.ndarray"] = {}
+
+    def load(salts) -> "np.ndarray":
+        import os
+
+        import pyarrow.parquet as pq
+
+        parts = []
+        for s in salts:
+            s = int(s)
+            if s not in cache:
+                p = os.path.join(updated_docids_dir, f"salt={s}")
+                cache[s] = (
+                    pq.read_table(p).column("docid").to_numpy()
+                    if os.path.isdir(p)
+                    else np.empty(0, dtype=np.int64)
+                )
+            parts.append(cache[s])
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.concatenate(parts)  # salt order == sorted docid order
+
+    return load
+
+
 def merge_postings_tables(
     base: DataFrame,
     delta: DataFrame,
-    updated_docids: np.ndarray,
+    updated_docids: np.ndarray | None,
     avgdl_merged: float,
     f_base: float,
     f_delta: float,
     block_size: int = BLOCK_SIZE,
     num_partitions: int | None = None,
+    updated_docids_dir: str | None = None,
 ) -> DataFrame:
     """Merge two postings DataFrames (POSTINGS_SCHEMA + bucket partition
     column) into one. ``updated_docids``: sorted int64 array of every
-    docid in the delta's corpus (these are purged from base postings).
-    ``f_base``/``f_delta``: sound max_score scale factors
-    max(1, avgdl_merged/avgdl_source) for pass-through blocks."""
+    docid in the delta's corpus (these are purged from base postings) —
+    broadcast to the kernel. For crawl batches too large to broadcast,
+    pass ``updated_docids_dir`` instead (a sidecar on shared storage
+    written by ``write_updated_docids``): each kernel task then reads
+    only the docid-range salt shards it actually touches, with
+    per-executor caching. Both paths are result-identical
+    (pytest-enforced). ``f_base``/``f_delta``: sound max_score scale
+    factors max(1, avgdl_merged/avgdl_source) for pass-through blocks."""
     spark = base.sparkSession
-    updated_docids = np.ascontiguousarray(updated_docids, dtype=np.int64)
-    bc = spark.sparkContext.broadcast(updated_docids)
+    if (updated_docids is None) == (updated_docids_dir is None):
+        raise ValueError(
+            "pass exactly one of updated_docids / updated_docids_dir"
+        )
+    bc = None
+    if updated_docids is not None:
+        updated_docids = np.ascontiguousarray(
+            updated_docids, dtype=np.int64
+        )
+        bc = spark.sparkContext.broadcast(updated_docids)
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
 
@@ -103,6 +182,7 @@ def merge_postings_tables(
 
     factors = (float(f_base), float(f_delta))
     patch_needed = any(abs(f - 1.0) > 1e-15 for f in factors)
+    get_dd = _dd_provider(bc, updated_docids_dir)
 
     def kernel(batches):
         import pyarrow as pa
@@ -110,8 +190,6 @@ def merge_postings_tables(
 
         from .codec import varbyte_decode
         from .postings import encode_groups_arrow
-
-        dd = bc.value
         out_schema = pa.schema(
             [
                 pa.field("term", pa.string()),
@@ -198,7 +276,7 @@ def merge_postings_tables(
                 schema=out_schema,
             )
 
-        def emit_rebuilt(tbl: pa.Table):
+        def emit_rebuilt(tbl: pa.Table, dd: np.ndarray):
             """Vectorized re-encode of every collided group at once: bulk
             varbyte-decode of the concatenated block streams, one filter/
             merge pass, one encode_partition_flat — NOT a per-group
@@ -299,6 +377,10 @@ def merge_postings_tables(
             gsize = np.bincount(gid)
             in_two_row_group = gsize[gid] == 2
             src = tbl.column("src").to_numpy()
+            # docid set for the salts this table touches (broadcast mode
+            # returns the full array — identical search results, since
+            # other shards' docids lie outside every block range here)
+            dd = get_dd(np.unique(tbl.column("salt").to_numpy()))
 
             la = tbl.column("blocks")
             if isinstance(la, pa.ChunkedArray):
@@ -326,7 +408,7 @@ def merge_postings_tables(
             if not slow_mask.all():
                 yield emit_passthrough(tbl.filter(pa.array(~slow_mask)))
             if slow_mask.any():
-                rb = emit_rebuilt(tbl.filter(pa.array(slow_mask)))
+                rb = emit_rebuilt(tbl.filter(pa.array(slow_mask)), dd)
                 if rb is not None:
                     yield rb
 

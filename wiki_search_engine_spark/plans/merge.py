@@ -23,11 +23,14 @@ identical, stats identical, and top-k rank-identical on the fixture
 query set (tests/test_merge.py).
 
 Scale notes: the anti-joins broadcast the DELTA docid set (the crawl
-batch — the small side by construction). The updated-docid array shipped
-to the postings kernel is that same set, sorted, as one broadcast numpy
-array; at 10^12-doc base scale a crawl batch of ~10^8 updated docids is
-~800MB — still broadcastable; beyond that, partition it by the index's
-docid-range salt so each kernel task receives only its shard's slice.
+batch — the small side by construction) and the postings kernel gets the
+same set, sorted, as one broadcast numpy array. Past
+``DOCID_BROADCAST_LIMIT`` updated docids (~800MB of int64 at 10^8) the
+plan switches automatically: the set is written as a per-salt parquet
+sidecar under the output index (operators/merge.py write_updated_docids)
+and each kernel task reads only the docid-range shards it touches, while
+the side-table anti-joins drop the broadcast hint so AQE picks a shuffle
+join. Both paths are result-identical (tests/test_merge.py).
 """
 
 from __future__ import annotations
@@ -70,6 +73,14 @@ def _read_avgdl(index_dir: str) -> float:
     return float(row["avgdl"])
 
 
+# Above this many updated docids the delta set is no longer broadcast
+# (~800MB of int64 at 10^8): it is written as a per-salt parquet sidecar
+# under the output index and kernel tasks read only their shard's slice
+# (operators/merge.py write_updated_docids). ~10^8 is where whole-set
+# broadcast stops being the cheap option on a real cluster.
+DOCID_BROADCAST_LIMIT = 100_000_000
+
+
 def merge_indexes(
     spark: SparkSession,
     base_dir: str,
@@ -77,6 +88,7 @@ def merge_indexes(
     out_dir: str,
     resume: bool = False,
     bucket_groups: int = 1,
+    docid_broadcast_limit: int = DOCID_BROADCAST_LIMIT,
 ) -> Manifest:
     """Merge ``delta_dir``'s index into ``base_dir``'s, writing a full
     index at ``out_dir``. Both inputs must share layout config
@@ -116,13 +128,26 @@ def merge_indexes(
         .to_numpy()
     )
     updated_df = _docid_df(spark, updated)
+    big_delta = updated.size > docid_broadcast_limit
+    if big_delta:
+        from ..operators.merge import write_updated_docids
+
+        merge_kw = {
+            "updated_docids": None,
+            "updated_docids_dir": write_updated_docids(
+                updated, f"{out_dir}/_updated_docids",
+                int(meta_b["salt_bits"]),
+            ),
+        }
+    else:
+        merge_kw = {"updated_docids": updated}
 
     def _anti_union(sub: str) -> DataFrame:
         base = spark.read.parquet(f"{base_dir}/{sub}")
         delta = spark.read.parquet(f"{delta_dir}/{sub}")
-        return base.join(
-            F.broadcast(updated_df), "docid", "left_anti"
-        ).unionByName(delta)
+        # big delta: no broadcast hint — let AQE pick a shuffle join
+        anti = updated_df if big_delta else F.broadcast(updated_df)
+        return base.join(anti, "docid", "left_anti").unionByName(delta)
 
     # --- stage: doc_stats -------------------------------------------------
     if not manifest.is_done("doc_stats"):
@@ -194,10 +219,10 @@ def merge_indexes(
             b_in, d_in = base_p, delta_p
         merged = merge_postings_tables(
             b_in, d_in,
-            updated_docids=updated,
             avgdl_merged=avgdl_m,
             f_base=f_base,
             f_delta=f_delta,
+            **merge_kw,
         )
         (
             merged.sortWithinPartitions("bucket", "term")
@@ -229,6 +254,7 @@ def delete_docs(
     urls: list[str] | None = None,
     docids: list[int] | None = None,
     resume: bool = False,
+    docid_broadcast_limit: int = DOCID_BROADCAST_LIMIT,
 ) -> Manifest:
     """Purge documents from an index without rebuilding it — the
     right-to-be-forgotten / takedown operation a persistent web index
@@ -329,13 +355,25 @@ def delete_docs(
         base_postings = spark.read.parquet(f"{base_dir}/postings")
         avgdl_m = _read_avgdl(out_dir)
         f_base = max(1.0, avgdl_m / _read_avgdl(base_dir))
+        if updated.size > docid_broadcast_limit:
+            from ..operators.merge import write_updated_docids
+
+            kw = {
+                "updated_docids": None,
+                "updated_docids_dir": write_updated_docids(
+                    updated, f"{out_dir}/_updated_docids",
+                    int(meta_b["salt_bits"]),
+                ),
+            }
+        else:
+            kw = {"updated_docids": updated}
         merged = merge_postings_tables(
             base_postings,
             spark.createDataFrame([], base_postings.schema),
-            updated_docids=updated,
             avgdl_merged=avgdl_m,
             f_base=f_base,
             f_delta=1.0,
+            **kw,
         )
         (
             merged.sortWithinPartitions("bucket", "term")
