@@ -183,6 +183,66 @@ def main() -> None:
     if "l_orderkey" in plan.split("ReadSchema:")[-1].split("\n")[0]:
         FAILURES.append("lineitem reads unneeded columns")
 
+    # 8. Jaccard verify with candidates: the candidate restriction is
+    # BELOW the expensive work — no shingle-keyed join anywhere (pairs
+    # are scored via per-pair array_intersect over per-doc arrays)
+    from wiki_search_engine_spark.operators.dedup import (
+        minhash_lsh_candidates, ngram_jaccard_pairs, simhash_near_dups,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cands = minhash_lsh_candidates(docs, num_hashes=16, bands=4)
+    jplan = plan_of(
+        ngram_jaccard_pairs(docs, threshold=0.2, candidates=cands)
+    )
+    check(
+        "jaccard_candidates_pushdown",
+        jplan,
+        must=[r"array_intersect"],
+    )
+    bad = [
+        ln for ln in jplan.splitlines()
+        if "Join" in ln and "shingle#" in ln
+    ]
+    if bad:
+        FAILURES.append(f"jaccard: shingle-keyed join: {bad[0][:120]}")
+        print("FAIL jaccard_no_shingle_join")
+    else:
+        print("PASS jaccard_no_shingle_join")
+
+    # 9. SimHash near-dups: ONE linear pipeline — the hash kernel is
+    # planned exactly once and candidate pairing is group-to-array
+    # expansion, never a join
+    splan = plan_of(simhash_near_dups(docs, max_hamming=12))
+    n_kernels = len(re.findall(r"\(\d+\) MapInPandas", splan))
+    if n_kernels != 1:
+        FAILURES.append(
+            f"simhash: kernel planned {n_kernels}x, expected once"
+        )
+        print("FAIL simhash_single_kernel")
+    else:
+        print("PASS simhash_single_kernel")
+    check("simhash_no_join", splan, must=[], must_not=[r"Join"])
+
+    # 10. Embedding near-dups: hyperplane projection runs once (the only
+    # joins are id-keyed vector hydration for the verify — never a
+    # bucket-keyed self-join that would double-plan the projection)
+    from wiki_search_engine_spark.operators.similarity import (
+        embedding_near_dups,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    eplan = plan_of(embedding_near_dups(emb, threshold=0.4, dim=64))
+    bad = [
+        ln for ln in eplan.splitlines()
+        if "Join" in ln and "_bucket" in ln
+    ]
+    if bad:
+        FAILURES.append(f"embedding: bucket-keyed join: {bad[0][:120]}")
+        print("FAIL embedding_no_bucket_join")
+    else:
+        print("PASS embedding_no_bucket_join")
+
     spark.stop()
     if FAILURES:
         print("\n".join("AUDIT FAIL: " + f for f in FAILURES))
