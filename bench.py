@@ -10,8 +10,16 @@ Covers the north-rule metrics (BASELINE.json):
 - training-data ops: dedup (minhash LSH), jaccard verify, ANN cosine,
   text quality — one timed run each.
 
+Two build points: the driver-sized corpus (WSE_BENCH_CORPUS_DOCS,
+default 8000 — fixed-cost-dominated: a 6-stage build is mostly stage
+scheduling at this size) and a steady-state point
+(WSE_BENCH_STEADY_DOCS, default 60000) whose docs/sec reflects actual
+pipeline throughput; report both, read build_docs_per_sec_steady for
+scale judgments.
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default 32), WSE_BENCH_CORPUS_DOCS (default 8000).
+     SPARK_GRAFT_CPUS (default 32), WSE_BENCH_CORPUS_DOCS (default 8000),
+     WSE_BENCH_STEADY_DOCS (default 60000; 0 disables).
 """
 
 from __future__ import annotations
@@ -144,13 +152,45 @@ def main() -> None:
         lambda: SearchEngine.merge(spark, index_dir, delta_idx, merged_idx)
     )
 
+    # ---- steady-state build point (fixed costs amortized) ----------------
+    # the 8k-doc build above is stage-scheduling-dominated (~17s for 6
+    # stages regardless of rows); this point sizes docs/sec where the
+    # pipeline actually streams
+    steady_docs = int(os.environ.get("WSE_BENCH_STEADY_DOCS", "60000"))
+    steady_rate = None
+    if steady_docs:
+        spath = f"{WORK}/corpus_raw_{steady_docs}"
+        if not os.path.exists(spath):
+            synth_corpus(
+                spark, steady_docs, partitions=CPUS * 2
+            ).withColumn("text", F.lit(None).cast("string")).write.mode(
+                "overwrite"
+            ).parquet(spath)
+        sidx = f"{WORK}/index_steady"
+        walls = []
+        for _ in range(3):  # median-of-3: ~+-30% hypervisor noise here
+            shutil.rmtree(sidx, ignore_errors=True)
+            t0 = time.time()
+            SearchEngine.build(
+                spark, spark.read.parquet(spath), sidx, stem=True,
+                n_buckets=64, bucket_groups=1, salt_bits=3,
+            )
+            walls.append(time.time() - t0)
+        sec = round(statistics.median(walls), 3)
+        q["index_build_steady"] = sec
+        steady_rate = round(steady_docs / sec, 1)
+
     # ---- training-data ops on the driver tables ---------------------------
     import __spark_entry__ as E
 
     for name, fn in [
         ("minhash_lsh", E.q_minhash_lsh_candidates),
         ("ngram_jaccard", E.q_ngram_jaccard_dups),
+        ("ngram_jaccard_verify", E.q_ngram_jaccard_verify),
+        ("simhash_near_dups", E.q_simhash_near_dups),
         ("cosine_top10", E.q_cosine_top10),
+        ("ann_ivf_trained", E.q_ann_ivf_trained),
+        ("media_decode", E.q_media_features),
         ("quality_scores", E.q_quality_scores),
         ("bm25_docs_table", E.q_bm25_top50_wand),
         ("events_window", E.q_events_window_agg),
@@ -159,6 +199,36 @@ def main() -> None:
             q[name] = timed(lambda fn=fn: fn(spark, SF_DIR).collect())
         except Exception:
             q[name] = -1.0
+
+    # ---- hot-shingle Jaccard: candidate pushdown vs unrestricted ---------
+    # every doc shares one shingle -> the unrestricted verify enumerates
+    # ~n^2/2 pairs; the candidates path scores only the given pairs.
+    # The gap is the reason the r2 pushdown rewrite exists.
+    import pandas as pd
+
+    from wiki_search_engine_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    hot_rows = [
+        {"doc_id": i, "text": f"alpha beta gamma body{i} tail{i % 7} e{i}"}
+        for i in range(1500)
+    ]
+    hot_df = spark.createDataFrame(pd.DataFrame(hot_rows))
+    hot_cands = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, i + 1) for i in range(0, 1400, 7)],
+            columns=["id_a", "id_b"],
+        )
+    )
+    q["jaccard_hot_unrestricted"] = timed(
+        lambda: ngram_jaccard_pairs(hot_df, threshold=0.05).collect()
+    )
+    q["jaccard_hot_candidates"] = timed(
+        lambda: ngram_jaccard_pairs(
+            hot_df, threshold=0.05, candidates=hot_cands
+        ).collect()
+    )
 
     total = round(sum(v for v in q.values() if v > 0), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -171,6 +241,8 @@ def main() -> None:
                 "queries": q,
                 "sf": float(sf) if sf else 0.1,
                 "build_docs_per_sec": docs_per_sec,
+                "build_docs_per_sec_steady": steady_rate,
+                "steady_docs": steady_docs,
                 "cpus": CPUS,
                 "corpus_docs": CORPUS_DOCS,
             }
