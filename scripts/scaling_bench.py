@@ -93,9 +93,14 @@ def run_worker(cores: int, docs: int, corpus_path: str) -> None:
     # cluster pays this once, not per build
     from wiki_search_engine_spark.sources.synth import synth_corpus
 
+    from pyspark.sql import functions as F
+
     shutil.rmtree(f"{WORK}/warm_{cores}", ignore_errors=True)
     SearchEngine.build(
-        spark, synth_corpus(spark, 256, partitions=8),
+        spark,
+        synth_corpus(spark, 256, partitions=8).withColumn(
+            "text", F.lit(None).cast("string")
+        ),
         f"{WORK}/warm_{cores}", stem=True, n_buckets=64,
         bucket_groups=1, salt_bits=3,
     )
@@ -150,10 +155,15 @@ def synth_once(docs: int, corpus_path: str) -> None:
     spark = get_spark(app_name="wse-scaling-synth", master="local[32]",
                       shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
-    # 64 files -> >=64 input splits at every parallelism level
-    synth_corpus(spark, docs, partitions=64).write.mode(
-        "overwrite"
-    ).parquet(corpus_path)
+    from pyspark.sql import functions as F
+
+    # 64 files -> >=64 input splits at every parallelism level.
+    # text NULLed: the measured build must include the byte-identical
+    # html->text extraction kernel (r1's corpus was pre-extracted, so
+    # the workload label claimed extraction it never ran)
+    synth_corpus(spark, docs, partitions=64).withColumn(
+        "text", F.lit(None).cast("string")
+    ).write.mode("overwrite").parquet(corpus_path)
     spark.stop()
 
 

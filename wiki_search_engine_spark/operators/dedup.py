@@ -17,9 +17,20 @@ Scale notes per operator:
   reference's title dedup (SURVEY §1.1.5).
 - minhash_lsh_*: signatures are per-row (no shuffle); banding explodes to
   (rows x bands) then shuffles on band key — band buckets are the classic
-  LSH candidate join, heavy keys only when near-dup clusters are huge.
-- ngram_jaccard_pairs: exact verify via shingle self-join; meant for the
-  candidate set (LSH output), not all pairs, at scale.
+  LSH candidate blocking, heavy keys only when near-dup clusters are huge.
+- ngram_jaccard_pairs with candidates: per-pair array_intersect over
+  per-doc shingle arrays — the shingle relation is never self-joined, so
+  hot shingles cannot blow up m^2 (15x the unrestricted form on a
+  hot-shingle corpus, bench.py jaccard_hot_*). Without candidates:
+  shingle self-join, small corpora/tests only.
+- simhash/simhash_near_dups: one batch-vectorized hash kernel (planned
+  once — audited), group-to-array band expansion, no joins.
+
+None of the candidate generators self-join their expensive upstream:
+a self-join plans the pipeline twice with no exchange reuse across the
+sides (measured; see minhash_lsh_candidates body comment). All blocking
+follows groupBy(bucket) -> sorted array -> JVM-side ordered-pair
+expansion.
 """
 
 from __future__ import annotations
