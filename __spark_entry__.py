@@ -410,7 +410,41 @@ def q_ann_ivf_top10(spark, sf_dir):
     ).select(F.col("vec_id").cast("long").alias("vec_id"), "cos_sim")
 
 
+def q_corpus_clean(spark, sf_dir):
+    """Composed dedup pipeline: exact winners minus verified near-dups
+    (operators/dedup.py corpus_clean). Output = kept doc ids."""
+    from wiki_search_engine_spark.operators.dedup import corpus_clean
+
+    return corpus_clean(
+        _docs(spark, sf_dir), jaccard_threshold=JACCARD_T
+    ).select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
 KMEANS_K, KMEANS_ITERS, TRAINED_NPROBE = 8, 2, 3
+
+
+def q_ann_ivf_pruned(spark, sf_dir):
+    """IVF over a MATERIALIZED partitionBy(cell) layout: write once
+    (cached per sf), then query via cell-directory partition pruning
+    (operators/similarity.py ivf_write/ivf_read_topk) — the vector
+    analogue of the postings bucket layout. Same result as the
+    in-memory ivf_topk, so it shares the ann_ivf oracle."""
+    import os
+
+    from wiki_search_engine_spark.operators.similarity import (
+        ivf_read_topk, ivf_write,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = _ivf_centroids(spark, sf_dir)
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = f"/tmp/wse_ivf_index{tag}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        ivf_write(emb, cents, path)
+    return ivf_read_topk(
+        spark, path, _query_vec(spark, sf_dir), cents, k=10,
+        nprobe=IVF_NPROBE,
+    ).select(F.col("vec_id").cast("long").alias("vec_id"), "cos_sim")
 
 
 def q_ann_ivf_trained(spark, sf_dir):
@@ -1083,6 +1117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_top10": q_ann_lsh_top10,
         "ann_ivf_top10": q_ann_ivf_top10,
         "ann_ivf_trained": q_ann_ivf_trained,
+        "ann_ivf_pruned": q_ann_ivf_pruned,
+        "corpus_clean": q_corpus_clean,
         "embedding_near_dups": q_embedding_near_dups,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
@@ -1296,6 +1332,71 @@ d AS (
 SELECT vec_id, round(dp / (na * nb), 6) AS cos_sim
 FROM d ORDER BY cos_sim DESC, vec_id LIMIT 10""",
         "ann_ivf_trained": _ivf_trained_sql(qvec),
+        "ann_ivf_pruned": f"""
+WITH q AS (SELECT {qvec} AS qv),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+  WHERE vec_id < {IVF_C}),
+dists AS (
+  SELECT e.vec_id, c.cid,
+    (SELECT sum((e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))
+     FROM generate_series(1, 64) g(i)) AS d
+  FROM e CROSS JOIN cents c),
+asgn AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM dists) t WHERE rn = 1),
+qd AS (
+  SELECT c.cid,
+    (SELECT sum((q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))
+     FROM generate_series(1, 64) g(i)) AS d
+  FROM cents c CROSS JOIN q),
+probe AS (SELECT cid FROM qd ORDER BY d, cid LIMIT {IVF_NPROBE}),
+cand AS (
+  SELECT e.vec_id, e.v FROM e
+  JOIN asgn USING (vec_id) WHERE asgn.cell IN (SELECT cid FROM probe)),
+d AS (
+  SELECT c.vec_id,
+    (SELECT sum(c.v[i] * q.qv[i]) FROM generate_series(1, 64) g(i)) AS dp,
+    sqrt((SELECT sum(c.v[i] * c.v[i]) FROM generate_series(1, 64) g(i)))
+      AS na,
+    sqrt((SELECT sum(q.qv[i] * q.qv[i]) FROM generate_series(1, 64) g(i)))
+      AS nb
+  FROM cand c CROSS JOIN q)
+SELECT vec_id, round(dp / (na * nb), 6) AS cos_sim
+FROM d ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+        "corpus_clean": f"""
+WITH {SQL_POS_TOKS}, {SQL_SHINGLES},
+minh AS (
+  SELECT doc_id, {_MINHASH_COLS}
+  FROM sh GROUP BY doc_id),
+bands AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*)::BIGINT AS ni
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2),
+near_b AS (
+  SELECT DISTINCT id_b AS doc_id
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ni * 1.0 / (sa.n + sb.n - ni) >= {JACCARD_T}),
+winners AS (
+  SELECT min(doc_id)::BIGINT AS doc_id
+  FROM documents
+  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+SELECT doc_id FROM winners
+WHERE doc_id NOT IN (SELECT doc_id FROM near_b)""",
         "embedding_near_dups": f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 bucketed AS (SELECT vec_id, v, {bucket_expr} AS bucket FROM e),

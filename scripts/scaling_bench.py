@@ -246,6 +246,7 @@ def main() -> None:
             f"{sp / ratio:.2f} |\n"
         )
 
+    reps = int(os.environ.get("WSE_SCALING_REPS", "3"))
     md = f"""# BENCH/BASELINE.md — N-vs-4N scaling evidence
 
 North rule: ">=0.8 throughput scaling efficiency from N to 4N executors".
@@ -253,15 +254,18 @@ No real cluster exists in this sandbox, so (per driver instruction) the
 IDENTICAL build+query workload runs at two local parallelism levels on
 the same input — mirroring the reference's own throughput-vs-worker-count
 harness (Crawler/crawler_test.py, Crawler/analyze_results.py). Build wall
-is the median of 3 runs (the VM shows ~13% historical CPU steal;
-single-shot walls carry +-30% hypervisor noise).
+is the median of {reps} runs (the VM shows ~13% historical CPU steal;
+single-shot walls carry +-30% hypervisor noise). The measured build
+INCLUDES the byte-identical html->text extraction kernel (corpus text is
+NULLed at synth time; r1's run used a pre-extracted corpus, so its
+workload label over-claimed extraction — fixed in r2).
 
 Workload: {report["workload"]}
 Input: {args.docs} synthetic Common-Crawl-style docs (seeded, 64 parquet
 files so every level has enough input splits). Shuffle partitions = cores;
 scan splits auto-tuned to input size (plans/build.py tune_scan_splits).
 
-| parallelism | build sec (median/3) | build docs/sec | query p50 ms (2-term / head / 3-term) |
+| parallelism | build sec (median/{reps}) | build docs/sec | query p50 ms (2-term / head / 3-term) |
 |---|---|---|---|
 {rows}
 
@@ -270,7 +274,7 @@ scan splits auto-tuned to input size (plans/build.py tune_scan_splits).
 - end-to-end speedup: **{report["speedup"]}x** (ideal {ratio:.0f}x),
   efficiency **{report["scaling_efficiency"]}**
 
-### Per-stage breakdown, local[{lo["cores"]}] -> local[{hi["cores"]}] (median/3)
+### Per-stage breakdown, local[{lo["cores"]}] -> local[{hi["cores"]}] (median/{reps})
 
 | stage | sec @{lo["cores"]}c | sec @{hi["cores"]}c | speedup | efficiency |
 |---|---|---|---|---|

@@ -372,3 +372,68 @@ def test_kmeans_train_deterministic_and_useful(spark):
         df, [float(x) for x in vecs[7]], c1, k=5, nprobe=2
     ).collect()
     assert len(top) == 5 and top[0]["vec_id"] == 7
+
+
+def test_ivf_materialized_layout_matches_inmemory(spark, tmp_path):
+    """ivf_write + ivf_read_topk (partitionBy(cell) + partition-pruned
+    scan) must rank-match ivf_topk over the raw table, and the read plan
+    must prune to the probed cell directories."""
+    from wiki_search_engine_spark.operators.similarity import (
+        ivf_read_topk, ivf_topk, ivf_write,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(100, 8)).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [(i, [float(x) for x in vecs[i]]) for i in range(6)]
+    path = str(tmp_path / "ivf")
+    ivf_write(df, cents, path)
+    import os
+
+    assert any(e.startswith("cell=") for e in os.listdir(path))
+    q = [float(x) for x in vecs[42]]
+    got = [
+        (r["vec_id"], r["cos_sim"])
+        for r in ivf_read_topk(spark, path, q, cents, k=5, nprobe=2)
+        .collect()
+    ]
+    exp = [
+        (r["vec_id"], r["cos_sim"])
+        for r in ivf_topk(df, q, cents, k=5, nprobe=2).collect()
+    ]
+    assert got == exp and got[0][0] == 42
+    plan = ivf_read_topk(
+        spark, path, q, cents, k=5, nprobe=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_corpus_clean_pipeline(spark):
+    """corpus_clean: exact winners minus verified near-dups, on a corpus
+    with planted exact and near duplicates."""
+    import pandas as pd
+
+    from wiki_search_engine_spark.operators.dedup import corpus_clean
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base},                      # exact dup of 0
+        {"doc_id": 2, "text": base + " extraword"},       # near dup of 0
+        {"doc_id": 3, "text": "totally different words here entirely"},
+        {"doc_id": 4, "text": "  " + base + "  "},        # ws-normalized dup
+        {"doc_id": 5, "text": "another unique document body text"},
+    ]
+    kept = sorted(
+        r["doc_id"]
+        for r in corpus_clean(
+            spark.createDataFrame(pd.DataFrame(rows)),
+            jaccard_threshold=0.5,
+        ).collect()
+    )
+    # 1 and 4 fall to exact dedup (same normalized content as 0);
+    # 2 is the higher id of a verified near-dup pair with 0
+    assert kept == [0, 3, 5]

@@ -278,6 +278,42 @@ def ngram_jaccard_pairs(
     )
 
 
+def corpus_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The composed training-corpus dedup pipeline: exact dedup ->
+    MinHash-LSH candidates -> exact Jaccard verify -> near-dup drop.
+    Returns the KEPT doc ids (one column, ``id_col``).
+
+    Deterministic keep rule (replayable in SQL for the oracle gate):
+    a doc survives iff it is the min-id winner of its normalized-content
+    group AND it never appears as the HIGHER id of a verified near-dup
+    pair (jaccard >= threshold over the LSH candidate pairs).
+
+    Every stage is the already-audited scale formulation: one
+    content-hash shuffle, one banded LSH pipeline (no self-joins), and
+    the per-pair array_intersect verify — so the composition inherits
+    the per-operator 100x stories; no new shuffle shapes appear."""
+    winners = exact_dedup(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    near = ngram_jaccard_pairs(
+        df, text_col, id_col, shingle_n, jaccard_threshold,
+        candidates=cands,
+    )
+    drop_b = near.select(F.col("id_b").alias(id_col)).distinct()
+    return winners.join(drop_b, id_col, "left_anti")
+
+
 SIMHASH_BITS = 64
 
 

@@ -302,6 +302,51 @@ def ivf_assign(
     return df.withColumn("cell", best["cid"])
 
 
+def ivf_write(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: assign every vector to its cell (pure
+    JVM projection) and write ``partitionBy(cell)`` — the postings-bucket
+    analogue for vectors. A query then scans only its probed cells via
+    partition-directory pruning (see ivf_read_topk; explain-audited)."""
+    (
+        ivf_assign(df, centroids, id_col, vec_col)
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ivf_read_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a materialized IVF index: driver-side nprobe centroid
+    argsort -> ``cell IN (probed)`` partition filter (only the probed
+    ``cell=N`` directories are listed/read — same mechanism as the
+    postings bucket pruning) -> exact cosine within the probed cells.
+    Result-identical to ivf_topk over the raw table (pytest)."""
+
+    def d2(c):
+        return sum((a - b) ** 2 for a, b in zip(query_vec, c))
+
+    probed = sorted(centroids, key=lambda t: (d2(t[1]), t[0]))[:nprobe]
+    probe_ids = [cid for cid, _ in probed]
+    cells = spark.read.parquet(path).filter(F.col("cell").isin(probe_ids))
+    return cosine_topk(cells, query_vec, k, id_col, vec_col)
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
