@@ -110,6 +110,22 @@ def main() -> None:
             lat.append(time.time() - t0)
         q[f"query_{name}_local_p50"] = round(statistics.median(lat), 4)
 
+    # hot-term serving: the same queries through a cache_terms engine
+    # (search heads cache hot posting lists; p50 here is the cache-hit
+    # number, the cold number is query_*_local_p50 above)
+    hot = SearchEngine.load(spark, index_dir)
+    hot._cache_cap = 256
+    for name, text in queries.items():
+        mode = "tfidf" if name.startswith("tfidf") else "bm25"
+        lat = []
+        for _ in range(9):
+            t0 = time.time()
+            hot.search_local(text, k=10, mode=mode)
+            lat.append(time.time() - t0)
+        q[f"query_{name}_local_hot_p50"] = round(
+            statistics.median(lat), 4
+        )
+
     # ---- batch serving: 20 queries in ONE Spark job ----------------------
     # vs ~0.5s/query of job scheduling on the per-query distributed path
     # (query_*_p50 above) — the bulk-scoring form a training pipeline uses

@@ -66,6 +66,11 @@ def main(argv=None):
         "--bucket-groups", type=int, default=1,
         help="resumable postings-rewrite units (same scheme as build)",
     )
+    m.add_argument(
+        "--docid-broadcast-limit", type=int, default=None,
+        help="updated-docid count above which the delta set ships as a "
+        "per-salt sidecar instead of a broadcast (default ~10^8)",
+    )
 
     d = sub.add_parser("delete")
     d.add_argument("--index", required=True)
@@ -87,6 +92,11 @@ def main(argv=None):
     v.add_argument("--port", type=int, default=8080)
     v.add_argument(
         "--path", choices=["wand", "exhaustive", "local"], default="local"
+    )
+    v.add_argument(
+        "--cache-terms", type=int, default=1024,
+        help="LRU hot-term posting cache for the local serving path "
+        "(0 disables)",
     )
 
     q = sub.add_parser("search")
@@ -117,6 +127,7 @@ def main(argv=None):
         eng = SearchEngine.merge(
             spark, args.base, args.delta, args.out, resume=args.resume,
             bucket_groups=args.bucket_groups,
+            docid_broadcast_limit=args.docid_broadcast_limit,
         )
         print(
             json.dumps(
@@ -178,7 +189,7 @@ def main(argv=None):
         from wiki_search_engine_spark.engine import SearchEngine
         from wiki_search_engine_spark.server import SearchServer
 
-        eng = SearchEngine.load(spark, args.index)
+        eng = SearchEngine(spark, args.index, cache_terms=args.cache_terms)
         server = SearchServer(
             eng, host=args.host, port=args.port, path_mode=args.path
         )

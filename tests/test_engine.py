@@ -351,3 +351,23 @@ def test_engine_rejects_old_format_version(spark, engine, index_dir,
         json.dump(meta, f)
     with _pytest.raises(ValueError, match="format_version"):
         SearchEngine.load(spark, old)
+
+
+def test_local_cache_rank_identical_and_bounded(spark, engine, index_dir,
+                                                fixture_queries):
+    """cache_terms LRU: identical results to the uncached path on every
+    fixture query (first and repeated hits), cache size stays bounded."""
+    from wiki_search_engine_spark.engine import SearchEngine
+
+    cached = SearchEngine.load(spark, index_dir)
+    cached._cache_cap = 8
+    for q in fixture_queries:
+        try:
+            exp = engine.search_local(q, k=10)
+        except Exception:
+            continue
+        assert cached.search_local(q, k=10) == exp, q
+        assert cached.search_local(q, k=10) == exp, q  # cache hit path
+        assert len(cached._term_cache) <= 8
+    cached.clear_cache()
+    assert not cached._term_cache

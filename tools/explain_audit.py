@@ -243,6 +243,28 @@ def main() -> None:
     else:
         print("PASS embedding_no_bucket_join")
 
+    # 11. materialized IVF: probe queries prune to cell directories
+    from wiki_search_engine_spark.operators.similarity import (
+        ivf_read_topk, ivf_write,
+    )
+
+    ivf_dir = f"{WORK}/ivf"
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    ]
+    if not os.path.exists(f"{ivf_dir}/_SUCCESS"):
+        ivf_write(emb, cents, ivf_dir)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    check(
+        "ivf_partition_pruning",
+        plan_of(ivf_read_topk(spark, ivf_dir, qv, cents, k=5, nprobe=2)),
+        must=[r"PartitionFilters: \[[^\]]*cell"],
+    )
+
     spark.stop()
     if FAILURES:
         print("\n".join("AUDIT FAIL: " + f for f in FAILURES))
