@@ -233,3 +233,94 @@ def test_export_index_formats(spark, tmp_path):
             X.export_index(df, str(tmp_path / "y"), "csv", single_file=True)
     finally:
         X.SINGLE_FILE_MAX_ROWS = saved
+
+
+def test_bounded_postings_rows(spark):
+    """MAX_POSTINGS_PER_ROW splits oversized (term, salt) groups into
+    several rows. Forced tiny cap: splits appear, every row stays under
+    the cap, decode/df/top-k are identical to the uncapped index, and
+    the merge kernel handles multi-row groups."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from wiki_search_engine_spark.operators.aggregates import (
+        corpus_stats, doc_stats,
+    )
+    from wiki_search_engine_spark.operators.merge import (
+        merge_postings_tables,
+    )
+    from wiki_search_engine_spark.operators.postings import (
+        build_postings, decode_postings_df,
+    )
+    from wiki_search_engine_spark.operators.tokenize import tokenize
+    from wiki_search_engine_spark.operators.wand import search_topk
+
+    rows = [
+        {"docid": i, "text": f"common word{i % 5} filler{i}"}
+        for i in range(200)
+    ]
+    tokens = tokenize(
+        spark.createDataFrame(pd.DataFrame(rows)), stem=False
+    )
+    st = corpus_stats(doc_stats(tokens)).collect()[0]
+    n, avgdl = int(st["N"]), float(st["avgdl"])
+
+    norm = build_postings(tokens, avgdl=avgdl, salt_bits=1)
+    cap = build_postings(
+        tokens, avgdl=avgdl, salt_bits=1, max_postings_per_row=7
+    )
+    rows_n, rows_c = norm.count(), cap.count()
+    assert rows_c > rows_n  # 'common' (df 200) must have split
+    per_row = cap.select(
+        F.aggregate(
+            "blocks", F.lit(0), lambda a, b: a + b["count"]
+        ).alias("p"),
+        "df_shard",
+    ).collect()
+    assert all(r["p"] <= 7 and r["p"] == r["df_shard"] for r in per_row)
+
+    def decoded(p):
+        return sorted(
+            (r["term"], r["docid"], r["tf"], r["doc_len"])
+            for r in decode_postings_df(p).collect()
+        )
+
+    assert decoded(cap) == decoded(norm)
+    df_of = lambda p: {
+        r["term"]: r["s"]
+        for r in p.groupBy("term")
+        .agg(F.sum("df_shard").alias("s"))
+        .collect()
+    }
+    assert df_of(cap) == df_of(norm)
+    for terms in (["common"], ["common", "word0"], ["word1", "filler7"]):
+        a = search_topk(cap, terms, n, avgdl, k=10).collect()
+        b = search_topk(norm, terms, n, avgdl, k=10).collect()
+        assert [(r["docid"], r["score"]) for r in a] == [
+            (r["docid"], r["score"]) for r in b
+        ], terms
+
+    # merge with multi-row base groups: purge docids 0..49, fold in a
+    # delta re-crawl of them
+    delta_rows = [
+        {"docid": i, "text": f"common newword{i % 3}"} for i in range(50)
+    ]
+    dtok = tokenize(
+        spark.createDataFrame(pd.DataFrame(delta_rows)), stem=False
+    )
+    dst = corpus_stats(doc_stats(dtok)).collect()[0]
+    updated = np.arange(50, dtype=np.int64)
+    kw = dict(
+        updated_docids=updated, avgdl_merged=avgdl,
+        f_base=1.0, f_delta=1.0,
+    )
+    m_cap = merge_postings_tables(
+        cap, build_postings(dtok, avgdl=float(dst["avgdl"]), salt_bits=1,
+                            max_postings_per_row=7), **kw
+    )
+    m_norm = merge_postings_tables(
+        norm, build_postings(dtok, avgdl=float(dst["avgdl"]),
+                             salt_bits=1), **kw
+    )
+    assert decoded(m_cap) == decoded(m_norm)

@@ -374,9 +374,18 @@ def merge_postings_tables(
             n = len(tbl)
             mask = new_group_mask(tbl)
             gid = np.cumsum(mask) - 1
-            gsize = np.bincount(gid)
-            in_two_row_group = gsize[gid] == 2
             src = tbl.column("src").to_numpy()
+            # collision = the (term, salt) group has rows from BOTH
+            # indexes (a group may hold several rows per source when
+            # bounded-row splits are active, postings.py
+            # MAX_POSTINGS_PER_ROW — so test source presence, not
+            # group size)
+            n_groups = int(gid[-1]) + 1 if n else 0
+            has_base = np.zeros(n_groups, dtype=bool)
+            has_delta = np.zeros(n_groups, dtype=bool)
+            np.logical_or.at(has_base, gid, src == 0)
+            np.logical_or.at(has_delta, gid, src == 1)
+            in_two_row_group = (has_base & has_delta)[gid]
             # docid set for the salts this table touches (broadcast mode
             # returns the full array — identical search results, since
             # other shards' docids lie outside every block range here)
@@ -401,7 +410,7 @@ def merge_postings_tables(
                 > 0
             )
             slow_row = in_two_row_group | ((src == 0) & row_hit)
-            grp_slow = np.zeros(gsize.size, dtype=bool)
+            grp_slow = np.zeros(n_groups, dtype=bool)
             np.logical_or.at(grp_slow, gid, slow_row)
             slow_mask = grp_slow[gid]
 

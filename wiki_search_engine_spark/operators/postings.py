@@ -16,15 +16,21 @@ are the term's delta+varbyte blocks for that docid range only. Why:
   postings for that docid range are present, so a per-shard top-k with OR
   semantics is exact and global top-k = merge of shard top-ks
   (document-sharded query processing, the standard web-search layout);
-- *no giant rows*: blocks of one term stay ≤ range size per row.
+- *no giant rows*: blocks of one term stay ≤ range size per row, and a
+  hard cap (MAX_POSTINGS_PER_ROW) splits any group that still exceeds
+  it into several rows — cell size is bounded regardless of term
+  frequency or salt_bits choice.
 
-``df_shard`` on every row is the term's document frequency WITHIN the
-shard. The global df (= posting-list length, which the reference also
-recomputes at query time, mongoService.js:32 / SURVEY §8.Q7) is the sum of
-a term's shard dfs — aggregated per query over the handful of candidate
-rows. Storing the shard-local value avoids a window/join over the full
-block table at build time (that would re-shuffle every compressed block a
-second time just to attach one integer).
+``df_shard`` on every row counts the postings in that ROW. The global df
+(= posting-list length, which the reference also recomputes at query
+time, mongoService.js:32 / SURVEY §8.Q7) is the sum of a term's row dfs —
+aggregated per query over the handful of candidate rows. Storing the
+row-local value avoids a window/join over the full block table at build
+time (that would re-shuffle every compressed block a second time just to
+attach one integer). Scoring treats each row as an independent posting
+list with the term's global df: per-posting contributions are
+independent, so split rows accumulate identical scores, and per-list
+block-max bounds stay sound upper bounds.
 
 ``bucket`` = md5-based hash of term mod n_buckets — the table's partition
 directory key. It is computed with plain Python md5 (not Spark xxhash64)
@@ -95,6 +101,38 @@ def term_bucket_col(term_col, n_buckets: int = DEFAULT_BUCKETS):
     ).cast("int")
 
 
+# Upper bound on postings per OUTPUT ROW. A (term, salt) group larger
+# than this splits into several rows (each a self-contained run of
+# docid-sorted blocks; delta encoding re-baselines per row). Readers are
+# split-agnostic: scoring treats each row as an independent posting list
+# with the term's GLOBAL df, which accumulates identical scores and
+# keeps block-max bounds sound; df aggregation sums df_shard over rows.
+# Why it matters at 10^12 docs: a stopword's shard (~df/2^salt_bits
+# postings) would otherwise be one multi-GB parquet cell — beyond Arrow
+# list-offset comfort and unreadable without loading it whole. 2^22
+# postings ~= 21 MB of varbyte per row keeps cells bounded REGARDLESS of
+# term frequency, instead of relying on operators raising salt_bits.
+MAX_POSTINGS_PER_ROW = 1 << 22
+
+
+def split_oversized_groups(
+    new_group: "np.ndarray", cap: int
+) -> "np.ndarray":
+    """Inject extra group starts so no group exceeds ``cap`` postings.
+    Python-loops only over the (rare) oversized groups."""
+    import numpy as np
+
+    starts = np.flatnonzero(new_group)
+    sizes = np.diff(np.append(starts, len(new_group)))
+    big = sizes > cap
+    if not big.any():
+        return new_group
+    out = new_group.copy()
+    for s, size in zip(starts[big], sizes[big]):
+        out[s + cap : s + size : cap] = True
+    return out
+
+
 def encode_groups_arrow(
     term_per_row,
     salts: "np.ndarray",
@@ -105,19 +143,25 @@ def encode_groups_arrow(
     doclens: "np.ndarray",
     avgdl: float,
     block_size: int = BLOCK_SIZE,
+    max_postings_per_row: int = MAX_POSTINGS_PER_ROW,
 ):
     """One flat vectorized encode of many (term, salt) groups -> a
     POSTINGS_SCHEMA RecordBatch. ``term_per_row`` is a pyarrow
     StringArray aligned with the posting rows (only group-start entries
     are ever materialized into Python); ``new_group`` marks group starts
-    over rows sorted by (group, docid). Shared by the build encoder
-    (build_postings) and the incremental-merge re-encode path
-    (operators/merge.py)."""
+    over rows sorted by (group, docid). Groups above
+    ``max_postings_per_row`` split into multiple rows (see
+    MAX_POSTINGS_PER_ROW). Shared by the build encoder (build_postings)
+    and the incremental-merge re-encode path (operators/merge.py)."""
     import numpy as np
     import pyarrow as pa
 
     from .codec import encode_partition_flat
 
+    if max_postings_per_row:
+        new_group = split_oversized_groups(
+            new_group, max_postings_per_row
+        )
     (
         starts, sizes, bpg_counts,
         first_docid, last_docid, block_counts, max_u, max_tf,
@@ -168,9 +212,14 @@ def build_postings(
     block_size: int = BLOCK_SIZE,
     n_buckets: int = DEFAULT_BUCKETS,
     num_partitions: int | None = None,
+    max_postings_per_row: int = MAX_POSTINGS_PER_ROW,
 ) -> DataFrame:
     """tokens (docid, term, tf, doc_len) -> (term, salt, df_shard, bucket,
-    blocks). Exactly ONE shuffle (repartition by term+salt)."""
+    blocks). Exactly ONE shuffle (repartition by term+salt).
+    ``df_shard`` counts the postings in ITS ROW; a (term, salt) group
+    larger than ``max_postings_per_row`` spans several rows, so shard df
+    = sum of the group's rows and global df = sum over all of a term's
+    rows (what term_stats and the query paths already compute)."""
     shift = 63 - salt_bits
     if num_partitions is None:
         # explicit N: an unsized repartition gets AQE-coalesced (possibly
@@ -249,6 +298,7 @@ def build_postings(
                 tbl.column("doc_len").to_numpy(),
                 avgdl=avgdl,
                 block_size=block_size,
+                max_postings_per_row=max_postings_per_row,
             )
 
         for batch in batches:

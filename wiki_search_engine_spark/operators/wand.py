@@ -189,12 +189,14 @@ def search_topk_many(
     n_shards = max(n_shards, 1)
 
     def kernel(key, pdf):
+        # a term may span several rows in a shard (bounded-row splits,
+        # postings.py MAX_POSTINGS_PER_ROW) — extend, never overwrite
         by_term: dict[str, list] = {}
         for term, blocks in zip(pdf["term"], pdf["blocks"]):
             if len(blocks) and term in df_map:
-                by_term[term] = [
+                by_term.setdefault(term, []).extend(
                     b if isinstance(b, dict) else b.asDict() for b in blocks
-                ]
+                )
         out_q, out_d, out_s = [], [], []
         for qid, terms in queries.items():
             term_lists = [
