@@ -425,6 +425,29 @@ class SearchEngine:
             n_shards=1 << self.salt_bits,
         )
 
+    def lookup_docs(
+        self, docids: list[int], with_images: bool = True
+    ) -> list[dict]:
+        """Point-lookup hydration: the reference's result fetch
+        (mongoService.js:75-113, ``find({_id: {$in: ids}})`` over the
+        _id B-tree) as a driver-side PRUNED parquet read — the docs
+        table is docid-sorted within files, so the In filter prunes row
+        groups via footer min/max stats. No Spark job and no full docs
+        scan: at 10^12 docs a full-scan hydration join would dwarf the
+        query itself; here cost tracks k (<= 50), not corpus size."""
+        import pyarrow.parquet as pq
+
+        if not docids:
+            return []
+        cols = ["docid", "url", "title", "snippet"]
+        if with_images:
+            cols += ["images", "image_count"]
+        return pq.read_table(
+            f"{self.index_dir}/docs",
+            columns=cols,
+            filters=[("docid", "in", [int(d) for d in docids])],
+        ).to_pylist()
+
     def search(
         self,
         query: str,
@@ -519,11 +542,14 @@ class SearchEngine:
             for r in ids
         ]
         score_map = dict(id_rows)
+        # result hydration is a point lookup over the k result ids —
+        # never a second search and never a docs-table scan/join
         docs = span(
             "fetch_results",
-            lambda: self.search(
-                query, k=k, mode=mode, path=path, with_images=True
-            ).collect(),
+            lambda: sorted(
+                self.lookup_docs([d for d, _ in id_rows]),
+                key=lambda r: (-score_map[r["docid"]], r["docid"]),
+            ),
         )
         text_result = [
             {
@@ -531,7 +557,7 @@ class SearchEngine:
                 "chunkedBody": r["snippet"],
                 "url": r["url"],
                 "file_id": str(r["docid"]),
-                "score": score_map.get(r["docid"], r["score"]),
+                "score": score_map[r["docid"]],
             }
             for r in docs
         ]
