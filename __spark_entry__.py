@@ -120,6 +120,25 @@ FROM contrib GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT {k}"""
 
 
+def _live_corpus_bm25_sql() -> str:
+    """BM25 over the live corpus after the re-crawl (docs < 300
+    original, >= 300 with appended delta terms) — the shared oracle for
+    the compacted (merged_index_bm25) and tiered (tiered_bm25) forms."""
+    return (
+        _bm25_sql(["table", "scan", "mergedelta"], 50, "bm25")
+        .replace("FROM documents", "FROM corpus")
+        .replace(
+            "\nWITH ",
+            "\nWITH corpus AS ("
+            "SELECT doc_id, text FROM documents WHERE doc_id < 300 "
+            "UNION ALL "
+            "SELECT doc_id, text || ' mergedelta mergedelta' AS text "
+            "FROM documents WHERE doc_id >= 300),\n",
+            1,
+        )
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -708,6 +727,75 @@ def q_merged_index_bm25(spark, sf_dir):
 N_MEDIA = 200
 
 
+def _tiered_dirs(spark, sf_dir) -> tuple[str, str]:
+    """Base + re-crawl-delta segment indexes over the documents table
+    (cached per sf; same corpus split as merged_index_bm25). The corpus
+    is pre-keyed: docid = doc_id, so results align with the oracle."""
+    import json
+    import os
+
+    from wiki_search_engine_spark.plans.build import build_index
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    root = f"/tmp/wse_tiered{tag}"
+    base_dir, delta_dir = f"{root}/base", f"{root}/delta"
+
+    def done(d):
+        p = f"{d}/manifest.json"
+        return os.path.exists(p) and "all" in json.load(open(p))
+
+    if not (done(base_dir) and done(delta_dir)):
+        docs = _docs(spark, sf_dir)
+
+        def prep(df):
+            return df.select(
+                F.col("doc_id").cast("long").alias("docid"),
+                F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+                "text",
+            )
+
+        base = prep(docs.filter(F.col("doc_id") < 400))
+        delta = prep(docs.filter(F.col("doc_id") >= 300)).withColumn(
+            "text",
+            F.concat(F.col("text"), F.lit(" mergedelta mergedelta")),
+        )
+        build_index(
+            spark, base, base_dir, stem=False, n_buckets=16,
+            bucket_groups=1, salt_bits=2,
+        )
+        build_index(
+            spark, delta, delta_dir, stem=False, n_buckets=16,
+            bucket_groups=1, salt_bits=2,
+        )
+    return base_dir, delta_dir
+
+
+def q_tiered_bm25(spark, sf_dir):
+    """Tiered (segment) serving WITHOUT compaction: base index + delta
+    index queried as one (wiki_search_engine_spark/tiered.py) — stale
+    base postings tombstoned, df/N/avgdl computed over LIVE docs, so
+    scores must equal BM25 over the live corpus exactly (same oracle as
+    merged_index_bm25; pytest additionally asserts tiered == the
+    compacted index)."""
+    import pandas as pd
+
+    from wiki_search_engine_spark.tiered import TieredEngine
+
+    base_dir, delta_dir = _tiered_dirs(spark, sf_dir)
+    eng = TieredEngine(spark, [base_dir, delta_dir])
+    rows = eng.search_local("table scan mergedelta", k=50, mode="bm25")
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": pd.array(
+                    [d for d, _ in rows], dtype="int64"
+                ),
+                "score": [round(s, 6) for _, s in rows],
+            }
+        )
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal decode: synthetic binary payloads with VALID
     PNG/JPEG/GIF headers -> Arrow-batched codec-free header parse
@@ -1131,6 +1219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_stemmed": q_bm25_stemmed,
         "bm25_batch": q_bm25_batch,
         "merged_index_bm25": q_merged_index_bm25,
+        "tiered_bm25": q_tiered_bm25,
         "media_features": q_media_features,
     }
 
@@ -1189,20 +1278,11 @@ FROM tf JOIN qdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s""",
         ),
         # merged-index query == BM25 over the EXPECTED merged corpus:
         # originals below the re-crawl range, modified text at and above
-        # it (delta wins) — same corpus-override applied inside the CTE
-        "merged_index_bm25": _bm25_sql(
-            ["table", "scan", "mergedelta"], 50, "bm25"
-        )
-        .replace("FROM documents", "FROM corpus")
-        .replace(
-            "\nWITH ",
-            "\nWITH corpus AS ("
-            "SELECT doc_id, text FROM documents WHERE doc_id < 300 "
-            "UNION ALL "
-            "SELECT doc_id, text || ' mergedelta mergedelta' AS text "
-            "FROM documents WHERE doc_id >= 300),\n",
-            1,
-        ),
+        # it (delta wins) — same corpus-override applied inside the CTE.
+        # tiered_bm25 serves the SAME live corpus without compaction
+        # (segments + tombstones), so it shares the oracle.
+        "merged_index_bm25": _live_corpus_bm25_sql(),
+        "tiered_bm25": _live_corpus_bm25_sql(),
         "search_hydrated": f"""
 WITH ranked AS ({_bm25_sql(Q_MAIN, 10, "bm25")})
 SELECT r.doc_id, r.score, {_SNIPPET_SQL} AS snippet

@@ -305,3 +305,65 @@ def test_big_delta_partitioned_path_equals_broadcast(
     assert (eng.n, round(eng.avgdl, 9)) == (
         merged.n, round(merged.avgdl, 9),
     )
+
+
+def test_tiered_serving_equals_merged(spark, merged_and_full,
+                                      fixture_queries):
+    """TieredEngine([base, delta]) must serve rank- AND score-identical
+    results to the compacted (merged) index — including re-crawled docs
+    (tombstoned stale postings, exact live df/N/avgdl) — plus identical
+    stats and override-aware hydration."""
+    import math
+
+    from wiki_search_engine_spark.tiered import TieredEngine
+
+    merged, _full = merged_and_full
+    base_dir = merged.index_dir.replace("merged", "base")
+    delta_dir = merged.index_dir.replace("merged", "delta")
+    tiered = TieredEngine(spark, [base_dir, delta_dir])
+
+    assert tiered.n == merged.n
+    assert math.isclose(tiered.avgdl, merged.avgdl, rel_tol=1e-12)
+    assert tiered.total_length == merged.total_length
+
+    import pytest as _p
+
+    queries = list(fixture_queries) + ["mergedelta"]
+    checked = 0
+    for q in queries:
+        for mode in ("bm25", "tfidf"):
+            try:
+                exp = merged.search_local(q, k=10, mode=mode)
+            except Exception:
+                continue
+            got = tiered.search_local(q, k=10, mode=mode)
+            assert [d for d, _ in got] == [d for d, _ in exp], (q, mode)
+            for (_, a), (_, b) in zip(got, exp):
+                assert math.isclose(a, b, rel_tol=1e-9), (q, mode)
+            checked += 1
+    assert checked >= 8
+
+    # hydration: later segment wins for re-crawled docids
+    ids = [d for d, _ in merged.search_local(fixture_queries[0], k=5)]
+    if ids:
+        got = {r["docid"]: r["url"] for r in tiered.lookup_docs(ids)}
+        exp = {r["docid"]: r["url"] for r in merged.lookup_docs(ids)}
+        assert got == exp
+
+    # incompatible segment configs are rejected
+    import pandas as pd
+
+    from wiki_search_engine_spark.engine import SearchEngine
+
+    SearchEngine.build(
+        spark,
+        spark.createDataFrame(
+            pd.DataFrame(
+                [{"url": "https://x/1", "text": "tiny corpus body"}]
+            )
+        ),
+        merged.index_dir + "_badcfg",
+        stem=True, n_buckets=4, bucket_groups=1, salt_bits=1,
+    )
+    with _p.raises(ValueError, match="config"):
+        TieredEngine(spark, [base_dir, merged.index_dir + "_badcfg"])

@@ -51,7 +51,11 @@ def with_docid(corpus: DataFrame, id_col: str = "url") -> DataFrame:
     The reference's docid is md5(url) (Crawler/crawler.py:324,
     insertIndex.py:63); we use xxhash64 >> 1 (non-negative so varbyte
     deltas on the signed-sorted order are valid) — same role, cheaper,
-    JVM-side."""
+    JVM-side. A corpus that already carries a ``docid`` column is
+    trusted as pre-keyed (external doc ids) and passes through — the
+    caller owns non-negativity and stability in that case."""
+    if "docid" in corpus.columns:
+        return corpus
     return corpus.withColumn(
         "docid", F.shiftrightunsigned(F.xxhash64(F.col(id_col)), 1)
     )

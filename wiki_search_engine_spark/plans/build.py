@@ -324,9 +324,12 @@ def _build_stages(
     # fixed cost (the reference's analogue is metaDataInsert.py:26-48)
     if not manifest.is_done("stats"):
         t0 = time.time()
-        doc_stats(tokens).write.mode("overwrite").parquet(
-            f"{index_dir}/doc_stats"
-        )
+        # docid-sorted within files (like docs/): point lookups by docid
+        # prune row groups — tiered serving reads the overridden docs'
+        # lengths this way at segment-load time
+        doc_stats(tokens).sortWithinPartitions("docid").write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/doc_stats")
         import os
 
         import pyarrow as pa
