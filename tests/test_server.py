@@ -85,3 +85,25 @@ def test_concurrent_requests(server, fixture_queries):
     qs = [q for q in fixture_queries[:4] if q.strip()] * 3
     with concurrent.futures.ThreadPoolExecutor(max_workers=6) as ex:
         assert all(ex.map(one, qs))
+
+
+def test_server_over_tiered_engine(spark, engine, index_dir):
+    """SearchServer serves a TieredEngine unmodified (single segment ==
+    the plain index): the reference contract holds over segments too."""
+    from wiki_search_engine_spark.server import start_server
+    from wiki_search_engine_spark.tiered import TieredEngine
+
+    srv = start_server(
+        TieredEngine(spark, [index_dir]), port=0, path_mode="local"
+    )
+    try:
+        q = urllib.parse.quote("document body words")
+        with _get(srv, f"/query-stem?query={q}&optionName=bm25&k=3") as r:
+            assert r.status == 200
+            body = json.loads(r.read())
+        assert isinstance(body["textResult"], list)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(srv, "/query-stem?query=%20")
+        assert ei.value.code == 400
+    finally:
+        srv.shutdown()

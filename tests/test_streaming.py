@@ -261,3 +261,77 @@ def test_streaming_index_maintenance(spark, tmp_path):
         except Exception:
             continue
         assert got == exp, q
+
+
+def test_streaming_segment_maintenance(spark, tmp_path):
+    """Tiered maintenance loop: every micro-batch becomes a segment
+    (batch-sized IO), serving through TieredEngine is exact at every
+    stage, and crossing compact_after folds the segments into one base
+    whose results are unchanged."""
+    import os
+
+    import pandas as pd
+
+    from tests.conftest import SEED
+    from wiki_search_engine_spark.engine import SearchEngine
+    from wiki_search_engine_spark.sources.synth import doc_row
+    from wiki_search_engine_spark.tiered import (
+        TieredEngine, list_segments, maintain_segments_incremental,
+    )
+
+    seg_dir = str(tmp_path / "segments")
+    stream_dir = tmp_path / "landed"
+    stream_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    cfg = dict(n_buckets=8, salt_bits=2, stem=True, analyzer="porter")
+
+    def land(rows, name):
+        spark.createDataFrame(pd.DataFrame(rows)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stream_dir / name))
+
+    def drain():
+        q = maintain_segments_incremental(
+            spark, str(stream_dir) + "/*", seg_dir, ckpt,
+            base_config=cfg, compact_after=2,
+        )
+        q.awaitTermination(180)
+
+    def rebuild(rows, name):
+        d = str(tmp_path / name)
+        SearchEngine.build(
+            spark, spark.createDataFrame(pd.DataFrame(rows)), d,
+            stem=True, n_buckets=8, bucket_groups=1, salt_bits=2,
+        )
+        return SearchEngine.load(spark, d)
+
+    def assert_equal(expected_rows, name):
+        ref = rebuild(expected_rows, name)
+        tiered = TieredEngine(spark, list_segments(seg_dir))
+        assert tiered.n == ref.n
+        q = expected_rows[0]["text"].split()[0]
+        assert tiered.search_local(q, k=10) == ref.search_local(q, k=10)
+
+    b0 = [doc_row(i, SEED) for i in range(30)]
+    b1 = [doc_row(i, 7) for i in range(10, 20)] + [
+        doc_row(i, SEED) for i in range(30, 40)
+    ]
+    b2 = [doc_row(i, SEED) for i in range(40, 50)]
+
+    land(b0, "b0")
+    drain()
+    assert len(list_segments(seg_dir)) == 1
+    assert_equal(b0, "ref0")
+
+    land(b1, "b1")
+    drain()
+    assert len(list_segments(seg_dir)) == 2
+    live1 = [r for i, r in enumerate(b0) if i not in range(10, 20)] + b1
+    assert_equal(live1, "ref1")
+
+    land(b2, "b2")
+    drain()
+    segs = list_segments(seg_dir)
+    assert len(segs) == 1 and segs[0].endswith("_compacted"), segs
+    assert os.path.isdir(f"{segs[0]}/postings")
+    assert_equal(live1 + b2, "ref2")

@@ -202,6 +202,92 @@ class TieredEngine:
         idx = np.lexsort((uniq, -acc))[: min(k, uniq.size)]
         return [(int(uniq[i]), float(acc[i])) for i in idx]
 
+    def query_response(
+        self, query: str, option_name: str = "tfidf", k: int = 50,
+        path: str = "local",
+    ) -> dict:
+        """The reference HTTP response shape over tiered serving — same
+        contract as SearchEngine.query_response (engine.py), scoring via
+        search_local and hydration via the override-aware point lookup;
+        zero Spark jobs. ``path`` accepted for SearchServer
+        compatibility; tiered serving is always the local path."""
+        import time
+
+        from .engine import EmptyQueryError, sys_snapshot
+
+        mode = (option_name or "tfidf").lower()
+        if mode not in ("tfidf", "bm25"):
+            mode = "tfidf"
+        t_all = time.time()
+        measures = []
+
+        def span(name, fn):
+            t0 = time.time()
+            out = fn()
+            measures.append(
+                {"name": name,
+                 "duration_ms": round(1000 * (time.time() - t0), 3)}
+            )
+            return out
+
+        try:
+            span(
+                "validate_input",
+                lambda: (_ for _ in ()).throw(
+                    EmptyQueryError("Empty query")
+                )
+                if not query or not query.strip()
+                else None,
+            )
+            terms = span("stem_query", lambda: self.analyze(query))
+        except EmptyQueryError:
+            return {
+                "success": False, "result": [], "error": "Empty query",
+            }
+        ids = span(
+            "get_documents",
+            lambda: self.search_local(query, k=k, mode=mode),
+        )
+        score_map = dict(ids)
+        docs = span(
+            "fetch_results",
+            lambda: sorted(
+                self.lookup_docs([d for d, _ in ids]),
+                key=lambda r: (-score_map[r["docid"]], r["docid"]),
+            ),
+        )
+        text_result = [
+            {
+                "docId": r["title"],
+                "chunkedBody": r["snippet"],
+                "url": r["url"],
+                "file_id": str(r["docid"]),
+                "score": score_map[r["docid"]],
+            }
+            for r in docs
+        ]
+        image_result = span(
+            "get_image_filenames",
+            lambda: [
+                img["image_id"]
+                for r in docs
+                for img in (r.get("images") or [])
+            ],
+        )
+        measures.append(
+            {"name": "total_request",
+             "duration_ms": round(1000 * (time.time() - t_all), 3)}
+        )
+        return {
+            "imageResult": image_result,
+            "textResult": text_result,
+            "searchTime": round(time.time() - t_all, 3),
+            "profile": {
+                "measures": measures, "sysSnapshot": sys_snapshot(),
+            },
+            "query_terms": terms,
+        }
+
     def lookup_docs(
         self, docids: list[int], with_images: bool = True
     ) -> list[dict]:
@@ -212,3 +298,131 @@ class TieredEngine:
             for row in eng.lookup_docs(docids, with_images=with_images):
                 out[row["docid"]] = row
         return [out[d] for d in docids if d in out]
+
+
+def compact(
+    spark: SparkSession,
+    index_dirs: list[str],
+    out_dir: str,
+    work_dir: str | None = None,
+) -> str:
+    """Fold segments [base, batch1, ...] (oldest first) into one index
+    at ``out_dir`` — the offline compaction policy behind TieredEngine.
+    Pairwise left folds via plans/merge.py (delta wins per docid at each
+    step == last segment wins overall, matching tiered override order).
+    Intermediate results live under ``work_dir`` (default: siblings of
+    out_dir) and are removed on success."""
+    import shutil
+
+    from .plans.merge import merge_indexes
+
+    if len(index_dirs) < 2:
+        raise ValueError("compaction needs at least two segments")
+    work_dir = work_dir or f"{out_dir}_work"
+    cur = index_dirs[0]
+    tmp_dirs = []
+    for i, delta in enumerate(index_dirs[1:]):
+        dst = (
+            out_dir
+            if i == len(index_dirs) - 2
+            else f"{work_dir}/fold_{i}"
+        )
+        merge_indexes(spark, cur, delta, dst)
+        tmp_dirs.append(dst)
+        cur = dst
+    for d in tmp_dirs[:-1]:
+        shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(work_dir, ignore_errors=True)
+    return out_dir
+
+
+def maintain_segments_incremental(
+    spark: SparkSession,
+    input_dir: str,
+    segments_dir: str,
+    checkpoint_dir: str,
+    base_config: dict | None = None,
+    compact_after: int = 4,
+    available_now: bool = True,
+):
+    """Streaming TIERED index maintenance — the batch-IO-proportional
+    form of streaming/ingest.py maintain_index_incremental: every
+    micro-batch of landed pages becomes its OWN segment index under
+    ``segments_dir/seg_<epoch>`` (batch-sized IO, nothing rewritten);
+    when the segment count exceeds ``compact_after`` the segments fold
+    into a new base via ``compact`` and the folded segments retire.
+    Serving reads ``list_segments(segments_dir)`` through TieredEngine
+    at any point — before, during, or after compaction — and always
+    sees the same logical corpus (pytest).
+
+    ``base_config``: build knobs for new segments (n_buckets/salt_bits/
+    stem/analyzer), defaulting to the existing base's meta; required for
+    the first-ever segment."""
+    import json
+    import os
+    import shutil
+
+    from .engine import SearchEngine
+
+    from .streaming.ingest import stream_corpus
+
+    os.makedirs(segments_dir, exist_ok=True)
+
+    def config() -> dict:
+        segs = list_segments(segments_dir)
+        if segs:
+            with open(f"{segs[0]}/meta.json") as f:
+                m = json.load(f)
+            return {
+                "n_buckets": m["n_buckets"], "salt_bits": m["salt_bits"],
+                "stem": m["stem"], "analyzer": m["analyzer"],
+            }
+        if base_config is None:
+            raise ValueError(
+                "no existing segments: pass base_config for the first "
+                "segment build"
+            )
+        return dict(base_config)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        cfg = config()
+        stem = cfg.pop("stem", True)
+        seg = f"{segments_dir}/seg_{batch_id:08d}"
+        shutil.rmtree(seg, ignore_errors=True)
+        tmp = seg + ".building"
+        shutil.rmtree(tmp, ignore_errors=True)
+        SearchEngine.build(
+            spark, batch_df, tmp, stem=stem, bucket_groups=1, **cfg
+        )
+        os.rename(tmp, seg)  # segments appear atomically
+        segs = list_segments(segments_dir)
+        if len(segs) > compact_after:
+            new_base = f"{segments_dir}/seg_{batch_id:08d}_compacted"
+            compact(spark, segs, new_base + ".building")
+            os.rename(new_base + ".building", new_base)
+            for d in segs:
+                shutil.rmtree(d, ignore_errors=True)
+
+    writer = (
+        stream_corpus(spark, input_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def list_segments(segments_dir: str) -> list[str]:
+    """Live segments oldest-first (completed ``seg_*`` dirs only; a
+    ``*_compacted`` base sorts before the batches that followed it
+    because it carries its fold batch's id)."""
+    import os
+
+    return [
+        os.path.join(segments_dir, e)
+        for e in sorted(os.listdir(segments_dir))
+        if e.startswith("seg_") and not e.endswith(".building")
+    ]
