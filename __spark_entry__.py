@@ -99,7 +99,9 @@ def _sql_terms(terms: list[str]) -> str:
     return f"qterms AS (SELECT unnest([{inner}]) AS term)"
 
 
-def _bm25_sql(terms: list[str], k: int, mode: str = "bm25") -> str:
+def _bm25_sql(
+    terms: list[str], k: int, mode: str = "bm25", semantics: str = "or"
+) -> str:
     if mode == "bm25":
         part = (
             f"ln((s.n - q.df + 0.5)/(q.df + 0.5) + 1) * tf.tf * {K1 + 1.0} "
@@ -107,16 +109,21 @@ def _bm25_sql(terms: list[str], k: int, mode: str = "bm25") -> str:
         )
     else:
         part = "tf.tf * ln(s.n / q.df)"
+    having = (
+        f"\nHAVING count(DISTINCT term) = {len(set(terms))}"
+        if semantics == "and"
+        else ""
+    )
     return f"""
 WITH {SQL_TOKS}, {SQL_TF}, {SQL_DL}, {SQL_STATS}, {_sql_terms(terms)},
 qdf AS (
   SELECT term, count(*)::BIGINT AS df FROM tf
   WHERE term IN (SELECT term FROM qterms) GROUP BY 1),
 contrib AS (
-  SELECT tf.doc_id, {part} AS part
+  SELECT tf.doc_id, tf.term, {part} AS part
   FROM tf JOIN qdf q USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s)
 SELECT doc_id, round(sum(part), 6) AS score
-FROM contrib GROUP BY doc_id
+FROM contrib GROUP BY doc_id{having}
 ORDER BY score DESC, doc_id LIMIT {k}"""
 
 
@@ -164,6 +171,7 @@ def _score_query(
     k: int,
     mode: str,
     path: str = "exhaustive",
+    semantics: str = "or",
 ) -> DataFrame:
     from wiki_search_engine_spark.operators.postings import build_postings
     from wiki_search_engine_spark.operators.scoring import score_exhaustive
@@ -175,7 +183,10 @@ def _score_query(
         postings = build_postings(tokens, avgdl=avgdl, salt_bits=2)
         res = search_topk(postings, terms, n, avgdl, k=2 * k, mode=mode)
     else:
-        res = score_exhaustive(tokens, terms, n, avgdl, k=None, mode=mode)
+        res = score_exhaustive(
+            tokens, terms, n, avgdl, k=None, mode=mode,
+            semantics=semantics,
+        )
     return (
         res.select(
             F.col("docid").cast("long").alias("doc_id"),
@@ -278,6 +289,14 @@ def q_bm25_mid(spark, sf_dir):
 
 def q_bm25_or_semantics(spark, sf_dir):
     return _score_query(spark, sf_dir, Q_OR, 50, "bm25", "exhaustive")
+
+
+def q_bm25_and_semantics(spark, sf_dir):
+    """Conjunctive retrieval: only docs containing EVERY query term
+    (list-intersection form; operators/scoring.py semantics='and')."""
+    return _score_query(
+        spark, sf_dir, Q_MAIN, 50, "bm25", "exhaustive", semantics="and"
+    )
 
 
 def q_bm25_single_term(spark, sf_dir):
@@ -1194,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top50": q_tfidf_top50,
         "bm25_mid_wand": q_bm25_mid,
         "bm25_or_semantics": q_bm25_or_semantics,
+        "bm25_and_semantics": q_bm25_and_semantics,
         "bm25_single_term_wand": q_bm25_single_term,
         "search_hydrated": q_search_hydrated,
         "dedup_exact": q_dedup_exact,
@@ -1267,6 +1287,9 @@ FROM tf JOIN qdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s""",
         "tfidf_top50": _bm25_sql(Q_MAIN, 50, "tfidf"),
         "bm25_mid_wand": _bm25_sql(Q_MID, 50, "bm25"),
         "bm25_or_semantics": _bm25_sql(Q_OR, 50, "bm25"),
+        "bm25_and_semantics": _bm25_sql(
+            Q_MAIN, 50, "bm25", semantics="and"
+        ),
         "bm25_single_term_wand": _bm25_sql(Q_ONE, 20, "bm25"),
         "bm25_batch": " UNION ALL ".join(
             f"SELECT {qid} AS query_id, doc_id, score FROM ({sql})"

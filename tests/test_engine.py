@@ -371,3 +371,38 @@ def test_local_cache_rank_identical_and_bounded(spark, engine, index_dir,
         assert len(cached._term_cache) <= 8
     cached.clear_cache()
     assert not cached._term_cache
+
+
+def test_and_semantics(spark, engine, oracle, fixture_queries):
+    """Conjunctive retrieval: every AND result contains every query
+    term; AND results are a subset of OR results with identical scores;
+    a query with an absent term returns nothing."""
+    q = fixture_queries[0] + " " + fixture_queries[1]
+    terms = engine.analyze(q)
+    got_and = {
+        r["docid"]: r["score"]
+        for r in engine.search_ids(
+            q, k=50, mode="bm25", semantics="and"
+        ).collect()
+    }
+    got_or = {
+        r["docid"]: r["score"]
+        for r in engine.search_ids(
+            q, k=500, mode="bm25", path="exhaustive"
+        ).collect()
+    }
+    assert got_and
+    for d, s in got_and.items():
+        assert abs(got_or[d] - s) < 1e-9
+        assert all(d in oracle.postings[t] for t in terms), d
+    # OR-only docs (missing some term) are excluded
+    partial = [
+        d for d in got_or
+        if not all(d in oracle.postings[t] for t in terms)
+    ]
+    assert all(d not in got_and for d in partial)
+    assert (
+        engine.search_ids(
+            f"{fixture_queries[0]} zzznotaword", semantics="and"
+        ).count() == 0
+    )

@@ -351,11 +351,17 @@ class SearchEngine:
         k: int = 50,
         mode: str = "bm25",
         path: str = "wand",
+        semantics: str = "or",
     ) -> DataFrame:
         """Top-k (docid, score). ``path``: 'wand' = block-max pruned kernel;
         'exhaustive' = decode + Catalyst aggregation (oracle path);
         'local' = driver-side serve (see search_local) wrapped back into
-        a DataFrame."""
+        a DataFrame. ``semantics='and'`` (conjunctive retrieval — every
+        query term required) routes through the exhaustive path: AND
+        prunes the candidate set to the intersection, so the block-max
+        machinery has nothing extra to skip."""
+        if semantics == "and":
+            path = "exhaustive"
         terms = self.analyze(query)
         if not terms:
             return self.spark.createDataFrame([], "docid long, score double")
@@ -383,7 +389,10 @@ class SearchEngine:
         flat = decode_postings_df(
             postings.filter(F.col("term").isin(terms))
         )
-        return score_exhaustive(flat, terms, self.n, self.avgdl, k, mode)
+        return score_exhaustive(
+            flat, terms, self.n, self.avgdl, k, mode,
+            semantics=semantics,
+        )
 
     def search_many(
         self, queries: list[str], k: int = 50, mode: str = "bm25"

@@ -49,6 +49,7 @@ def score_exhaustive(
     avgdl: float,
     k: int | None = 50,
     mode: str = "bm25",
+    semantics: str = "or",
 ) -> DataFrame:
     """Top-k (docid, score) over a token/posting relation.
 
@@ -56,7 +57,14 @@ def score_exhaustive(
     (functions.analyzer.analyze_query). ``k=None`` returns ALL scored docs
     unordered (caller applies its own ordering/limit) — never pass a huge k
     instead: orderBy().limit(k) plans a size-k TakeOrderedAndProject heap
-    per partition."""
+    per partition.
+
+    ``semantics``: 'or' (the reference's accumulate-any, default) or
+    'and' — conjunctive retrieval: only docs containing EVERY query term
+    score (the web-search list-intersection form; expressed as the same
+    single aggregation plus a distinct-term count, so Catalyst plans one
+    hash aggregate — no join chain per term). A query term absent from
+    the corpus empties the AND result by definition."""
     if not query_terms:
         return (
             tokens.sparkSession.createDataFrame(
@@ -70,7 +78,20 @@ def score_exhaustive(
     df_w = Window.partitionBy("term")
     matched = matched.withColumn("df", F.count("*").over(df_w))
     scored = matched.withColumn("partial", score_expr(mode, n, avgdl))
-    agg = scored.groupBy("docid").agg(F.sum("partial").alias("score"))
+    if semantics == "and":
+        agg = (
+            scored.groupBy("docid")
+            .agg(
+                F.sum("partial").alias("score"),
+                F.count_distinct("term").alias("_nt"),
+            )
+            .filter(F.col("_nt") == len(set(query_terms)))
+            .drop("_nt")
+        )
+    elif semantics == "or":
+        agg = scored.groupBy("docid").agg(F.sum("partial").alias("score"))
+    else:
+        raise ValueError(f"unknown semantics: {semantics}")
     if k is None:
         return agg
     return agg.orderBy(F.desc("score"), F.asc("docid")).limit(k)
