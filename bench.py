@@ -221,6 +221,7 @@ def main() -> None:
         ("media_decode", E.q_media_features),
         ("quality_scores", E.q_quality_scores),
         ("bm25_docs_table", E.q_bm25_top50_wand),
+        ("tiered_bm25", E.q_tiered_bm25),
         ("events_window", E.q_events_window_agg),
     ]:
         try:

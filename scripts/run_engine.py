@@ -86,8 +86,19 @@ def main(argv=None):
     s.add_argument("--out", required=True)
     s.add_argument("--seed", type=int, default=42)
 
+    c = sub.add_parser("compact")
+    c.add_argument(
+        "--segments", required=True,
+        help="comma-separated segment index dirs, oldest first",
+    )
+    c.add_argument("--out", required=True)
+
     v = sub.add_parser("serve")
-    v.add_argument("--index", required=True)
+    v.add_argument(
+        "--index", required=True,
+        help="index dir, or comma-separated segment dirs (oldest first) "
+        "to serve tiered without compaction",
+    )
     v.add_argument("--host", default="127.0.0.1")
     v.add_argument("--port", type=int, default=8080)
     v.add_argument(
@@ -185,11 +196,40 @@ def main(argv=None):
                 }
             )
         )
+    elif args.cmd == "compact":
+        from wiki_search_engine_spark.engine import SearchEngine
+        from wiki_search_engine_spark.tiered import compact
+
+        t0 = time.time()
+        compact(
+            spark, [d for d in args.segments.split(",") if d], args.out
+        )
+        eng = SearchEngine.load(spark, args.out)
+        print(
+            json.dumps(
+                {
+                    "index": args.out,
+                    "N": eng.n,
+                    "avgdl": round(eng.avgdl, 3),
+                    "compact_sec": round(time.time() - t0, 2),
+                }
+            )
+        )
     elif args.cmd == "serve":
         from wiki_search_engine_spark.engine import SearchEngine
         from wiki_search_engine_spark.server import SearchServer
 
-        eng = SearchEngine(spark, args.index, cache_terms=args.cache_terms)
+        dirs = [d for d in args.index.split(",") if d]
+        if len(dirs) > 1:
+            from wiki_search_engine_spark.tiered import TieredEngine
+
+            eng = TieredEngine(
+                spark, dirs, cache_terms=args.cache_terms
+            )
+        else:
+            eng = SearchEngine(
+                spark, dirs[0], cache_terms=args.cache_terms
+            )
         server = SearchServer(
             eng, host=args.host, port=args.port, path_mode=args.path
         )
