@@ -386,6 +386,25 @@ def q_ngram_jaccard_verify(spark, sf_dir):
     )
 
 
+def q_dedup_components(spark, sf_dir):
+    """Duplicate clusters from verified near-dup pairs: connected
+    components (min-label propagation), rep = min id — the transitive
+    closure a pair-level drop rule gets wrong on a-b, b-c chains."""
+    from wiki_search_engine_spark.operators.dedup import (
+        dedup_components, minhash_lsh_candidates, ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    cands = minhash_lsh_candidates(docs, num_hashes=16, bands=4)
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=JACCARD_T, candidates=cands
+    )
+    return dedup_components(pairs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rep_id").cast("long").alias("rep_id"),
+    )
+
+
 def q_simhash_near_dups(spark, sf_dir):
     from wiki_search_engine_spark.operators.dedup import simhash_near_dups
 
@@ -1221,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "ngram_jaccard_verify": q_ngram_jaccard_verify,
+        "dedup_components": q_dedup_components,
         "simhash_near_dups": q_simhash_near_dups,
         "cosine_top10": q_cosine_top10,
         "ann_lsh_top10": q_ann_lsh_top10,
@@ -1352,6 +1372,40 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE ni * 1.0 / (sa.n + sb.n - ni) >= {JACCARD_T}""",
+        "dedup_components": f"""
+WITH RECURSIVE {SQL_POS_TOKS}, {SQL_SHINGLES},
+minh AS (
+  SELECT doc_id, {_MINHASH_COLS}
+  FROM sh GROUP BY doc_id),
+bands AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*)::BIGINT AS ni
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2),
+vp AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ni * 1.0 / (sa.n + sb.n - ni) >= {JACCARD_T}),
+nodes AS (SELECT id_a AS id FROM vp UNION SELECT id_b FROM vp),
+edges2 AS (
+  SELECT id_a AS s, id_b AS d FROM vp
+  UNION SELECT id_b AS s, id_a AS d FROM vp),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.s, reach.r FROM edges2 e JOIN reach ON reach.id = e.d)
+SELECT id::BIGINT AS doc_id, min(r)::BIGINT AS rep_id
+FROM reach GROUP BY id""",
         "ngram_jaccard_verify": f"""
 WITH {SQL_POS_TOKS}, {SQL_SHINGLES},
 minh AS (

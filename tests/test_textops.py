@@ -437,3 +437,32 @@ def test_corpus_clean_pipeline(spark):
     # 1 and 4 fall to exact dedup (same normalized content as 0);
     # 2 is the higher id of a verified near-dup pair with 0
     assert kept == [0, 3, 5]
+
+
+def test_dedup_components(spark):
+    """Connected components over pair edges: transitive chains collapse
+    to min-id reps (incl. a 6-node path needing several propagation
+    rounds), disjoint clusters stay disjoint."""
+    import pandas as pd
+
+    from wiki_search_engine_spark.operators.dedup import dedup_components
+
+    pairs = [
+        (1, 2), (2, 3),          # triangle-ish chain -> rep 1
+        (10, 11),                # pair -> rep 10
+        (20, 21), (21, 22),      # chain -> rep 20
+        (5, 9),                  # pair -> rep 5
+        (30, 31), (31, 32), (32, 33), (33, 34), (34, 35),  # long path
+    ]
+    got = {
+        r["doc_id"]: r["rep_id"]
+        for r in dedup_components(
+            spark.createDataFrame(
+                pd.DataFrame(pairs, columns=["id_a", "id_b"])
+            )
+        ).collect()
+    }
+    exp = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20,
+           5: 5, 9: 5}
+    exp.update({i: 30 for i in range(30, 36)})
+    assert got == exp

@@ -278,6 +278,76 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup PAIRS -> duplicate CLUSTERS: connected components with
+    rep = min id per component. Returns (doc_id, rep_id), one row per
+    doc appearing in any pair. The canonical dedup decision is then
+    "keep rep_id, drop the rest" — pair-level drop rules (drop every
+    id_b) over-delete on transitive chains a-b, b-c.
+
+    Iterative min-label propagation, declarative per step: each
+    iteration joins labels across (symmetrized) edges and takes the
+    elementwise min — one shuffle join + one aggregation per iteration,
+    converging in O(cluster diameter) iterations (near-dup clusters are
+    shallow: text piles around a few templates, so 2-4 rounds
+    typically). Each iteration materializes via localCheckpoint so the
+    plan stays one-iteration deep (iterative self-referencing lineage
+    otherwise grows exponentially and re-plans every prior round); the
+    driver-side convergence test is a count of changed labels (a tiny
+    job per round, same pattern as any Pregel-style loop on DataFrames).
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    sym = edges.unionByName(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    sym = sym.localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["label"],
+                    F.coalesce(F.col("nbr_label"), labels["label"]),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("rep_id")
+    )
+
+
 def corpus_clean(
     df: DataFrame,
     text_col: str = "text",
