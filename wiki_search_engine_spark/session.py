@@ -34,6 +34,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # zstd over snappy: measured 13-15% smaller index (postings
+        # payloads are varbyte binary) at equal build wall and query
+        # p50 on the 60k bench corpus — at a 2.5TB/10^12-doc index
+        # that's ~350GB less storage and scan IO
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
