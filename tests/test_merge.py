@@ -367,3 +367,39 @@ def test_tiered_serving_equals_merged(spark, merged_and_full,
     )
     with _p.raises(ValueError, match="config"):
         TieredEngine(spark, [base_dir, merged.index_dir + "_badcfg"])
+
+
+def test_tiered_distributed_equals_merged(spark, merged_and_full,
+                                          fixture_queries):
+    """The DISTRIBUTED tiered path (two-phase live-df + tombstone-aware
+    WAND kernel over the union of segment postings) is rank- and
+    score-identical to the compacted index's distributed path."""
+    import math
+
+    from wiki_search_engine_spark.tiered import TieredEngine
+
+    merged, _full = merged_and_full
+    base_dir = merged.index_dir.replace("merged", "base")
+    delta_dir = merged.index_dir.replace("merged", "delta")
+    tiered = TieredEngine(spark, [base_dir, delta_dir])
+
+    checked = 0
+    for q in list(fixture_queries)[:4] + ["mergedelta"]:
+        try:
+            exp = [
+                (r["docid"], r["score"])
+                for r in merged.search_ids(
+                    q, k=10, mode="bm25", path="wand"
+                ).collect()
+            ]
+        except Exception:
+            continue
+        got = [
+            (r["docid"], r["score"])
+            for r in tiered.search_ids(q, k=10, mode="bm25").collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in exp], q
+        for (_, a), (_, b) in zip(got, exp):
+            assert math.isclose(a, b, rel_tol=1e-9), q
+        checked += 1
+    assert checked >= 4

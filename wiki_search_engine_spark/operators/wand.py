@@ -64,7 +64,7 @@ def score_shard_topk(
             ub = idf * max(b["max_score"] for b in blocks)
         else:
             ub = idf * max(b["max_tf"] for b in blocks)
-        prepared.append((ub, idf, blocks))
+        prepared.append((ub, idf, blocks, tl.get("tombs")))
     # term-at-a-time in decreasing upper-bound order
     prepared.sort(key=lambda t: -t[0])
     ubs = np.array([p[0] for p in prepared])
@@ -75,7 +75,7 @@ def score_shard_topk(
     theta = -np.inf
     closed = False  # True once no new doc can reach the top-k
 
-    for i, (ub, idf, blocks) in enumerate(prepared):
+    for i, (ub, idf, blocks, tombs) in enumerate(prepared):
         if closed:
             # prune: only blocks overlapping current candidates matter
             kept = []
@@ -90,12 +90,30 @@ def score_shard_topk(
         d_parts, s_parts = [], []
         for blk in blocks:
             docids, tfs, doclens = decode_block(blk)
+            if tombs is not None and tombs.size and docids.size:
+                # tiered serving: this list's segment carries stale
+                # postings overridden by later segments — drop them at
+                # decode time (block-max bounds stay sound: pruning
+                # over-estimates only)
+                pos = np.searchsorted(tombs, docids)
+                hit = (pos < tombs.size) & (
+                    tombs[np.minimum(pos, tombs.size - 1)] == docids
+                )
+                if hit.any():
+                    keep = ~hit
+                    docids, tfs, doclens = (
+                        docids[keep], tfs[keep], doclens[keep],
+                    )
+                if docids.size == 0:
+                    continue
             if mode == "bm25":
                 s = _bm25_scores(tfs, doclens, idf, avgdl)
             else:
                 s = tfs.astype(np.float64) * idf
             d_parts.append(docids)
             s_parts.append(s)
+        if not d_parts:
+            continue
         d = np.concatenate(d_parts)
         s = np.concatenate(s_parts)
         if closed:
@@ -242,8 +260,15 @@ def search_topk(
     mode: str = "bm25",
     df_map: dict[str, int] | None = None,
     n_shards: int | None = None,
+    tombstones_by_seg: list | None = None,
 ) -> DataFrame:
     """Distributed top-k over the sharded postings table.
+
+    ``tombstones_by_seg`` (tiered serving, wiki_search_engine_spark/
+    tiered.py): ``postings`` then carries a ``seg`` column and the list
+    maps segment index -> sorted stale-docid array; the kernel drops
+    tombstoned postings at decode time. The caller MUST pass a df_map of
+    LIVE dfs in that case (shard metadata counts stale postings).
 
     ``postings`` should already be filtered to the query's term buckets
     (partition pruning) — this function adds the exact term filter, runs
@@ -282,20 +307,33 @@ def search_topk(
     if not df_map:
         return spark.createDataFrame([], "docid long, score double")
 
+    tiered = tombstones_by_seg is not None and "seg" in postings.columns
+    bc_tombs = (
+        spark.sparkContext.broadcast(list(tombstones_by_seg))
+        if tiered
+        else None
+    )
+
     # NB: deliberately un-annotated — applyInPandas warns (on stdout!)
     # when it can't infer an eval type from partial type hints, which
     # corrupts machine-readable CLI output.
     def kernel(key, pdf):
-        term_lists = [
-            {
+        segs = pdf["seg"] if tiered else [None] * len(pdf)
+        term_lists = []
+        for term, blocks, seg in zip(pdf["term"], pdf["blocks"], segs):
+            if not len(blocks) or term not in df_map:
+                continue
+            tl = {
                 "df": df_map[term],
                 "blocks": [
                     b if isinstance(b, dict) else b.asDict() for b in blocks
                 ],
             }
-            for term, blocks in zip(pdf["term"], pdf["blocks"])
-            if len(blocks) and term in df_map
-        ]
+            if tiered:
+                t = bc_tombs.value[int(seg)]
+                if t.size:
+                    tl["tombs"] = t
+            term_lists.append(tl)
         if not term_lists:
             return pd.DataFrame({"docid": [], "score": []})
         docids, scores = score_shard_topk(term_lists, n, avgdl, k, mode)

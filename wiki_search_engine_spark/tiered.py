@@ -28,13 +28,23 @@ compaction" segment engine: scores are IDENTICAL to the compacted
   excluded from scoring and subtracted from df before idf is computed
   (two passes over arrays already in memory, not extra IO).
 
-Serving path: driver-side (pyarrow bucket reads via each segment's
-hot-term cache, NumPy scoring) — the search-head mode. Scoring is
-exhaustive over the query's candidate lists (the reference's own
-semantics); the block-max pruned path applies per segment once a
-compaction makes it the base. Compaction IS ``plans/merge.py``: fold
-segments when their count or tombstone ratio grows, restoring the
-single-index fast paths.
+Two serving paths, both exact:
+
+- ``search_local`` — driver-side (pyarrow bucket reads via each
+  segment's hot-term cache, NumPy scoring), exhaustive over the query's
+  candidate lists: the search-head mode;
+- ``search_ids`` — DISTRIBUTED: phase 1 computes exact live df where
+  the postings are (stale hits subtracted during a docid-only decode of
+  the pruned candidates), phase 2 runs the block-max WAND shard kernel
+  over the union of segment postings with tombstoned postings dropped
+  at decode time. Segments share the docid-range salt domain, so a
+  shard holds every segment's postings for its range and per-shard
+  top-k stays exact — the cluster path for head terms.
+
+Compaction IS ``plans/merge.py``: fold segments when their count or
+tombstone ratio grows (``compact`` below; automated in
+``maintain_segments_incremental``), shrinking per-query segment fan-in
+back to one.
 
 Reference contract: identical results to merging the crawl batch into
 the index (crawler re-crawl overwrite, Crawler/crawler.py:401-406) —
@@ -201,6 +211,104 @@ class TieredEngine:
         np.add.at(acc, inv, s)
         idx = np.lexsort((uniq, -acc))[: min(k, uniq.size)]
         return [(int(uniq[i]), float(acc[i])) for i in idx]
+
+    def _candidate_postings(self, terms: list[str]):
+        """Bucket-pruned candidate postings across all segments, with a
+        ``seg`` column (segment index) for tombstone routing."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        parts = [
+            eng._postings(terms).withColumn("seg", F.lit(i))
+            for i, eng in enumerate(self.engines)
+        ]
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
+    def _live_df_distributed(self, terms: list[str]) -> dict[str, int]:
+        """Phase 1 of the distributed tiered query: EXACT live df per
+        query term, computed where the postings are — each task decodes
+        its candidate lists' docids (only for segments that carry
+        tombstones; tomb-free segments use the stored block counts) and
+        subtracts stale hits. One job over the pruned candidate rows;
+        output is <= |terms| tiny rows."""
+        from pyspark.sql import functions as F
+
+        cand = self._candidate_postings(terms).filter(
+            F.col("term").isin(terms)
+        )
+        bc = self.spark.sparkContext.broadcast(list(self.tombstones))
+
+        def kernel(batches):
+            import pandas as pd
+
+            from wiki_search_engine_spark.operators.codec import (
+                decode_posting_list,
+            )
+
+            for pdf in batches:
+                agg: dict[str, int] = {}
+                for term, seg, blocks in zip(
+                    pdf["term"], pdf["seg"], pdf["blocks"]
+                ):
+                    t = bc.value[int(seg)]
+                    blks = [
+                        b if isinstance(b, dict) else b.asDict()
+                        for b in blocks
+                    ]
+                    if t.size == 0:
+                        n_live = sum(int(b["count"]) for b in blks)
+                    else:
+                        d, _tf, _dl = decode_posting_list(blks)
+                        pos = np.searchsorted(t, d)
+                        hit = (pos < t.size) & (
+                            t[np.minimum(pos, t.size - 1)] == d
+                        )
+                        n_live = int((~hit).sum())
+                    agg[term] = agg.get(term, 0) + n_live
+                yield pd.DataFrame(
+                    {"term": list(agg), "df": list(agg.values())}
+                )
+
+        out: dict[str, int] = {}
+        for r in (
+            cand.select("term", "seg", "blocks")
+            .mapInPandas(kernel, "term string, df long")
+            .collect()
+        ):
+            out[r["term"]] = out.get(r["term"], 0) + int(r["df"])
+        return out
+
+    def search_ids(self, query: str, k: int = 50, mode: str = "bm25"):
+        """DISTRIBUTED tiered top-k — the cluster path for head terms
+        whose candidate lists exceed driver memory. Two jobs: phase 1
+        computes exact live df per term (above); phase 2 is the standard
+        block-max shard kernel over the union of segment postings with
+        tombstoned postings dropped at decode time
+        (operators/wand.py search_topk tombstones_by_seg). Segments
+        share the docid-range salt domain (enforced at load), so a salt
+        shard holds every segment's postings for its range and per-shard
+        top-k stays exact. Rank- and score-identical to the compacted
+        index (pytest)."""
+        terms = self.analyze(query)
+        if not terms:
+            return self.spark.createDataFrame(
+                [], "docid long, score double"
+            )
+        from .operators.wand import search_topk
+
+        df_map = self._live_df_distributed(terms)
+        return search_topk(
+            self._candidate_postings(terms),
+            terms,
+            self.n,
+            self.avgdl,
+            k=k,
+            mode=mode,
+            df_map=df_map,
+            n_shards=1 << self.engines[0].salt_bits,
+            tombstones_by_seg=self.tombstones,
+        )
 
     def query_response(
         self, query: str, option_name: str = "tfidf", k: int = 50,
