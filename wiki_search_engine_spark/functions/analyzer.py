@@ -137,11 +137,20 @@ def tokenize_frame(docids, texts, stem: bool, analyzer: str | None = None):
     flat_terms = pd.Series(
         np.concatenate([t for t in token_lists if t]), dtype="object"
     )
-    # junk-number filter: all-digits and len > 4
-    junk = (flat_terms.str.len() > 4) & flat_terms.str.fullmatch(
-        "[0-9]+", na=False
-    )
-    keep = ~junk.to_numpy()
+    # junk-number filter: all-digits and len > 4. The regex runs only on
+    # tokens whose first char is a digit (~3% of web text) — a full
+    # fullmatch over every token measured as expensive as the entire
+    # HTML extraction (see git history / bench).
+    junk = np.zeros(flat_terms.size, dtype=bool)
+    maybe = (
+        (flat_terms.str.len() > 4)
+        & flat_terms.str.slice(0, 1).isin(tuple("0123456789"))
+    ).to_numpy()
+    if maybe.any():
+        junk[maybe] = (
+            flat_terms[maybe].str.fullmatch("[0-9]+", na=False).to_numpy()
+        )
+    keep = ~junk
     if stem:
         keep &= ~flat_terms.isin(STOPWORDS).to_numpy()
     flat_docids = flat_docids[keep]
