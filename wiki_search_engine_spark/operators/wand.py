@@ -287,6 +287,11 @@ def search_topk(
     spark = postings.sparkSession
     if not query_terms:
         return spark.createDataFrame([], "docid long, score double")
+    if tombstones_by_seg is not None and df_map is None:
+        raise ValueError(
+            "tiered scoring needs a LIVE df_map — shard metadata counts "
+            "tombstoned postings (TieredEngine._live_df_distributed)"
+        )
     cand = postings.filter(F.col("term").isin(query_terms))
 
     if df_map is None or n_shards is None:
