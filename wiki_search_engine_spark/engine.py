@@ -598,10 +598,23 @@ class SearchEngine:
         """Flattened image_ids across the top-k docs, result order — the
         reference's imageResult payload (backend/utils/fileUtils.js:6-28:
         flatten doc.images[].image_id over the <=50 result rows,
-        driver-side)."""
-        rows = self.search(
-            query, k=k, mode=mode, path=path, with_images=True
-        ).collect()
+        driver-side). Hydration is the lookup_docs point lookup, never a
+        docs-table scan."""
+        ids = (
+            self.search_local(query, k=k, mode=mode)
+            if path == "local"
+            else [
+                (r["docid"], r["score"])
+                for r in self.search_ids(
+                    query, k=k, mode=mode, path=path
+                ).collect()
+            ]
+        )
+        score_map = dict(ids)
+        rows = sorted(
+            self.lookup_docs([d for d, _ in ids]),
+            key=lambda r: (-score_map[r["docid"]], r["docid"]),
+        )
         return [
             img["image_id"] for r in rows for img in (r["images"] or [])
         ]
