@@ -466,3 +466,27 @@ def test_dedup_components(spark):
            5: 5, 9: 5}
     exp.update({i: 30 for i in range(30, 36)})
     assert got == exp
+
+
+def test_ivf_assign_bulk_matches_literal(spark):
+    """The large-nlist broadcast-matrix assignment equals the
+    Catalyst-literal path (chunked centroid scan exercised)."""
+    from wiki_search_engine_spark.operators.similarity import (
+        ivf_assign, ivf_assign_bulk,
+    )
+
+    rng = np.random.default_rng(17)
+    vecs = rng.normal(size=(150, 12)).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(150)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    a = {
+        r["vec_id"]: r["cell"] for r in ivf_assign(df, cents).collect()
+    }
+    b = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign_bulk(df, cents, centroid_chunk=16).collect()
+    }
+    assert a == b

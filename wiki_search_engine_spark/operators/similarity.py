@@ -302,6 +302,61 @@ def ivf_assign(
     return df.withColumn("cell", best["cid"])
 
 
+def ivf_assign_bulk(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_chunk: int = 1024,
+) -> DataFrame:
+    """Large-nlist IVF assignment: broadcast centroid matrix + Arrow-
+    batched NumPy argmin. ``ivf_assign`` builds an O(nlist)-deep
+    Catalyst expression — ideal JVM codegen at nlist ~10^3, plan bloat
+    at 10^5; this path ships the centroids once per executor and scans
+    them in bounded chunks (rows x chunk distance tiles), so nlist is
+    memory-bound, not plan-bound. Ties break to the lowest centroid id
+    (strict < against earlier chunks), matching ivf_assign; distances
+    are fp-reassociated vs the Catalyst fold, so assignments can differ
+    only on exact-tie boundaries (measure-zero for real embeddings;
+    equivalence pytest on random data)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    cents = sorted(centroids)
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    mat = np.array([v for _, v in cents], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((cids, mat))
+
+    def kernel(batches):
+        k_cids, k_mat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            n = v.shape[0]
+            best_d = np.full(n, np.inf)
+            best_c = np.zeros(n, dtype=np.int64)
+            for s in range(0, k_mat.shape[0], centroid_chunk):
+                chunk = k_mat[s : s + centroid_chunk]
+                d2 = ((v[:, None, :] - chunk[None, :, :]) ** 2).sum(-1)
+                j = d2.argmin(axis=1)
+                dmin = d2[np.arange(n), j]
+                better = dmin < best_d  # strict: earlier (lower) cid wins ties
+                best_d[better] = dmin[better]
+                best_c[better] = k_cids[s : s + centroid_chunk][j[better]]
+            out = pdf.copy()
+            out["cell"] = pd.array(best_c, dtype="int64")
+            yield out
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", cell long"
+    return df.mapInPandas(kernel, schema=schema)
+
+
 def ivf_write(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
