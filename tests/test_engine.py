@@ -406,3 +406,24 @@ def test_and_semantics(spark, engine, oracle, fixture_queries):
             f"{fixture_queries[0]} zzznotaword", semantics="and"
         ).count() == 0
     )
+
+
+def test_and_semantics_local_path(engine, fixture_queries):
+    """The driver-local AND intersection scorer equals the exhaustive
+    AND path, rank and score."""
+    import math
+
+    q = fixture_queries[0] + " " + fixture_queries[1]
+    exp = [
+        (r["docid"], r["score"])
+        for r in engine.search_ids(
+            q, k=20, mode="bm25", path="exhaustive", semantics="and"
+        ).collect()
+    ]
+    got = engine.search_local(q, k=20, mode="bm25", semantics="and")
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (_, a), (_, b) in zip(got, exp):
+        assert math.isclose(a, b, rel_tol=1e-9)
+    assert engine.search_local(
+        f"{fixture_queries[0]} zzznotaword", semantics="and"
+    ) == []

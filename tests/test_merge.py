@@ -403,3 +403,30 @@ def test_tiered_distributed_equals_merged(spark, merged_and_full,
             assert math.isclose(a, b, rel_tol=1e-9), q
         checked += 1
     assert checked >= 4
+
+
+def test_tiered_and_semantics(spark, merged_and_full, fixture_queries):
+    """Tiered conjunctive retrieval equals the compacted index's AND
+    path over live postings (incl. re-crawled docs)."""
+    import math
+
+    from wiki_search_engine_spark.tiered import TieredEngine
+
+    merged, _full = merged_and_full
+    tiered = TieredEngine(
+        spark,
+        [
+            merged.index_dir.replace("merged", "base"),
+            merged.index_dir.replace("merged", "delta"),
+        ],
+    )
+    checked = 0
+    for q in [f"{fixture_queries[0]} {fixture_queries[1]}",
+              fixture_queries[0], "mergedelta"]:
+        exp = merged.search_local(q, k=20, semantics="and")
+        got = tiered.search_local(q, k=20, semantics="and")
+        assert [d for d, _ in got] == [d for d, _ in exp], q
+        for (_, a), (_, b) in zip(got, exp):
+            assert math.isclose(a, b, rel_tol=1e-9), q
+        checked += 1
+    assert checked == 3

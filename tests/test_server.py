@@ -107,3 +107,25 @@ def test_server_over_tiered_engine(spark, engine, index_dir):
         assert ei.value.code == 400
     finally:
         srv.shutdown()
+
+
+def test_semantics_param_over_http(server, fixture_queries, engine):
+    """&semantics=and returns only docs containing every term; default
+    stays the reference's OR."""
+    q2 = urllib.parse.quote(fixture_queries[0] + " " + fixture_queries[1])
+    with _get(server, f"/query-stem?query={q2}&optionName=bm25"
+                      f"&semantics=and&k=50") as r:
+        and_body = json.loads(r.read())
+    with _get(server, f"/query-stem?query={q2}&optionName=bm25&k=50") as r:
+        or_body = json.loads(r.read())
+    and_ids = {d["file_id"] for d in and_body["textResult"]}
+    or_ids = {d["file_id"] for d in or_body["textResult"]}
+    assert and_ids and and_ids <= or_ids
+    exp = {
+        str(d)
+        for d, _ in engine.search_local(
+            fixture_queries[0] + " " + fixture_queries[1],
+            k=50, semantics="and",
+        )
+    }
+    assert and_ids == exp

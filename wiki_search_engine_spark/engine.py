@@ -301,7 +301,8 @@ class SearchEngine:
 
     # -- queries -----------------------------------------------------------
     def search_local(
-        self, query: str, k: int = 50, mode: str = "bm25"
+        self, query: str, k: int = 50, mode: str = "bm25",
+        semantics: str = "or",
     ) -> list[tuple[int, float]]:
         """Serve a query entirely on the DRIVER: pyarrow reads of the
         terms' bucket directories (row-group pruned on the term-sorted
@@ -329,6 +330,8 @@ class SearchEngine:
                 "use path='wand'"
             )
         lists = self._cached_term_lists(terms)
+        if semantics == "and":
+            return self._search_local_and(lists, terms, k, mode)
         by_salt: dict[int, list[dict]] = {}
         for _t, (df, salted) in lists.items():
             if df <= 0:
@@ -345,6 +348,67 @@ class SearchEngine:
         ]
         return merge_topk(shard_results, k)
 
+    def _search_local_and(
+        self, lists: dict, terms: list[str], k: int, mode: str
+    ) -> list[tuple[int, float]]:
+        """Conjunctive retrieval on the driver-local path: decode the
+        candidate lists (already in hand from the cache/pyarrow read),
+        keep docs present in EVERY query term's postings, score those.
+        Block-max pruning has nothing to add here — the intersection is
+        the pruning. Results equal the exhaustive AND path (pytest)."""
+        import numpy as np
+
+        from . import B, K1
+        from .operators.codec import decode_posting_list
+        from .oracle_py.oracle import bm25_idf, tfidf_idf
+
+        per_term = []
+        for t in dict.fromkeys(terms):
+            df, salted = lists.get(t, (0, []))
+            if df <= 0:
+                return []  # a term absent from the corpus empties AND
+            parts = [
+                decode_posting_list(
+                    [
+                        b if isinstance(b, dict) else b.asDict()
+                        for b in blocks
+                    ]
+                )
+                for _salt, blocks in salted
+            ]
+            d = np.concatenate([p[0] for p in parts])
+            tf = np.concatenate([p[1] for p in parts])
+            dl = np.concatenate([p[2] for p in parts])
+            per_term.append((df, d, tf, dl))
+        # docs containing every term
+        common = per_term[0][1]
+        for _df, d, _tf, _dl in per_term[1:]:
+            common = common[np.isin(common, d, assume_unique=True)]
+            if common.size == 0:
+                return []
+        common = np.sort(common)
+        scores = np.zeros(common.size, dtype=np.float64)
+        for df, d, tf, dl in per_term:
+            order = np.argsort(d)
+            pos = np.searchsorted(d[order], common)
+            sel = order[pos]
+            idf = (
+                bm25_idf(self.n, int(df))
+                if mode == "bm25"
+                else tfidf_idf(self.n, int(df))
+            )
+            tfd = tf[sel].astype(np.float64)
+            if mode == "bm25":
+                scores += idf * tfd * (K1 + 1.0) / (
+                    tfd
+                    + K1
+                    * (1.0 - B + B * dl[sel].astype(np.float64) / self.avgdl)
+                )
+            else:
+                scores += tfd * idf
+        idx = np.lexsort((common, -scores))[: min(k, common.size)]
+        return [(int(common[i]), float(scores[i])) for i in idx]
+
     def search_ids(
         self,
         query: str,
@@ -357,10 +421,11 @@ class SearchEngine:
         'exhaustive' = decode + Catalyst aggregation (oracle path);
         'local' = driver-side serve (see search_local) wrapped back into
         a DataFrame. ``semantics='and'`` (conjunctive retrieval — every
-        query term required) routes through the exhaustive path: AND
-        prunes the candidate set to the intersection, so the block-max
-        machinery has nothing extra to skip."""
-        if semantics == "and":
+        query term required) is served by the local path's intersection
+        scorer or the exhaustive path; a 'wand' request downgrades to
+        exhaustive (the intersection IS the pruning — block-max skipping
+        has nothing to add)."""
+        if semantics == "and" and path == "wand":
             path = "exhaustive"
         terms = self.analyze(query)
         if not terms:
@@ -368,7 +433,7 @@ class SearchEngine:
         if path == "local":
             rows = [
                 (int(d), float(s)) for d, s in self.search_local(
-                    query, k=k, mode=mode
+                    query, k=k, mode=mode, semantics=semantics
                 )
             ]
             return self.spark.createDataFrame(
@@ -488,6 +553,7 @@ class SearchEngine:
         option_name: str = "tfidf",
         k: int = 50,
         path: str = "local",
+        semantics: str = "or",
     ) -> dict:
         """The reference's full HTTP response shape
         (backend/controllers/queryController.js:11-59):
@@ -540,9 +606,9 @@ class SearchEngine:
         ids = span(
             "get_documents",
             lambda: self.search_ids(
-                query, k=k, mode=mode, path=path
+                query, k=k, mode=mode, path=path, semantics=semantics
             ).collect() if path != "local" else self.search_local(
-                query, k=k, mode=mode
+                query, k=k, mode=mode, semantics=semantics
             ),
         )
         id_rows = [

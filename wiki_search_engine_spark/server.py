@@ -57,13 +57,19 @@ class _Handler(BaseHTTPRequestHandler):
         qs = parse_qs(parsed.query)
         query = (qs.get("query") or [""])[0]
         option = (qs.get("optionName") or ["tfidf"])[0]
+        semantics = (qs.get("semantics") or ["or"])[0].lower()
+        if semantics not in ("or", "and"):
+            semantics = "or"
         try:
             k = int((qs.get("k") or ["50"])[0])
         except ValueError:
             k = 50
         try:
+            # &semantics=and — conjunctive retrieval, an extension
+            # beyond the reference API (default 'or' is the reference's)
             resp = self.server.engine.query_response(
-                query, option_name=option, k=k, path=self.server.path_mode
+                query, option_name=option, k=k,
+                path=self.server.path_mode, semantics=semantics,
             )
         except Exception as e:  # mirror the controller's 500 catch
             self._send(500, {"success": False, "error": str(e)})

@@ -173,23 +173,30 @@ class TieredEngine:
         return df, parts
 
     def search_local(
-        self, query: str, k: int = 50, mode: str = "bm25"
+        self, query: str, k: int = 50, mode: str = "bm25",
+        semantics: str = "or",
     ) -> list[tuple[int, float]]:
         """Driver-side tiered top-k, rank- and score-identical to the
-        compacted index (exact live df/N/avgdl — see module doc)."""
+        compacted index (exact live df/N/avgdl — see module doc).
+        ``semantics='and'``: conjunctive retrieval — only docs whose
+        LIVE postings contain every query term."""
         terms = self.analyze(query)
         if not terms or not self.n:
             return []
         all_d, all_s = [], []
+        and_common = None
         for t in dict.fromkeys(terms):
             df, parts = self._live_term_postings(t)
             if not df:
+                if semantics == "and":
+                    return []  # an absent term empties the AND result
                 continue
             idf = (
                 bm25_idf(self.n, df)
                 if mode == "bm25"
                 else tfidf_idf(self.n, df)
             )
+            term_d = []
             for d, tf, dl in parts:
                 tfd = tf.astype(np.float64)
                 if mode == "bm25":
@@ -202,6 +209,18 @@ class TieredEngine:
                     s = tfd * idf
                 all_d.append(d)
                 all_s.append(s)
+                term_d.append(d)
+            if semantics == "and":
+                td = np.concatenate(term_d)
+                and_common = (
+                    td
+                    if and_common is None
+                    else and_common[
+                        np.isin(and_common, td, assume_unique=True)
+                    ]
+                )
+                if and_common.size == 0:
+                    return []
         if not all_d:
             return []
         d = np.concatenate(all_d)
@@ -209,6 +228,9 @@ class TieredEngine:
         uniq, inv = np.unique(d, return_inverse=True)
         acc = np.zeros(uniq.size, dtype=np.float64)
         np.add.at(acc, inv, s)
+        if semantics == "and" and and_common is not None:
+            keep = np.isin(uniq, and_common, assume_unique=True)
+            uniq, acc = uniq[keep], acc[keep]
         idx = np.lexsort((uniq, -acc))[: min(k, uniq.size)]
         return [(int(uniq[i]), float(acc[i])) for i in idx]
 
@@ -312,7 +334,7 @@ class TieredEngine:
 
     def query_response(
         self, query: str, option_name: str = "tfidf", k: int = 50,
-        path: str = "local",
+        path: str = "local", semantics: str = "or",
     ) -> dict:
         """The reference HTTP response shape over tiered serving — same
         contract as SearchEngine.query_response (engine.py), scoring via
@@ -354,7 +376,9 @@ class TieredEngine:
             }
         ids = span(
             "get_documents",
-            lambda: self.search_local(query, k=k, mode=mode),
+            lambda: self.search_local(
+                query, k=k, mode=mode, semantics=semantics
+            ),
         )
         score_map = dict(ids)
         docs = span(
