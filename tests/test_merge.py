@@ -430,3 +430,32 @@ def test_tiered_and_semantics(spark, merged_and_full, fixture_queries):
             assert math.isclose(a, b, rel_tol=1e-9), q
         checked += 1
     assert checked == 3
+
+
+def test_tiered_search_many_equals_merged(spark, merged_and_full,
+                                          fixture_queries):
+    """Tiered batch scoring (one job over segments) equals the compacted
+    index's batch path per query."""
+    from wiki_search_engine_spark.tiered import TieredEngine
+
+    merged, _full = merged_and_full
+    tiered = TieredEngine(
+        spark,
+        [
+            merged.index_dir.replace("merged", "base"),
+            merged.index_dir.replace("merged", "delta"),
+        ],
+    )
+    qs = list(fixture_queries)[:4] + ["mergedelta"]
+
+    def rows(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], []).append(
+                (r["docid"], round(r["score"], 9))
+            )
+        return out
+
+    got = rows(tiered.search_many(qs, k=10, mode="bm25"))
+    exp = rows(merged.search_many(qs, k=10, mode="bm25"))
+    assert got == exp and got

@@ -166,8 +166,13 @@ def search_topk_many(
     mode: str = "bm25",
     df_map: dict[str, int] | None = None,
     n_shards: int | None = None,
+    tombstones_by_seg: list | None = None,
 ) -> DataFrame:
     """Batched top-k: score MANY queries in ONE Spark job.
+
+    ``tombstones_by_seg``: tiered serving (see search_topk) — postings
+    carry a ``seg`` column, stale postings drop at decode time, and the
+    caller must supply LIVE dfs.
 
     Per-query serving pays a full job schedule per query (~0.5s on an
     idle cluster — the dominant cost of the distributed path); a batch
@@ -186,8 +191,19 @@ def search_topk_many(
     queries = {qid: terms for qid, terms in queries.items() if terms}
     if not queries:
         return spark.createDataFrame([], out_schema)
+    if tombstones_by_seg is not None and df_map is None:
+        raise ValueError(
+            "tiered scoring needs a LIVE df_map — shard metadata counts "
+            "tombstoned postings (TieredEngine._live_df_distributed)"
+        )
     all_terms = sorted({t for ts in queries.values() for t in ts})
     cand = postings.filter(F.col("term").isin(all_terms))
+    tiered = tombstones_by_seg is not None and "seg" in postings.columns
+    bc_tombs = (
+        spark.sparkContext.broadcast(list(tombstones_by_seg))
+        if tiered
+        else None
+    )
 
     if df_map is None or n_shards is None:
         # one tiny metadata collect (block payloads never read) supplies
@@ -208,19 +224,32 @@ def search_topk_many(
 
     def kernel(key, pdf):
         # a term may span several rows in a shard (bounded-row splits,
-        # postings.py MAX_POSTINGS_PER_ROW) — extend, never overwrite
-        by_term: dict[str, list] = {}
-        for term, blocks in zip(pdf["term"], pdf["blocks"]):
-            if len(blocks) and term in df_map:
-                by_term.setdefault(term, []).extend(
+        # postings.py MAX_POSTINGS_PER_ROW; tiered segments) — keep one
+        # entry per row so each carries its own tombstone array; split
+        # lists score identically (same global df, docid-disjoint)
+        by_term: dict[str, list[dict]] = {}
+        segs = pdf["seg"] if tiered else [None] * len(pdf)
+        for term, blocks, seg in zip(pdf["term"], pdf["blocks"], segs):
+            if not len(blocks) or term not in df_map:
+                continue
+            e = {
+                "df": df_map[term],
+                "blocks": [
                     b if isinstance(b, dict) else b.asDict() for b in blocks
-                )
+                ],
+            }
+            if tiered:
+                t = bc_tombs.value[int(seg)]
+                if t.size:
+                    e["tombs"] = t
+            by_term.setdefault(term, []).append(e)
         out_q, out_d, out_s = [], [], []
         for qid, terms in queries.items():
             term_lists = [
-                {"df": df_map[t], "blocks": by_term[t]}
+                e
                 for t in set(terms)
                 if t in by_term
+                for e in by_term[t]
             ]
             if not term_lists:
                 continue

@@ -332,6 +332,43 @@ class TieredEngine:
             tombstones_by_seg=self.tombstones,
         )
 
+    def search_many(
+        self, queries: list[str], k: int = 50, mode: str = "bm25"
+    ):
+        """Batched tiered top-k: ONE Spark job for all queries over the
+        union of segment postings (plus the shared live-df job) —
+        per-query rank-identical to the compacted index's search_many
+        (pytest). The bulk-scoring form for training-data mining over a
+        still-uncompacted index."""
+        from .engine import EmptyQueryError
+        from .operators.wand import search_topk_many
+
+        qmap: dict[int, list[str]] = {}
+        for i, q in enumerate(queries):
+            try:
+                terms = self.analyze(q)
+            except EmptyQueryError:
+                continue
+            if terms:
+                qmap[i] = terms
+        if not qmap:
+            return self.spark.createDataFrame(
+                [], "query_id int, docid long, score double"
+            )
+        all_terms = sorted({t for ts in qmap.values() for t in ts})
+        df_map = self._live_df_distributed(all_terms)
+        return search_topk_many(
+            self._candidate_postings(all_terms),
+            qmap,
+            self.n,
+            self.avgdl,
+            k=k,
+            mode=mode,
+            df_map=df_map,
+            n_shards=1 << self.engines[0].salt_bits,
+            tombstones_by_seg=self.tombstones,
+        )
+
     def query_response(
         self, query: str, option_name: str = "tfidf", k: int = 50,
         path: str = "local", semantics: str = "or",
