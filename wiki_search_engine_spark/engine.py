@@ -504,11 +504,16 @@ class SearchEngine:
     ) -> list[dict]:
         """Point-lookup hydration: the reference's result fetch
         (mongoService.js:75-113, ``find({_id: {$in: ids}})`` over the
-        _id B-tree) as a driver-side PRUNED parquet read — the docs
-        table is docid-sorted within files, so the In filter prunes row
-        groups via footer min/max stats. No Spark job and no full docs
-        scan: at 10^12 docs a full-scan hydration join would dwarf the
-        query itself; here cost tracks k (<= 50), not corpus size."""
+        _id B-tree) as a driver-side PRUNED parquet read. Two pruning
+        levels: the docs table is partitioned by the docid-range salt,
+        so only the <= k salt DIRECTORIES holding the requested ids are
+        even listed (a 10^12-row table's remaining files never have
+        their footers read); within them, docid-sorted files prune ROW
+        GROUPS via footer min/max stats. No Spark job and no full docs
+        scan: cost tracks k (<= 50), not corpus size. Falls back to a
+        filtered whole-table read on a legacy unpartitioned layout."""
+        import os
+
         import pyarrow.parquet as pq
 
         if not docids:
@@ -516,11 +521,31 @@ class SearchEngine:
         cols = ["docid", "url", "title", "snippet"]
         if with_images:
             cols += ["images", "image_count"]
-        return pq.read_table(
-            f"{self.index_dir}/docs",
-            columns=cols,
-            filters=[("docid", "in", [int(d) for d in docids])],
-        ).to_pylist()
+        base = f"{self.index_dir}/docs"
+        shift = 63 - self.salt_bits
+        by_salt: dict[int, list[int]] = {}
+        for d in docids:
+            by_salt.setdefault(int(d) >> shift, []).append(int(d))
+        legacy = not any(
+            e.startswith("salt=") for e in os.listdir(base)
+        )
+        if legacy:
+            return pq.read_table(
+                base,
+                columns=cols,
+                filters=[("docid", "in", [int(d) for d in docids])],
+            ).to_pylist()
+        out: list[dict] = []
+        for s, ids in by_salt.items():
+            d = f"{base}/salt={s}"
+            if not os.path.isdir(d):
+                continue  # id from an empty shard -> simply not found
+            out.extend(
+                pq.read_table(
+                    d, columns=cols, filters=[("docid", "in", ids)]
+                ).to_pylist()
+            )
+        return out
 
     def search(
         self,

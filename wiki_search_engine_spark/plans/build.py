@@ -297,13 +297,33 @@ def _build_stages(
             images.alias("images"),
             F.size(images).alias("image_count"),
         )
-        # docid-sorted within each file: hydration point-lookups then
-        # prune ROW GROUPS via footer min/max stats (no extra shuffle —
+        # layout for POINT LOOKUPS at corpus scale: partitioned by the
+        # docid-range salt (the same shard concept as postings), then
+        # docid-sorted within each file. A lookup first prunes to <= k
+        # salt DIRECTORIES (never listing/footer-reading the rest of a
+        # 10^12-row table's files), then prunes ROW GROUPS via footer
+        # min/max stats. No extra shuffle beyond the salt clustering —
         # a range partition would re-execute the snippet/image
-        # projections for its sampling pass)
-        docs.sortWithinPartitions("docid").write.mode(
-            "overwrite"
-        ).parquet(f"{index_dir}/docs")
+        # projections for its sampling pass.
+        (
+            docs.withColumn(
+                "salt",
+                F.shiftrightunsigned(
+                    F.col("docid"), 63 - salt_bits
+                ).cast("int"),
+            )
+            .repartition(
+                min(
+                    spark.sparkContext.defaultParallelism,
+                    1 << salt_bits,
+                ),
+                "salt",
+            )
+            .sortWithinPartitions("docid")
+            .write.mode("overwrite")
+            .partitionBy("salt")
+            .parquet(f"{index_dir}/docs")
+        )
         rows, nbytes, files = _parquet_lineage(f"{index_dir}/docs")
         manifest.mark(
             "docs",
@@ -324,12 +344,29 @@ def _build_stages(
     # fixed cost (the reference's analogue is metaDataInsert.py:26-48)
     if not manifest.is_done("stats"):
         t0 = time.time()
-        # docid-sorted within files (like docs/): point lookups by docid
-        # prune row groups — tiered serving reads the overridden docs'
+        # same point-lookup layout as docs/: salt directories +
+        # docid-sorted files — tiered serving reads the overridden docs'
         # lengths this way at segment-load time
-        doc_stats(tokens).sortWithinPartitions("docid").write.mode(
-            "overwrite"
-        ).parquet(f"{index_dir}/doc_stats")
+        (
+            doc_stats(tokens)
+            .withColumn(
+                "salt",
+                F.shiftrightunsigned(
+                    F.col("docid"), 63 - salt_bits
+                ).cast("int"),
+            )
+            .repartition(
+                min(
+                    spark.sparkContext.defaultParallelism,
+                    1 << salt_bits,
+                ),
+                "salt",
+            )
+            .sortWithinPartitions("docid")
+            .write.mode("overwrite")
+            .partitionBy("salt")
+            .parquet(f"{index_dir}/doc_stats")
+        )
         import os
 
         import pyarrow as pa

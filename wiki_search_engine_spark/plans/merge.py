@@ -152,7 +152,9 @@ def merge_indexes(
     # --- stage: doc_stats -------------------------------------------------
     if not manifest.is_done("doc_stats"):
         t0 = time.time()
-        _anti_union("doc_stats").write.mode("overwrite").parquet(
+        _anti_union("doc_stats").repartition("salt").sortWithinPartitions(
+            "docid"
+        ).write.mode("overwrite").partitionBy("salt").parquet(
             f"{out_dir}/doc_stats"
         )
         rows, nbytes, files = _parquet_lineage(f"{out_dir}/doc_stats")
@@ -188,9 +190,11 @@ def merge_indexes(
     # --- stage: docs ------------------------------------------------------
     if not manifest.is_done("docs"):
         t0 = time.time()
-        _anti_union("docs").sortWithinPartitions("docid").write.mode(
-            "overwrite"
-        ).parquet(f"{out_dir}/docs")
+        _anti_union("docs").repartition("salt").sortWithinPartitions(
+            "docid"
+        ).write.mode("overwrite").partitionBy("salt").parquet(
+            f"{out_dir}/docs"
+        )
         rows, nbytes, files = _parquet_lineage(f"{out_dir}/docs")
         manifest.mark(
             "docs", rows_out=rows, bytes_out=nbytes, partitions=files,
@@ -303,7 +307,9 @@ def delete_docs(
 
     if not manifest.is_done("doc_stats"):
         t0 = time.time()
-        _minus("doc_stats").write.mode("overwrite").parquet(
+        _minus("doc_stats").repartition("salt").sortWithinPartitions(
+            "docid"
+        ).write.mode("overwrite").partitionBy("salt").parquet(
             f"{out_dir}/doc_stats"
         )
         rows, nbytes, files = _parquet_lineage(f"{out_dir}/doc_stats")
@@ -341,9 +347,11 @@ def delete_docs(
 
     if not manifest.is_done("docs"):
         t0 = time.time()
-        _minus("docs").sortWithinPartitions("docid").write.mode(
-            "overwrite"
-        ).parquet(f"{out_dir}/docs")
+        _minus("docs").repartition("salt").sortWithinPartitions(
+            "docid"
+        ).write.mode("overwrite").partitionBy("salt").parquet(
+            f"{out_dir}/docs"
+        )
         rows, nbytes, files = _parquet_lineage(f"{out_dir}/docs")
         manifest.mark(
             "docs", rows_out=rows, bytes_out=nbytes, partitions=files,
