@@ -459,3 +459,49 @@ def test_tiered_search_many_equals_merged(spark, merged_and_full,
     got = rows(tiered.search_many(qs, k=10, mode="bm25"))
     exp = rows(merged.search_many(qs, k=10, mode="bm25"))
     assert got == exp and got
+
+
+def test_tiered_append_only_single_job_df(spark, tmp_path,
+                                          fixture_queries):
+    """Append-only segments (disjoint urls -> no tombstones): the live
+    df comes from lexicon sums with NO Spark job, and tiered results
+    equal a from-scratch rebuild over the union."""
+    import math
+
+    from wiki_search_engine_spark.engine import SearchEngine
+    from wiki_search_engine_spark.tiered import TieredEngine
+
+    a_rows = _rows(range(40), SEED)
+    b_rows = _rows(range(40, 60), SEED)  # fresh urls only
+
+    def build(rows, name):
+        SearchEngine.build(
+            spark, spark.createDataFrame(pd.DataFrame(rows)),
+            str(tmp_path / name), **BUILD_KW,
+        )
+        return str(tmp_path / name)
+
+    seg_a, seg_b = build(a_rows, "a"), build(b_rows, "b")
+    full = SearchEngine.load(
+        spark, build(a_rows + b_rows, "full")
+    )
+    tiered = TieredEngine(spark, [seg_a, seg_b])
+    assert tiered.overridden == 0  # append-only detected
+    assert (tiered.n, tiered.total_length) == (full.n, full.total_length)
+    # df fast path: no distributed job used
+    terms = tiered.analyze(fixture_queries[0])
+    assert tiered._live_df_map(terms) == {
+        t: d for t, d in full.term_df(terms).items() if d > 0
+    } or tiered._live_df_map(terms) == full.term_df(terms)
+    for q in list(fixture_queries)[:3]:
+        exp = [
+            (r["docid"], r["score"])
+            for r in full.search_ids(q, k=10, path="wand").collect()
+        ]
+        got = [
+            (r["docid"], r["score"])
+            for r in tiered.search_ids(q, k=10).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in exp], q
+        for (_, x), (_, y) in zip(got, exp):
+            assert math.isclose(x, y, rel_tol=1e-9), q

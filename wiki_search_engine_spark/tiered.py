@@ -117,7 +117,7 @@ class TieredEngine:
 
         # live corpus stats: combined minus overridden docs (pruned
         # point lookup — doc_stats is docid-sorted within files)
-        n_live, total_live = 0, 0
+        n_live, total_live, overridden = 0, 0, 0
         for i, eng in enumerate(self.engines):
             n_live += eng.n
             total_live += eng.total_length
@@ -129,12 +129,19 @@ class TieredEngine:
                     filters=[("docid", "in", tombs.tolist())],
                 )
                 n_live -= len(tbl)
+                overridden += len(tbl)
                 total_live -= int(
                     tbl.column("doc_len").to_numpy().sum()
                 ) if len(tbl) else 0
         self.n = n_live
         self.avgdl = total_live / n_live if n_live else 0.0
         self.total_length = total_live
+        # number of docs actually overridden by later segments. 0 means
+        # the segment set is APPEND-ONLY: no stale postings can exist
+        # anywhere (a segment's postings docids are a subset of its doc
+        # table), so live df == lexicon sums and the tombstone filters
+        # are no-ops.
+        self.overridden = overridden
 
     def analyze(self, query: str) -> list[str]:
         return self.engines[0].analyze(query)
@@ -247,6 +254,21 @@ class TieredEngine:
         ]
         return reduce(lambda a, b: a.unionByName(b), parts)
 
+    def _live_df_map(self, terms: list[str]) -> dict[str, int]:
+        """Live df per term. An APPEND-ONLY segment set (overridden ==
+        0: later segments share no docids with earlier ones) needs no
+        decode at all — per-segment lexicon reads sum driver-side (no
+        Spark job), so a distributed tiered query then costs exactly
+        ONE job, like the single-index path. Otherwise the exact
+        distributed live-df job runs."""
+        if self.overridden:
+            return self._live_df_distributed(terms)
+        out: dict[str, int] = {}
+        for eng in self.engines:
+            for t, d in eng.term_df(terms).items():
+                out[t] = out.get(t, 0) + int(d)
+        return out
+
     def _live_df_distributed(self, terms: list[str]) -> dict[str, int]:
         """Phase 1 of the distributed tiered query: EXACT live df per
         query term, computed where the postings are — each task decodes
@@ -319,7 +341,7 @@ class TieredEngine:
             )
         from .operators.wand import search_topk
 
-        df_map = self._live_df_distributed(terms)
+        df_map = self._live_df_map(terms)
         return search_topk(
             self._candidate_postings(terms),
             terms,
@@ -356,7 +378,7 @@ class TieredEngine:
                 [], "query_id int, docid long, score double"
             )
         all_terms = sorted({t for ts in qmap.values() for t in ts})
-        df_map = self._live_df_distributed(all_terms)
+        df_map = self._live_df_map(all_terms)
         return search_topk_many(
             self._candidate_postings(all_terms),
             qmap,
