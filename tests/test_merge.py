@@ -505,3 +505,103 @@ def test_tiered_append_only_single_job_df(spark, tmp_path,
         assert [d for d, _ in got] == [d for d, _ in exp], q
         for (_, x), (_, y) in zip(got, exp):
             assert math.isclose(x, y, rel_tol=1e-9), q
+
+
+def test_tiered_wand_bounds_sound_across_avgdl(spark, tmp_path):
+    """Block-max bounds stored at a segment's own avgdl UNDERSTATE real
+    scores once the live avgdl is larger (long-doc delta). The tiered
+    kernel must scale each segment's bounds by max(1, live/segment)
+    (merge.py pass-through lemma) or pruning silently drops true top-k
+    docs. This fixture is engineered to close the kernel early: the
+    un-scaled formulation provably returns the wrong winner (asserted),
+    the shipped path must match the compacted index."""
+    from wiki_search_engine_spark.engine import SearchEngine
+    from wiki_search_engine_spark.operators.wand import search_topk
+    from wiki_search_engine_spark.tiered import TieredEngine
+
+    kw = dict(stem=False, n_buckets=4, bucket_groups=1, salt_bits=0)
+    base_rows = [{"url": "https://x/gold", "text": "goldz"}] + [
+        {"url": f"https://x/b{i}", "text": f"common b{i}"}
+        for i in range(199)
+    ]
+    delta_rows = [
+        {
+            "url": "https://x/rare",
+            "text": " ".join(["rarez"] * 7 + [f"d{j}" for j in range(393)]),
+        }
+    ] + [
+        {
+            "url": f"https://x/d{i}",
+            "text": " ".join(f"w{i}x{j}" for j in range(400)),
+        }
+        for i in range(49)
+    ]
+
+    def build(rows, name):
+        SearchEngine.build(
+            spark, spark.createDataFrame(pd.DataFrame(rows)),
+            str(tmp_path / name), **kw,
+        )
+        return str(tmp_path / name)
+
+    base_dir, delta_dir = build(base_rows, "b"), build(delta_rows, "d")
+    merged = SearchEngine.merge(
+        spark, base_dir, delta_dir, str(tmp_path / "m")
+    )
+    tiered = TieredEngine(spark, [base_dir, delta_dir])
+
+    q = "goldz rarez"
+    exp = [
+        (r["docid"], r["score"])
+        for r in merged.search_ids(q, k=1, path="wand").collect()
+    ]
+    got = [
+        (r["docid"], r["score"])
+        for r in tiered.search_ids(q, k=1).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    assert abs(got[0][1] - exp[0][1]) < 1e-9
+
+    # prove the fixture bites: the UN-scaled bounds return a different
+    # (wrong) winner on the same inputs
+    unscaled = [
+        r["docid"]
+        for r in search_topk(
+            tiered._candidate_postings(tiered.analyze(q)),
+            tiered.analyze(q),
+            tiered.n,
+            tiered.avgdl,
+            k=1,
+            df_map=tiered._live_df_map(tiered.analyze(q)),
+            n_shards=1,
+            tombstones_by_seg=tiered.tombstones,
+            ub_scale_by_seg=None,
+        ).collect()
+    ]
+    assert unscaled != [d for d, _ in exp], (
+        "fixture no longer exercises the early-close path"
+    )
+
+
+def test_updated_docids_sidecar_top_shard_boundary(tmp_path):
+    """The last salt shard's slice must include docids adjacent to
+    2**63 - 1: a naive searchsorted needle of 2**63 overflows int64 and
+    numpy degrades to float64, where 2**63 - 1 rounds UP past the
+    needle and the top docids silently vanish from the sidecar."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from wiki_search_engine_spark.operators.merge import (
+        write_updated_docids,
+    )
+
+    updated = np.array(
+        [5, 1 << 61, (1 << 62) + 3, (1 << 63) - 2, (1 << 63) - 1],
+        dtype=np.int64,
+    )
+    out = write_updated_docids(updated, str(tmp_path / "dd"), 1)
+    lo = pq.read_table(f"{out}/salt=0").column("docid").to_pylist()
+    hi = pq.read_table(f"{out}/salt=1").column("docid").to_pylist()
+    assert lo == [5, 1 << 61]
+    assert hi == [(1 << 62) + 3, (1 << 63) - 2, (1 << 63) - 1]
+    assert sorted(lo + hi) == updated.tolist()

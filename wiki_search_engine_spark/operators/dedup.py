@@ -343,6 +343,13 @@ def dedup_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"dedup_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing) — a "
+            "component chain longer than max_iter hops exists; raise "
+            "max_iter (propagation covers one hop per round)"
+        )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("rep_id")
     )

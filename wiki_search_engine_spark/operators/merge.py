@@ -88,9 +88,21 @@ def write_updated_docids(
 
     updated = np.ascontiguousarray(updated, dtype=np.int64)
     shift = 63 - salt_bits
-    for s in range(1 << salt_bits):
-        lo = np.searchsorted(updated, s << shift, "left")
-        hi = np.searchsorted(updated, (s + 1) << shift, "left")
+    n_salts = 1 << salt_bits
+    # shard boundaries via int64 needles; the top shard's upper bound is
+    # the array end, NEVER (n_salts << shift) == 2**63: that needle
+    # overflows int64 and numpy silently degrades the comparison to
+    # float64, where 2**63 - 1 rounds UP to 2**63 and docids within
+    # ~512 of the top of the range fall out of the last slice (verified
+    # on numpy 1.26: searchsorted([..., 2**63-1], 2**63) misses the
+    # last element)
+    needles = np.array(
+        [s << shift for s in range(n_salts)], dtype=np.int64
+    )
+    bounds = np.searchsorted(updated, needles, "left")
+    for s in range(n_salts):
+        lo = bounds[s]
+        hi = bounds[s + 1] if s + 1 < n_salts else updated.size
         d = os.path.join(out_dir, f"salt={s}")
         os.makedirs(d, exist_ok=True)
         pq.write_table(

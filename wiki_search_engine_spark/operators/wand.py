@@ -61,7 +61,18 @@ def score_shard_topk(
         idf = bm25_idf(n, df) if mode == "bm25" else tfidf_idf(n, df)
         blocks = tl["blocks"]
         if mode == "bm25":
-            ub = idf * max(b["max_score"] for b in blocks)
+            # ub_scale (tiered serving): block max_score was computed at
+            # the list's SOURCE-index avgdl; u grows monotonically with
+            # avgdl, bounded by max(1, avgdl_query/avgdl_source) (same
+            # lemma as operators/merge.py pass-through rescaling) — an
+            # unscaled bound would be UNSOUND when the live avgdl
+            # exceeds the segment's and pruning could drop true top-k
+            # docs. TF-IDF's max_tf bound is doclen-free, no scale.
+            ub = (
+                idf
+                * max(b["max_score"] for b in blocks)
+                * tl.get("ub_scale", 1.0)
+            )
         else:
             ub = idf * max(b["max_tf"] for b in blocks)
         prepared.append((ub, idf, blocks, tl.get("tombs")))
@@ -167,6 +178,7 @@ def search_topk_many(
     df_map: dict[str, int] | None = None,
     n_shards: int | None = None,
     tombstones_by_seg: list | None = None,
+    ub_scale_by_seg: list | None = None,
 ) -> DataFrame:
     """Batched top-k: score MANY queries in ONE Spark job.
 
@@ -204,6 +216,7 @@ def search_topk_many(
         if tiered
         else None
     )
+    scales = list(ub_scale_by_seg) if ub_scale_by_seg else None
 
     if df_map is None or n_shards is None:
         # one tiny metadata collect (block payloads never read) supplies
@@ -242,6 +255,8 @@ def search_topk_many(
                 t = bc_tombs.value[int(seg)]
                 if t.size:
                     e["tombs"] = t
+                if scales is not None:
+                    e["ub_scale"] = float(scales[int(seg)])
             by_term.setdefault(term, []).append(e)
         out_q, out_d, out_s = [], [], []
         for qid, terms in queries.items():
@@ -290,6 +305,7 @@ def search_topk(
     df_map: dict[str, int] | None = None,
     n_shards: int | None = None,
     tombstones_by_seg: list | None = None,
+    ub_scale_by_seg: list | None = None,
 ) -> DataFrame:
     """Distributed top-k over the sharded postings table.
 
@@ -347,6 +363,7 @@ def search_topk(
         if tiered
         else None
     )
+    scales = list(ub_scale_by_seg) if ub_scale_by_seg else None
 
     # NB: deliberately un-annotated — applyInPandas warns (on stdout!)
     # when it can't infer an eval type from partial type hints, which
@@ -367,6 +384,8 @@ def search_topk(
                 t = bc_tombs.value[int(seg)]
                 if t.size:
                     tl["tombs"] = t
+                if scales is not None:
+                    tl["ub_scale"] = float(scales[int(seg)])
             term_lists.append(tl)
         if not term_lists:
             return pd.DataFrame({"docid": [], "score": []})

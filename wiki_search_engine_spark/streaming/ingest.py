@@ -150,6 +150,23 @@ def maintain_index_incremental(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
+        # swap-crash recovery: the two renames below are not one atomic
+        # step — a crash between them leaves index_dir missing and the
+        # live index parked at old_b*. Rolling BACK is always correct
+        # (the checkpoint re-runs this batch, which rebuilds the delta
+        # and re-merges); at most one old_b* can exist (each success
+        # removes its own).
+        if not os.path.isdir(index_dir):
+            parked = [
+                e for e in os.listdir(work_dir)
+                if e.startswith("old_b")
+            ] if os.path.isdir(work_dir) else []
+            if len(parked) != 1:
+                raise RuntimeError(
+                    f"{index_dir} missing and no unique parked index "
+                    f"in {work_dir} ({parked}) — manual recovery needed"
+                )
+            os.rename(os.path.join(work_dir, parked[0]), index_dir)
         delta_dir = f"{work_dir}/delta_b{batch_id}"
         merged_dir = f"{work_dir}/merged_b{batch_id}"
         shutil.rmtree(delta_dir, ignore_errors=True)

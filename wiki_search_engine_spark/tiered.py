@@ -64,6 +64,53 @@ from .oracle_py.oracle import bm25_idf, tfidf_idf
 _COMPAT_KEYS = ("stem", "analyzer", "n_buckets", "salt_bits")
 
 
+def _overridden_doc_stats(
+    doc_stats_dir: str, tombs: np.ndarray, salt_bits: int
+) -> tuple[int, int]:
+    """(count, total doc_len) of ``tombs`` docids present in a
+    doc_stats table — directory-pruned per salt shard (the sorted array
+    slices contiguously because salt is the top docid bits). Falls back
+    to one filtered whole-table read on a legacy unpartitioned
+    layout."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    def read(path, ids):
+        tbl = pq.read_table(
+            path,
+            columns=["docid", "doc_len"],
+            filters=[("docid", "in", ids)],
+        )
+        return len(tbl), (
+            int(tbl.column("doc_len").to_numpy().sum()) if len(tbl) else 0
+        )
+
+    if not any(
+        e.startswith("salt=") for e in os.listdir(doc_stats_dir)
+    ):
+        return read(doc_stats_dir, tombs.tolist())
+    shift = 63 - salt_bits
+    n_salts = 1 << salt_bits
+    needles = np.array(
+        [s << shift for s in range(n_salts)], dtype=np.int64
+    )
+    bounds = np.searchsorted(tombs, needles, "left")
+    n_rm, len_rm = 0, 0
+    for s in range(n_salts):
+        lo = bounds[s]
+        hi = bounds[s + 1] if s + 1 < n_salts else tombs.size
+        if hi <= lo:
+            continue
+        d = f"{doc_stats_dir}/salt={s}"
+        if not os.path.isdir(d):
+            continue
+        c, tot = read(d, tombs[lo:hi].tolist())
+        n_rm += c
+        len_rm += tot
+    return n_rm, len_rm
+
+
 class TieredEngine:
     def __init__(
         self,
@@ -115,24 +162,24 @@ class TieredEngine:
                 else np.empty(0, dtype=np.int64)
             )
 
-        # live corpus stats: combined minus overridden docs (pruned
-        # point lookup — doc_stats is docid-sorted within files)
+        # live corpus stats: combined minus overridden docs. The lookup
+        # uses BOTH pruning levels of the doc_stats layout: the sorted
+        # tombstone array slices contiguously per salt (top docid bits),
+        # so only the touched salt DIRECTORIES are read, each with a
+        # docid-in filter over its own slice — never an index-wide
+        # metadata scan, and never one giant Python in-list.
         n_live, total_live, overridden = 0, 0, 0
         for i, eng in enumerate(self.engines):
             n_live += eng.n
             total_live += eng.total_length
             tombs = self.tombstones[i]
             if tombs.size:
-                tbl = pq.read_table(
-                    f"{eng.index_dir}/doc_stats",
-                    columns=["docid", "doc_len"],
-                    filters=[("docid", "in", tombs.tolist())],
+                n_rm, len_rm = _overridden_doc_stats(
+                    f"{eng.index_dir}/doc_stats", tombs, eng.salt_bits
                 )
-                n_live -= len(tbl)
-                overridden += len(tbl)
-                total_live -= int(
-                    tbl.column("doc_len").to_numpy().sum()
-                ) if len(tbl) else 0
+                n_live -= n_rm
+                overridden += n_rm
+                total_live -= len_rm
         self.n = n_live
         self.avgdl = total_live / n_live if n_live else 0.0
         self.total_length = total_live
@@ -146,38 +193,46 @@ class TieredEngine:
     def analyze(self, query: str) -> list[str]:
         return self.engines[0].analyze(query)
 
-    def _live_term_postings(self, term: str):
-        """Decoded LIVE postings of ``term`` across segments:
-        [(docids, tfs, doclens)], tombstoned entries removed. Live df ==
-        total rows (one posting per doc; segments are docid-disjoint
-        after tombstoning)."""
+    def _live_term_postings_many(
+        self, terms: list[str]
+    ) -> dict[str, tuple[int, list]]:
+        """Decoded LIVE postings per term across segments:
+        term -> (live df, [(docids, tfs, doclens), ...]), tombstoned
+        entries removed. Live df == total rows (one posting per doc;
+        segments are docid-disjoint after tombstoning). ALL terms load
+        through one ``_cached_term_lists`` call per segment — one
+        lexicon read and one bucket-grouped postings read each, not one
+        per term."""
         from .operators.codec import decode_posting_list
 
-        parts = []
-        df = 0
+        out: dict[str, tuple[int, list]] = {t: (0, []) for t in terms}
         for i, eng in enumerate(self.engines):
-            dfi, salted = eng._cached_term_lists([term])[term]
-            if dfi <= 0:
-                continue
+            lists = eng._cached_term_lists(terms)
             tombs = self.tombstones[i]
-            for _salt, blocks in salted:
-                d, tf, dl = decode_posting_list(
-                    [
-                        b if isinstance(b, dict) else b.asDict()
-                        for b in blocks
-                    ]
-                )
-                if tombs.size and d.size:
-                    pos = np.searchsorted(tombs, d)
-                    hit = (pos < tombs.size) & (
-                        tombs[np.minimum(pos, tombs.size - 1)] == d
+            for t in terms:
+                dfi, salted = lists[t]
+                if dfi <= 0:
+                    continue
+                df, parts = out[t]
+                for _salt, blocks in salted:
+                    d, tf, dl = decode_posting_list(
+                        [
+                            b if isinstance(b, dict) else b.asDict()
+                            for b in blocks
+                        ]
                     )
-                    keep = ~hit
-                    d, tf, dl = d[keep], tf[keep], dl[keep]
-                if d.size:
-                    parts.append((d, tf, dl))
-                    df += int(d.size)
-        return df, parts
+                    if tombs.size and d.size:
+                        pos = np.searchsorted(tombs, d)
+                        hit = (pos < tombs.size) & (
+                            tombs[np.minimum(pos, tombs.size - 1)] == d
+                        )
+                        keep = ~hit
+                        d, tf, dl = d[keep], tf[keep], dl[keep]
+                    if d.size:
+                        parts.append((d, tf, dl))
+                        df += int(d.size)
+                out[t] = (df, parts)
+        return out
 
     def search_local(
         self, query: str, k: int = 50, mode: str = "bm25",
@@ -192,8 +247,9 @@ class TieredEngine:
             return []
         all_d, all_s = [], []
         and_common = None
+        live = self._live_term_postings_many(list(dict.fromkeys(terms)))
         for t in dict.fromkeys(terms):
-            df, parts = self._live_term_postings(t)
+            df, parts = live[t]
             if not df:
                 if semantics == "and":
                     return []  # an absent term empties the AND result
@@ -352,6 +408,13 @@ class TieredEngine:
             df_map=df_map,
             n_shards=1 << self.engines[0].salt_bits,
             tombstones_by_seg=self.tombstones,
+            # sound block-max bounds: each segment's stored max_score
+            # was computed at ITS OWN avgdl; scale up when the live
+            # avgdl is larger (merge.py pass-through lemma)
+            ub_scale_by_seg=[
+                max(1.0, self.avgdl / eng.avgdl) if eng.avgdl else 1.0
+                for eng in self.engines
+            ],
         )
 
     def search_many(
@@ -389,6 +452,13 @@ class TieredEngine:
             df_map=df_map,
             n_shards=1 << self.engines[0].salt_bits,
             tombstones_by_seg=self.tombstones,
+            # sound block-max bounds: each segment's stored max_score
+            # was computed at ITS OWN avgdl; scale up when the live
+            # avgdl is larger (merge.py pass-through lemma)
+            ub_scale_by_seg=[
+                max(1.0, self.avgdl / eng.avgdl) if eng.avgdl else 1.0
+                for eng in self.engines
+            ],
         )
 
     def query_response(
@@ -578,12 +648,19 @@ def maintain_segments_incremental(
     def process_batch(batch_df, batch_id: int) -> None:
         if not batch_df.take(1):
             return
+        # crash hygiene: in-progress artifacts from a previous attempt
+        # of this (re-run) batch are fair game — never visible to
+        # list_segments (see its filters), always safe to clear
+        for e in os.listdir(segments_dir):
+            if ".building" in e or e.startswith(".retired_"):
+                shutil.rmtree(
+                    os.path.join(segments_dir, e), ignore_errors=True
+                )
         cfg = config()
         stem = cfg.pop("stem", True)
         seg = f"{segments_dir}/seg_{batch_id:08d}"
         shutil.rmtree(seg, ignore_errors=True)
         tmp = seg + ".building"
-        shutil.rmtree(tmp, ignore_errors=True)
         SearchEngine.build(
             spark, batch_df, tmp, stem=stem, bucket_groups=1, **cfg
         )
@@ -591,10 +668,22 @@ def maintain_segments_incremental(
         segs = list_segments(segments_dir)
         if len(segs) > compact_after:
             new_base = f"{segments_dir}/seg_{batch_id:08d}_compacted"
-            compact(spark, segs, new_base + ".building")
+            # fold intermediates live OUTSIDE the seg_* namespace so a
+            # concurrent list_segments never sees partial state
+            compact(
+                spark, segs, new_base + ".building",
+                work_dir=f"{segments_dir}/.compact_work",
+            )
             os.rename(new_base + ".building", new_base)
-            for d in segs:
-                shutil.rmtree(d, ignore_errors=True)
+            # retire = atomic rename OUT of the listing namespace first,
+            # then delete: a reader that lists after any rename sees a
+            # consistent set (old complete or new complete); only a
+            # reader holding a pre-rename listing can race the delete
+            # (on object storage this whole block is a pointer flip)
+            for i, d in enumerate(segs):
+                r = f"{segments_dir}/.retired_{batch_id:08d}_{i}"
+                os.rename(d, r)
+                shutil.rmtree(r, ignore_errors=True)
 
     writer = (
         stream_corpus(spark, input_dir)
@@ -609,11 +698,14 @@ def maintain_segments_incremental(
 def list_segments(segments_dir: str) -> list[str]:
     """Live segments oldest-first (completed ``seg_*`` dirs only; a
     ``*_compacted`` base sorts before the batches that followed it
-    because it carries its fold batch's id)."""
+    because it carries its fold batch's id). Anything carrying a
+    ``.building`` marker anywhere in its name (in-progress builds,
+    compaction outputs, and their work dirs) and ``.retired_*`` dirs
+    are invisible."""
     import os
 
     return [
         os.path.join(segments_dir, e)
         for e in sorted(os.listdir(segments_dir))
-        if e.startswith("seg_") and not e.endswith(".building")
+        if e.startswith("seg_") and ".building" not in e
     ]
