@@ -75,7 +75,7 @@ def test_block_roundtrip(n, seed):
     docids = np.sort(rng.choice(2**45, size=n, replace=False))
     tfs = rng.integers(1, 50, n)
     dls = rng.integers(1, 3000, n)
-    blocks = encode_postings(docids, tfs, dls, idf=1.0, avgdl=500.0)
+    blocks = encode_postings(docids, tfs, dls, avgdl=500.0)
     d, t, dl = decode_posting_list(blocks)
     assert (d == docids).all() and (t == tfs).all() and (dl == dls).all()
     for b in blocks:
@@ -83,6 +83,10 @@ def test_block_roundtrip(n, seed):
         assert b["first_docid"] == bd[0] and b["last_docid"] == bd[-1]
         assert b["count"] == bd.size and b["max_tf"] == bt.max()
         assert (np.diff(bd) > 0).all()  # strictly docid-sorted
+        # idf-FREE u bound (production/WAND contract; an idf-baked
+        # value would be double-idf'd at query time -> unsound pruning)
+        u = bt * 2.5 / (bt + 1.5 * (0.25 + 0.75 * bdl / 500.0))
+        assert abs(b["max_score"] - u.max()) < 1e-12
 
 
 def test_extraction_removes_decoys_and_formats_headings():

@@ -32,6 +32,19 @@ import numpy as np
 BLOCK_SIZE = 128
 
 
+def isin_sorted(haystack: np.ndarray, needles: np.ndarray) -> np.ndarray:
+    """Membership of ``needles`` in a SORTED ``haystack`` via
+    searchsorted — the shared idiom for tombstone/purge hit tests
+    (the np.minimum clamp guards the out-of-range index searchsorted
+    returns for needles above the max element)."""
+    if haystack.size == 0:
+        return np.zeros(needles.shape, dtype=bool)
+    pos = np.searchsorted(haystack, needles)
+    return (pos < haystack.size) & (
+        haystack[np.minimum(pos, haystack.size - 1)] == needles
+    )
+
+
 def varbyte_encode_with_offsets(values: np.ndarray):
     """Encode a non-negative int64 array to varbyte; also return the byte
     offset of each value (length n+1) so callers can slice sub-ranges of
@@ -90,16 +103,20 @@ def varbyte_decode(data: bytes) -> np.ndarray:
 
 def encode_postings(
     docids: np.ndarray, tfs: np.ndarray, doclens: np.ndarray,
-    idf: float, avgdl: float, k1: float = 1.5, b: float = 0.75,
+    avgdl: float, k1: float = 1.5, b: float = 0.75,
     block_size: int = BLOCK_SIZE,
 ):
-    """Split docid-sorted postings into encoded blocks.
+    """Split docid-sorted postings into encoded blocks (reference
+    single-list form of ``encode_partition_flat``; kept for the codec
+    round-trip tests and as the readable spec of the block format).
 
     Returns a list of dicts ``{first_docid, last_docid, count, max_score,
-    docids_bytes, tfs_bytes, doclens_bytes}``. ``max_score`` is the max BM25
-    term contribution within the block (reference formula:
-    backend/services/mongoService.js:34-41).
-    """
+    docids_bytes, tfs_bytes, doclens_bytes}``. ``max_score`` is the
+    idf-FREE BM25 factor u = tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) — the
+    SAME contract as the production encoder and the WAND kernel, which
+    multiplies by idf at query time (an idf-baked value here would get
+    idf applied twice and, for common terms with idf < 1, UNDERSTATE the
+    bound — unsound pruning)."""
     docids = np.asarray(docids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
     doclens = np.asarray(doclens, dtype=np.int64)
@@ -115,7 +132,7 @@ def encode_postings(
         deltas[1:] = np.diff(d).astype(np.uint64)
         tfd = t.astype(np.float64)
         scores = (
-            idf * tfd * (k1 + 1.0)
+            tfd * (k1 + 1.0)
             / (tfd + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl))
         )
         blocks.append(
@@ -211,63 +228,6 @@ def encode_partition_flat(
         first_docid, last_docid, block_counts, max_u, max_tf,
         docids_bytes, tfs_bytes, doclens_bytes,
     )
-
-
-def encode_partition_vectorized(
-    terms,
-    salts,
-    docids: np.ndarray,
-    tfs: np.ndarray,
-    doclens: np.ndarray,
-    avgdl: float,
-    k1: float = 1.5,
-    b: float = 0.75,
-    block_size: int = BLOCK_SIZE,
-):
-    """Encode a whole sorted partition (by term, salt, docid) at once.
-
-    Returns (group_start_indices, group_sizes, blocks_per_group) where
-    blocks_per_group[i] is the block-tuple list for the i-th (term, salt)
-    group. Block tuples match operators.postings.BLOCK_STRUCT field order.
-    (Object-array front-end over ``encode_partition_flat``; the Arrow
-    build path in operators/postings.py uses the flat core directly.)
-    """
-    n = len(docids)
-    if n == 0:
-        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64), []
-    terms = np.asarray(terms, dtype=object)
-    salts = np.asarray(salts, dtype=np.int64)
-    new_group = np.ones(n, dtype=bool)
-    new_group[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
-
-    (
-        group_starts, group_sizes, bpg_counts,
-        first_docid, last_docid, block_counts, max_u, max_tf,
-        docids_bytes, tfs_bytes, doclens_bytes,
-    ) = encode_partition_flat(
-        new_group, docids, tfs, doclens, avgdl, k1, b, block_size
-    )
-
-    blocks_per_group: list[list] = []
-    bi = 0
-    for cnt in bpg_counts:
-        group = []
-        for _ in range(int(cnt)):
-            group.append(
-                (
-                    int(first_docid[bi]),
-                    int(last_docid[bi]),
-                    int(block_counts[bi]),
-                    float(max_u[bi]),
-                    int(max_tf[bi]),
-                    docids_bytes[bi],
-                    tfs_bytes[bi],
-                    doclens_bytes[bi],
-                )
-            )
-            bi += 1
-        blocks_per_group.append(group)
-    return group_starts, group_sizes, blocks_per_group
 
 
 def decode_block(block) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

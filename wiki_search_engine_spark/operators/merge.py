@@ -201,7 +201,10 @@ def merge_postings_tables(
         import pyarrow.compute as pc
 
         from .codec import varbyte_decode
-        from .postings import encode_groups_arrow
+        from .postings import (
+            encode_groups_arrow, iter_group_complete_tables,
+            new_group_mask_arrow,
+        )
         out_schema = pa.schema(
             [
                 pa.field("term", pa.string()),
@@ -227,20 +230,6 @@ def merge_postings_tables(
                 ),
             ]
         )
-
-        def new_group_mask(tbl: pa.Table) -> np.ndarray:
-            term = tbl.column("term")
-            salt = tbl.column("salt").to_numpy()
-            n = len(tbl)
-            mask = np.ones(n, dtype=bool)
-            if n > 1:
-                ne = pc.not_equal(
-                    term.slice(1), term.slice(0, n - 1)
-                ).combine_chunks()
-                mask[1:] = ne.to_numpy(zero_copy_only=False) | (
-                    salt[1:] != salt[:-1]
-                )
-            return mask
 
         def emit_passthrough(tbl: pa.Table):
             cols = {
@@ -296,7 +285,7 @@ def merge_postings_tables(
             dominates when a wide update batch makes most groups
             collide)."""
             n_rows = len(tbl)
-            mask_rows = new_group_mask(tbl)
+            mask_rows = new_group_mask_arrow(tbl)
             gid_rows = np.cumsum(mask_rows) - 1
             src = tbl.column("src").to_numpy()
             salt_rows = tbl.column("salt").to_numpy()
@@ -316,7 +305,17 @@ def merge_postings_tables(
             first_docid = flat.field("first_docid").to_numpy()
 
             def concat_bin(arr):
-                return b"".join(arr.to_pylist())
+                # zero-copy concatenation: a null-free BinaryArray's
+                # value bytes are contiguous in its data buffer; slice
+                # between the first and last offsets instead of
+                # materializing one PyBytes per block (millions of
+                # transient allocations on a wide update batch)
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+                lo = offs[arr.offset]
+                hi = offs[arr.offset + len(arr)]
+                return memoryview(arr.buffers()[2])[lo:hi]
 
             deltas = varbyte_decode(
                 concat_bin(flat.field("docids_bytes"))
@@ -349,11 +348,9 @@ def merge_postings_tables(
             # purge updated docids from BASE rows
             keep = np.ones(docids.size, dtype=bool)
             if dd.size:
-                pos = np.searchsorted(dd, docids)
-                hit = (pos < dd.size) & (
-                    dd[np.minimum(pos, dd.size - 1)] == docids
-                )
-                keep = ~(hit & (src[post_row] == 0))
+                from .codec import isin_sorted
+
+                keep = ~(isin_sorted(dd, docids) & (src[post_row] == 0))
             docids, tfs, doclens, post_row = (
                 docids[keep], tfs[keep], doclens[keep], post_row[keep]
             )
@@ -384,7 +381,7 @@ def merge_postings_tables(
 
         def process(tbl: pa.Table):
             n = len(tbl)
-            mask = new_group_mask(tbl)
+            mask = new_group_mask_arrow(tbl)
             gid = np.cumsum(mask) - 1
             src = tbl.column("src").to_numpy()
             # collision = the (term, salt) group has rows from BOTH
@@ -433,22 +430,7 @@ def merge_postings_tables(
                 if rb is not None:
                     yield rb
 
-        carry: "pa.Table | None" = None
-        for batch in batches:
-            tbl = pa.Table.from_batches([batch])
-            if carry is not None:
-                tbl = pa.concat_tables([carry, tbl])
-            tbl = tbl.combine_chunks()
-            carry = None
-            n = len(tbl)
-            if n == 0:
-                continue
-            mask = new_group_mask(tbl)
-            last_start = int(np.flatnonzero(mask)[-1])
-            carry = tbl.slice(last_start)
-            if last_start > 0:
-                yield from process(tbl.slice(0, last_start).combine_chunks())
-        if carry is not None and len(carry):
-            yield from process(carry.combine_chunks())
+        for tbl in iter_group_complete_tables(batches):
+            yield from process(tbl)
 
     return u.mapInArrow(kernel, schema=POSTINGS_SCHEMA)

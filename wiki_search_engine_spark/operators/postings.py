@@ -133,6 +133,55 @@ def split_oversized_groups(
     return out
 
 
+def new_group_mask_arrow(tbl) -> "np.ndarray":
+    """Group-start mask over an Arrow table sorted by (term, salt):
+    True where (term, salt) differs from the previous row. Arrow-side
+    string compare — no per-row Python. Shared by the build encoder and
+    the merge kernel."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    term = tbl.column("term")
+    salt = tbl.column("salt").to_numpy()
+    n = len(tbl)
+    mask = np.ones(n, dtype=bool)
+    if n > 1:
+        ne = pc.not_equal(
+            term.slice(1), term.slice(0, n - 1)
+        ).combine_chunks()
+        mask[1:] = ne.to_numpy(zero_copy_only=False) | (
+            salt[1:] != salt[:-1]
+        )
+    return mask
+
+
+def iter_group_complete_tables(batches):
+    """Re-batch an Arrow batch stream so every yielded table ends on a
+    (term, salt) group boundary: the trailing partial group of each
+    batch is carried into the next (the final carry flushes at end).
+    The subtle streaming half of both the build encoder and the merge
+    kernel — one implementation, two users."""
+    import numpy as np
+    import pyarrow as pa
+
+    carry = None
+    for batch in batches:
+        tbl = pa.Table.from_batches([batch])
+        if carry is not None:
+            tbl = pa.concat_tables([carry, tbl])
+        tbl = tbl.combine_chunks()
+        carry = None
+        if len(tbl) == 0:
+            continue
+        mask = new_group_mask_arrow(tbl)
+        last_start = int(np.flatnonzero(mask)[-1])
+        carry = tbl.slice(last_start)
+        if last_start > 0:
+            yield tbl.slice(0, last_start).combine_chunks()
+    if carry is not None and len(carry):
+        yield carry.combine_chunks()
+
+
 def encode_groups_arrow(
     term_per_row,
     salts: "np.ndarray",
@@ -263,25 +312,7 @@ def build_postings(
     # and its bucket hash). Groups are contiguous after the sort; a group
     # spanning a batch boundary is carried over to the next batch.
     def encode_stream_arrow(batches):
-        import numpy as np
         import pyarrow as pa
-        import pyarrow.compute as pc
-
-        carry: pa.Table | None = None
-
-        def new_group_mask(tbl: pa.Table) -> np.ndarray:
-            term = tbl.column("term")
-            salt = tbl.column("salt").to_numpy()
-            n = len(tbl)
-            mask = np.ones(n, dtype=bool)
-            if n > 1:
-                ne = pc.not_equal(
-                    term.slice(1), term.slice(0, n - 1)
-                ).combine_chunks()
-                mask[1:] = ne.to_numpy(zero_copy_only=False) | (
-                    salt[1:] != salt[:-1]
-                )
-            return mask
 
         def encode_tbl(tbl: pa.Table) -> pa.RecordBatch:
             # bucket arrives precomputed from the JVM expr (term_bucket_col)
@@ -292,7 +323,7 @@ def build_postings(
                 term_col,
                 tbl.column("salt").to_numpy(),
                 tbl.column("bucket").to_numpy(),
-                new_group_mask(tbl),
+                new_group_mask_arrow(tbl),
                 tbl.column("docid").to_numpy(),
                 tbl.column("tf").to_numpy(),
                 tbl.column("doc_len").to_numpy(),
@@ -301,22 +332,8 @@ def build_postings(
                 max_postings_per_row=max_postings_per_row,
             )
 
-        for batch in batches:
-            tbl = pa.Table.from_batches([batch])
-            if carry is not None:
-                tbl = pa.concat_tables([carry, tbl])
-            tbl = tbl.combine_chunks()
-            carry = None
-            n = len(tbl)
-            if n == 0:
-                continue
-            mask = new_group_mask(tbl)
-            last_start = int(np.flatnonzero(mask)[-1])
-            carry = tbl.slice(last_start)
-            if last_start > 0:
-                yield encode_tbl(tbl.slice(0, last_start).combine_chunks())
-        if carry is not None and len(carry):
-            yield encode_tbl(carry.combine_chunks())
+        for tbl in iter_group_complete_tables(batches):
+            yield encode_tbl(tbl)
 
     return salted.mapInArrow(encode_stream_arrow, schema=POSTINGS_SCHEMA)
 

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from .. import B, K1
 from ..oracle_py.oracle import bm25_idf, tfidf_idf
-from .codec import decode_block
+from .codec import decode_block, isin_sorted
 
 
 def _bm25_scores(tfs, doclens, idf, avgdl):
@@ -106,10 +106,7 @@ def score_shard_topk(
                 # postings overridden by later segments — drop them at
                 # decode time (block-max bounds stay sound: pruning
                 # over-estimates only)
-                pos = np.searchsorted(tombs, docids)
-                hit = (pos < tombs.size) & (
-                    tombs[np.minimum(pos, tombs.size - 1)] == docids
-                )
+                hit = isin_sorted(tombs, docids)
                 if hit.any():
                     keep = ~hit
                     docids, tfs, doclens = (
@@ -210,7 +207,13 @@ def search_topk_many(
         )
     all_terms = sorted({t for ts in queries.values() for t in ts})
     cand = postings.filter(F.col("term").isin(all_terms))
-    tiered = tombstones_by_seg is not None and "seg" in postings.columns
+    if tombstones_by_seg is not None and "seg" not in postings.columns:
+        raise ValueError(
+            "tombstones_by_seg given but postings has no 'seg' column — "
+            "stale documents would be scored silently; union segment "
+            "postings with a seg index (TieredEngine._candidate_postings)"
+        )
+    tiered = tombstones_by_seg is not None
     bc_tombs = (
         spark.sparkContext.broadcast(list(tombstones_by_seg))
         if tiered
@@ -233,6 +236,8 @@ def search_topk_many(
                 )
         n_shards = max(len(shard_ids), 1)
     df_map = {t: d for t, d in df_map.items() if d > 0}
+    if not df_map:
+        return spark.createDataFrame([], out_schema)
     n_shards = max(n_shards, 1)
 
     def kernel(key, pdf):
@@ -357,7 +362,13 @@ def search_topk(
     if not df_map:
         return spark.createDataFrame([], "docid long, score double")
 
-    tiered = tombstones_by_seg is not None and "seg" in postings.columns
+    if tombstones_by_seg is not None and "seg" not in postings.columns:
+        raise ValueError(
+            "tombstones_by_seg given but postings has no 'seg' column — "
+            "stale documents would be scored silently; union segment "
+            "postings with a seg index (TieredEngine._candidate_postings)"
+        )
+    tiered = tombstones_by_seg is not None
     bc_tombs = (
         spark.sparkContext.broadcast(list(tombstones_by_seg))
         if tiered

@@ -222,11 +222,9 @@ class TieredEngine:
                         ]
                     )
                     if tombs.size and d.size:
-                        pos = np.searchsorted(tombs, d)
-                        hit = (pos < tombs.size) & (
-                            tombs[np.minimum(pos, tombs.size - 1)] == d
-                        )
-                        keep = ~hit
+                        from .operators.codec import isin_sorted
+
+                        keep = ~isin_sorted(tombs, d)
                         d, tf, dl = d[keep], tf[keep], dl[keep]
                     if d.size:
                         parts.append((d, tf, dl))
@@ -359,12 +357,12 @@ class TieredEngine:
                     if t.size == 0:
                         n_live = sum(int(b["count"]) for b in blks)
                     else:
-                        d, _tf, _dl = decode_posting_list(blks)
-                        pos = np.searchsorted(t, d)
-                        hit = (pos < t.size) & (
-                            t[np.minimum(pos, t.size - 1)] == d
+                        from wiki_search_engine_spark.operators.codec import (
+                            isin_sorted,
                         )
-                        n_live = int((~hit).sum())
+
+                        d, _tf, _dl = decode_posting_list(blks)
+                        n_live = int((~isin_sorted(t, d)).sum())
                     agg[term] = agg.get(term, 0) + n_live
                 yield pd.DataFrame(
                     {"term": list(agg), "df": list(agg.values())}
