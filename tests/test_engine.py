@@ -427,3 +427,35 @@ def test_and_semantics_local_path(engine, fixture_queries):
     assert engine.search_local(
         f"{fixture_queries[0]} zzznotaword", semantics="and"
     ) == []
+
+
+def test_fresh_rebuild_clears_stale_buckets(spark, tmp_path):
+    """A non-resume rebuild into an existing index_dir must not inherit
+    ghost postings: dynamic partition overwrite only rewrites bucket
+    dirs the new corpus touches, so stale ones are cleared up front."""
+    import pandas as pd
+
+    from wiki_search_engine_spark.engine import SearchEngine
+
+    d = str(tmp_path / "idx")
+    rows_a = [
+        {"url": f"https://x/a{i}", "text": f"alphaword{i % 7} shared"}
+        for i in range(40)
+    ]
+    rows_b = [{"url": "https://x/b0", "text": "betaword solo"}]
+    SearchEngine.build(
+        spark, spark.createDataFrame(pd.DataFrame(rows_a)), d,
+        stem=False, n_buckets=8, bucket_groups=1, salt_bits=1,
+    )
+    eng = SearchEngine.build(
+        spark, spark.createDataFrame(pd.DataFrame(rows_b)), d,
+        stem=False, n_buckets=8, bucket_groups=1, salt_bits=1,
+    )
+    assert eng.n == 1
+    terms = {
+        r["term"]
+        for r in spark.read.parquet(f"{d}/term_stats").collect()
+    }
+    assert terms == {"betaword", "solo"}  # no ghost alphaword* terms
+    assert eng.search_local("alphaword0", k=5) == []
+    assert eng.search_local("betaword", k=5)

@@ -55,6 +55,92 @@ def sys_snapshot() -> dict:
     }
 
 
+def assemble_reference_response(
+    query: str,
+    option_name: str,
+    analyze,
+    get_ids,
+    lookup_docs,
+) -> dict:
+    """The ONE implementation of the reference HTTP response shape
+    (queryController.js:11-59), shared by SearchEngine and TieredEngine
+    (a second copy of the span/assembly machinery drifted once already).
+    ``get_ids(mode) -> [(docid, score), ...]`` supplies scoring;
+    ``lookup_docs(docids) -> rows`` supplies hydration; spans and the
+    sysSnapshot follow utils/profiler.js."""
+    import time
+
+    mode = (option_name or "tfidf").lower()
+    if mode not in ("tfidf", "bm25"):
+        mode = "tfidf"
+    t_all = time.time()
+    measures = []
+
+    def span(name, fn):
+        t0 = time.time()
+        out = fn()
+        measures.append(
+            {"name": name,
+             "duration_ms": round(1000 * (time.time() - t0), 3)}
+        )
+        return out
+
+    try:
+        span(
+            "validate_input",
+            lambda: (_ for _ in ()).throw(EmptyQueryError("Empty query"))
+            if not query or not query.strip()
+            else None,
+        )
+        terms = span("stem_query", lambda: analyze(query))
+    except EmptyQueryError:
+        return {"success": False, "result": [], "error": "Empty query"}
+    ids = span("get_documents", lambda: get_ids(mode))
+    id_rows = [(int(d), float(s)) for d, s in ids]
+    score_map = dict(id_rows)
+    # result hydration is a point lookup over the k result ids — never a
+    # second search and never a docs-table scan/join
+    docs = span(
+        "fetch_results",
+        lambda: sorted(
+            lookup_docs([d for d, _ in id_rows]),
+            key=lambda r: (-score_map[r["docid"]], r["docid"]),
+        ),
+    )
+    text_result = [
+        {
+            "docId": r["title"],
+            "chunkedBody": r["snippet"],
+            "url": r["url"],
+            "file_id": str(r["docid"]),
+            "score": score_map[r["docid"]],
+        }
+        for r in docs
+    ]
+    image_result = span(
+        "get_image_filenames",
+        lambda: [
+            img["image_id"]
+            for r in docs
+            for img in (r.get("images") or [])
+        ],
+    )
+    measures.append(
+        {"name": "total_request",
+         "duration_ms": round(1000 * (time.time() - t_all), 3)}
+    )
+    return {
+        "imageResult": image_result,
+        "textResult": text_result,
+        "searchTime": round(time.time() - t_all, 3),
+        "profile": {
+            "measures": measures,
+            "sysSnapshot": sys_snapshot(),
+        },
+        "query_terms": terms,
+    }
+
+
 class SearchEngine:
     def __init__(
         self,
@@ -118,15 +204,22 @@ class SearchEngine:
         self.n = int(stats["N"])
         self.avgdl = float(stats["avgdl"])
         self.total_length = int(stats["total_length"])
+        import threading
         from collections import OrderedDict
 
         self._cache_cap = int(cache_terms)
         self._term_cache: "OrderedDict[str, tuple[int, list]]" = (
             OrderedDict()
         )
+        # the cache is served from ThreadingHTTPServer worker threads:
+        # check-then-use against concurrent eviction needs a lock (loads
+        # happen outside it; a double-load of the same term is a benign
+        # idempotent insert)
+        self._cache_lock = threading.Lock()
 
     def clear_cache(self) -> None:
-        self._term_cache.clear()
+        with self._cache_lock:
+            self._term_cache.clear()
 
     def _cached_term_lists(self, terms: list[str]):
         """(term -> (df, [(salt, blocks), ...])) for every present term,
@@ -140,12 +233,13 @@ class SearchEngine:
 
         out: dict[str, tuple[int, list]] = {}
         missing: list[str] = []
-        for t in dict.fromkeys(terms):
-            if t in self._term_cache:
-                self._term_cache.move_to_end(t)
-                out[t] = self._term_cache[t]
-            else:
-                missing.append(t)
+        with self._cache_lock:
+            for t in dict.fromkeys(terms):
+                if t in self._term_cache:
+                    self._term_cache.move_to_end(t)
+                    out[t] = self._term_cache[t]
+                else:
+                    missing.append(t)
         if missing:
             df_map = self.term_df(missing)
             loaded: dict[str, tuple[int, list]] = {
@@ -172,13 +266,14 @@ class SearchEngine:
                         df_map[t],
                         loaded[t][1] + [(row["salt"], row["blocks"])],
                     )
-            for t, v in loaded.items():
-                out[t] = v
-                if self._cache_cap:
-                    self._term_cache[t] = v
-                    self._term_cache.move_to_end(t)
-            while len(self._term_cache) > self._cache_cap:
-                self._term_cache.popitem(last=False)
+            with self._cache_lock:
+                for t, v in loaded.items():
+                    out[t] = v
+                    if self._cache_cap:
+                        self._term_cache[t] = v
+                        self._term_cache.move_to_end(t)
+                while len(self._term_cache) > self._cache_cap:
+                    self._term_cache.popitem(last=False)
         return out
 
     # -- lifecycle ---------------------------------------------------------
@@ -601,86 +696,23 @@ class SearchEngine:
           /proc/self/status; eventLoopDelay_ms pinned 0 as in the
           reference.
         """
-        import time
 
-        mode = (option_name or "tfidf").lower()
-        if mode not in ("tfidf", "bm25"):
-            mode = "tfidf"
-        t_all = time.time()
-        measures = []
-
-        def span(name, fn):
-            t0 = time.time()
-            out = fn()
-            measures.append(
-                {"name": name,
-                 "duration_ms": round(1000 * (time.time() - t0), 3)}
-            )
-            return out
-
-        try:
-            span(
-                "validate_input",
-                lambda: (_ for _ in ()).throw(EmptyQueryError("Empty query"))
-                if not query or not query.strip()
-                else None,
-            )
-            terms = span("stem_query", lambda: self.analyze(query))
-        except EmptyQueryError:
-            return {"success": False, "result": [], "error": "Empty query"}
-        ids = span(
-            "get_documents",
-            lambda: self.search_ids(
-                query, k=k, mode=mode, path=path, semantics=semantics
-            ).collect() if path != "local" else self.search_local(
+        def get_ids(mode):
+            if path != "local":
+                return [
+                    (r["docid"], r["score"])
+                    for r in self.search_ids(
+                        query, k=k, mode=mode, path=path,
+                        semantics=semantics,
+                    ).collect()
+                ]
+            return self.search_local(
                 query, k=k, mode=mode, semantics=semantics
-            ),
+            )
+
+        return assemble_reference_response(
+            query, option_name, self.analyze, get_ids, self.lookup_docs
         )
-        id_rows = [
-            (int(r[0]), float(r[1]))
-            if not hasattr(r, "asDict") else (r["docid"], r["score"])
-            for r in ids
-        ]
-        score_map = dict(id_rows)
-        # result hydration is a point lookup over the k result ids —
-        # never a second search and never a docs-table scan/join
-        docs = span(
-            "fetch_results",
-            lambda: sorted(
-                self.lookup_docs([d for d, _ in id_rows]),
-                key=lambda r: (-score_map[r["docid"]], r["docid"]),
-            ),
-        )
-        text_result = [
-            {
-                "docId": r["title"],
-                "chunkedBody": r["snippet"],
-                "url": r["url"],
-                "file_id": str(r["docid"]),
-                "score": score_map[r["docid"]],
-            }
-            for r in docs
-        ]
-        image_result = span(
-            "get_image_filenames",
-            lambda: [
-                img["image_id"] for r in docs for img in (r["images"] or [])
-            ],
-        )
-        measures.append(
-            {"name": "total_request",
-             "duration_ms": round(1000 * (time.time() - t_all), 3)}
-        )
-        return {
-            "imageResult": image_result,
-            "textResult": text_result,
-            "searchTime": round(time.time() - t_all, 3),
-            "profile": {
-                "measures": measures,
-                "sysSnapshot": sys_snapshot(),
-            },
-            "query_terms": terms,
-        }
 
     def image_results(
         self, query: str, k: int = 50, mode: str = "bm25",

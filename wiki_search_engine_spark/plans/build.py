@@ -143,6 +143,19 @@ def build_index(
     manifest = Manifest(f"{index_dir}/manifest.json")
     if not resume:
         manifest.entries = {}
+        # a fresh (non-resume) build into an existing index_dir must not
+        # inherit stale output: postings/term_stats use DYNAMIC partition
+        # overwrite (so a crashed group rewrites only its own dirs on
+        # resume), which would let bucket dirs the new corpus never
+        # writes survive as ghost postings — and write_term_stats would
+        # re-ingest them into the lexicon
+        import shutil
+
+        for sub in (
+            "tokens", "postings", "term_stats", "docs", "doc_stats",
+            "stats",
+        ):
+            shutil.rmtree(f"{index_dir}/{sub}", ignore_errors=True)
 
     # persist the index configuration so SearchEngine.load can't drift
     # from what was built (bucket pruning depends on n_buckets)
@@ -379,7 +392,14 @@ def _build_stages(
         )
         n, total = int(len(dl)), int(dl.sum())
         stats_pdf = pd.DataFrame(
-            {"N": [n], "avgdl": [total / n], "total_length": [total]}
+            {
+                "N": [n],
+                # n == 0: every doc tokenized to nothing (empty crawl
+                # batch of stopword-only pages) — an index with no
+                # postings is valid and must not kill a streaming batch
+                "avgdl": [total / n if n else 0.0],
+                "total_length": [total],
+            }
         )
         os.makedirs(f"{index_dir}/stats", exist_ok=True)
         pq.write_table(

@@ -176,7 +176,11 @@ def merge_indexes(
         )
         n, total = int(len(dl)), int(dl.sum())
         stats_pdf = pd.DataFrame(
-            {"N": [n], "avgdl": [total / n], "total_length": [total]}
+            {
+                "N": [n],
+                "avgdl": [total / n if n else 0.0],
+                "total_length": [total],
+            }
         )
         os.makedirs(f"{out_dir}/stats", exist_ok=True)
         pq.write_table(
@@ -297,10 +301,14 @@ def delete_docs(
         json.dump(meta_b, f)
 
     updated_df = _docid_df(spark, updated)
+    big_delete = updated.size > docid_broadcast_limit
 
     def _minus(sub: str) -> DataFrame:
+        # big delete set: no broadcast hint — let AQE pick a shuffle
+        # join (mirrors merge_indexes' _anti_union)
+        anti = updated_df if big_delete else F.broadcast(updated_df)
         return spark.read.parquet(f"{base_dir}/{sub}").join(
-            F.broadcast(updated_df), "docid", "left_anti"
+            anti, "docid", "left_anti"
         )
 
     import pyarrow.parquet as pq

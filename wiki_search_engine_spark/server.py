@@ -64,6 +64,10 @@ class _Handler(BaseHTTPRequestHandler):
             k = int((qs.get("k") or ["50"])[0])
         except ValueError:
             k = 50
+        # clamp: a negative k becomes a Python negative slice in the
+        # top-k cuts (returning nearly ALL docs); an unbounded k lets an
+        # unauthenticated request force exhaustive hydration
+        k = max(1, min(k, 1000))
         try:
             # &semantics=and — conjunctive retrieval, an extension
             # beyond the reference API (default 'or' is the reference's)

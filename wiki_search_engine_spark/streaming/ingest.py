@@ -43,9 +43,13 @@ def ingest_corpus_incremental(
     stem: bool = True,
     n_buckets: int = 64,
 ):
-    """Start a stream writing (docid, term, tf, doc_len, bucket) token
-    deltas; returns the StreamingQuery. Exactly-once via the file-source
-    checkpoint; deltas are idempotently folded by the batch build."""
+    """Start a stream writing (docid, term, tf, doc_len, bucket, batch)
+    token deltas; returns the StreamingQuery. Exactly-once: each batch
+    writes ONLY its own ``batch=<id>`` partition directories with
+    dynamic overwrite, so foreachBatch's at-least-once re-run of an
+    uncommitted batch REPLACES its own rows instead of appending
+    duplicates (a bare append would double-count df/tf for every
+    re-delivered batch)."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.tokenize import with_docid
@@ -60,8 +64,14 @@ def ingest_corpus_incremental(
                     "bucket int"
                 ),
             )
+            .withColumn("batch", F.lit(int(batch_id)))
         )
-        tokens.write.mode("append").partitionBy("bucket").parquet(delta_dir)
+        (
+            tokens.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch", "bucket")
+            .parquet(delta_dir)
+        )
 
     return (
         corpus_stream.writeStream.foreachBatch(process_batch)
@@ -144,29 +154,42 @@ def maintain_index_incremental(
     from ..engine import SearchEngine
     from ..plans.merge import merge_indexes
 
+    def recover_swap() -> None:
+        """Roll back a crash between the two swap renames: index_dir
+        missing means the live index is parked at old_b*. Restoring it
+        is always correct — the checkpoint re-runs the interrupted
+        batch, which rebuilds the delta and re-merges. Runs BEFORE
+        anything reads index_dir (a crashed previous session must not
+        fail at stream setup)."""
+        if os.path.isdir(index_dir):
+            return
+        parked = [
+            e for e in os.listdir(work_dir) if e.startswith("old_b")
+        ] if os.path.isdir(work_dir) else []
+        if len(parked) != 1:
+            raise RuntimeError(
+                f"{index_dir} missing and no unique parked index "
+                f"in {work_dir} ({parked}) — manual recovery needed"
+            )
+        os.rename(os.path.join(work_dir, parked[0]), index_dir)
+
+    recover_swap()
     stream = stream_corpus(spark, input_dir)
     meta_engine = SearchEngine.load(spark, index_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
-        # swap-crash recovery: the two renames below are not one atomic
-        # step — a crash between them leaves index_dir missing and the
-        # live index parked at old_b*. Rolling BACK is always correct
-        # (the checkpoint re-runs this batch, which rebuilds the delta
-        # and re-merges); at most one old_b* can exist (each success
-        # removes its own).
-        if not os.path.isdir(index_dir):
-            parked = [
-                e for e in os.listdir(work_dir)
-                if e.startswith("old_b")
-            ] if os.path.isdir(work_dir) else []
-            if len(parked) != 1:
-                raise RuntimeError(
-                    f"{index_dir} missing and no unique parked index "
-                    f"in {work_dir} ({parked}) — manual recovery needed"
-                )
-            os.rename(os.path.join(work_dir, parked[0]), index_dir)
+        recover_swap()
+        # a crash AFTER the swap but before cleanup leaves a stale
+        # old_b* next to a healthy index_dir — garbage now (would both
+        # ENOTEMPTY the rename below and confuse the next recovery)
+        if os.path.isdir(work_dir):
+            for e in os.listdir(work_dir):
+                if e.startswith("old_b"):
+                    shutil.rmtree(
+                        os.path.join(work_dir, e), ignore_errors=True
+                    )
         delta_dir = f"{work_dir}/delta_b{batch_id}"
         merged_dir = f"{work_dir}/merged_b{batch_id}"
         shutil.rmtree(delta_dir, ignore_errors=True)

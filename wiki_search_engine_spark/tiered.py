@@ -463,89 +463,22 @@ class TieredEngine:
         self, query: str, option_name: str = "tfidf", k: int = 50,
         path: str = "local", semantics: str = "or",
     ) -> dict:
-        """The reference HTTP response shape over tiered serving — same
-        contract as SearchEngine.query_response (engine.py), scoring via
-        search_local and hydration via the override-aware point lookup;
-        zero Spark jobs. ``path`` accepted for SearchServer
-        compatibility; tiered serving is always the local path."""
-        import time
+        """The reference HTTP response shape over tiered serving — the
+        shared assembler (engine.py assemble_reference_response) with
+        search_local scoring and the override-aware point lookup; zero
+        Spark jobs. ``path`` accepted for SearchServer compatibility;
+        tiered serving is always the local path."""
+        from .engine import assemble_reference_response
 
-        from .engine import EmptyQueryError, sys_snapshot
-
-        mode = (option_name or "tfidf").lower()
-        if mode not in ("tfidf", "bm25"):
-            mode = "tfidf"
-        t_all = time.time()
-        measures = []
-
-        def span(name, fn):
-            t0 = time.time()
-            out = fn()
-            measures.append(
-                {"name": name,
-                 "duration_ms": round(1000 * (time.time() - t0), 3)}
-            )
-            return out
-
-        try:
-            span(
-                "validate_input",
-                lambda: (_ for _ in ()).throw(
-                    EmptyQueryError("Empty query")
-                )
-                if not query or not query.strip()
-                else None,
-            )
-            terms = span("stem_query", lambda: self.analyze(query))
-        except EmptyQueryError:
-            return {
-                "success": False, "result": [], "error": "Empty query",
-            }
-        ids = span(
-            "get_documents",
-            lambda: self.search_local(
+        return assemble_reference_response(
+            query,
+            option_name,
+            self.analyze,
+            lambda mode: self.search_local(
                 query, k=k, mode=mode, semantics=semantics
             ),
+            self.lookup_docs,
         )
-        score_map = dict(ids)
-        docs = span(
-            "fetch_results",
-            lambda: sorted(
-                self.lookup_docs([d for d, _ in ids]),
-                key=lambda r: (-score_map[r["docid"]], r["docid"]),
-            ),
-        )
-        text_result = [
-            {
-                "docId": r["title"],
-                "chunkedBody": r["snippet"],
-                "url": r["url"],
-                "file_id": str(r["docid"]),
-                "score": score_map[r["docid"]],
-            }
-            for r in docs
-        ]
-        image_result = span(
-            "get_image_filenames",
-            lambda: [
-                img["image_id"]
-                for r in docs
-                for img in (r.get("images") or [])
-            ],
-        )
-        measures.append(
-            {"name": "total_request",
-             "duration_ms": round(1000 * (time.time() - t_all), 3)}
-        )
-        return {
-            "imageResult": image_result,
-            "textResult": text_result,
-            "searchTime": round(time.time() - t_all, 3),
-            "profile": {
-                "measures": measures, "sysSnapshot": sys_snapshot(),
-            },
-            "query_terms": terms,
-        }
 
     def lookup_docs(
         self, docids: list[int], with_images: bool = True
@@ -650,7 +583,11 @@ def maintain_segments_incremental(
         # of this (re-run) batch are fair game — never visible to
         # list_segments (see its filters), always safe to clear
         for e in os.listdir(segments_dir):
-            if ".building" in e or e.startswith(".retired_"):
+            if (
+                ".building" in e
+                or e.startswith(".retired_")
+                or e == ".compact_work"
+            ):
                 shutil.rmtree(
                     os.path.join(segments_dir, e), ignore_errors=True
                 )
