@@ -1526,7 +1526,7 @@ d AS (
 SELECT vec_id, round(dp / (na * nb), 6) AS cos_sim
 FROM d ORDER BY cos_sim DESC, vec_id LIMIT 10""",
         "corpus_clean": f"""
-WITH {SQL_POS_TOKS}, {SQL_SHINGLES},
+WITH RECURSIVE {SQL_POS_TOKS}, {SQL_SHINGLES},
 minh AS (
   SELECT doc_id, {_MINHASH_COLS}
   FROM sh GROUP BY doc_id),
@@ -1543,18 +1543,30 @@ inter AS (
   JOIN sh a ON a.doc_id = c.id_a
   JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
   GROUP BY 1, 2),
-near_b AS (
-  SELECT DISTINCT id_b AS doc_id
+vp AS (
+  SELECT id_a, id_b
   FROM inter
   JOIN sizes sa ON sa.doc_id = id_a
   JOIN sizes sb ON sb.doc_id = id_b
   WHERE ni * 1.0 / (sa.n + sb.n - ni) >= {JACCARD_T}),
+nodes AS (SELECT id_a AS id FROM vp UNION SELECT id_b FROM vp),
+edges2 AS (
+  SELECT id_a AS s, id_b AS d FROM vp
+  UNION SELECT id_b AS s, id_a AS d FROM vp),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.s, reach.r FROM edges2 e JOIN reach ON reach.id = e.d),
+near_drop AS (
+  SELECT id AS doc_id FROM (
+    SELECT id, min(r) AS rep FROM reach GROUP BY id) t
+  WHERE id != rep),
 winners AS (
   SELECT min(doc_id)::BIGINT AS doc_id
   FROM documents
   GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
 SELECT doc_id FROM winners
-WHERE doc_id NOT IN (SELECT doc_id FROM near_b)""",
+WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)""",
         "embedding_near_dups": f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 bucketed AS (SELECT vec_id, v, {bucket_expr} AS bucket FROM e),

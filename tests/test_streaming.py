@@ -335,3 +335,68 @@ def test_streaming_segment_maintenance(spark, tmp_path):
     assert len(segs) == 1 and segs[0].endswith("_compacted"), segs
     assert os.path.isdir(f"{segs[0]}/postings")
     assert_equal(live1 + b2, "ref2")
+
+
+def test_worker_liveness_non_utc_timezone(spark, tmp_path):
+    """Regression: with a non-UTC session timezone, Arrow hands the
+    stateful kernel tz-naive SESSION-zone timestamps; treating them as
+    UTC either killed the stream (timeout below watermark, west of UTC)
+    or silently delayed dead detection (east of UTC). The kernel now
+    localizes before epoch math and clamps above the watermark."""
+    import datetime as dt
+    import os
+
+    import pandas as pd
+
+    from wiki_search_engine_spark.streaming.heartbeats import (
+        worker_liveness,
+    )
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        t0 = dt.datetime(2025, 10, 1, 12, 0, 0)
+        batches = [
+            [("w1", t0, 5), ("w2", t0 + dt.timedelta(seconds=10), 3)],
+            [("w1", t0 + dt.timedelta(minutes=20), 2)],
+        ]
+        src = str(tmp_path / "hb_tz")
+        os.makedirs(src)
+        for rows in batches:
+            spark.createDataFrame(
+                pd.DataFrame(
+                    rows, columns=["worker_id", "ts", "pages"]
+                )
+            ).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(
+                "worker_id string, ts timestamp, pages long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            worker_liveness(stream, timeout="2 minutes")
+            .writeStream.format("memory")
+            .queryName("liveness_tz")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert q.exception() is None, q.exception()
+        rows = spark.sql("SELECT * FROM liveness_tz").collect()
+        assert rows
+        # w2 went silent and the watermark passed its timeout -> dead,
+        # with last_ts round-tripping the original session-zone value
+        dead = [r for r in rows if r["status"] == "dead"]
+        assert any(r["worker_id"] == "w2" for r in dead)
+        w2_dead = next(r for r in dead if r["worker_id"] == "w2")
+        # collect() renders timestamps in the DRIVER's OS zone (UTC on
+        # this box); the stored instant must be t0+10s interpreted in
+        # the session zone (PDT, UTC-7) -> 19:00:10 UTC
+        assert w2_dead["last_ts"] == t0 + dt.timedelta(
+            hours=7, seconds=10
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)

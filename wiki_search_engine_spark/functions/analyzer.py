@@ -100,6 +100,14 @@ def tokenize_frame(docids, texts, stem: bool, analyzer: str | None = None):
     import numpy as np
     import pandas as pd
 
+    # an explicit analyzer defines the stem behavior — a contradictory
+    # (stem, analyzer) pair would otherwise build an index that its own
+    # queries (analyze_query routes on analyzer) can never match
+    if analyzer == "porter":
+        stem = True
+    elif analyzer == "base":
+        stem = False
+
     if analyzer == "ner":
         from collections import Counter
 

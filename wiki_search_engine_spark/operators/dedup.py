@@ -130,6 +130,12 @@ def minhash_lsh_candidates(
 
     Signature split into ``bands`` bands of num_hashes/bands rows; docs
     sharing any band hash become a candidate pair."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes={num_hashes} not divisible by bands={bands} — "
+            "trailing hashes would be silently ignored, changing the "
+            "collision probability the caller reasons about"
+        )
     rows = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     band_rows = sig.select(
@@ -211,9 +217,22 @@ def ngram_jaccard_pairs(
         F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"),
     ).distinct()
     if candidates is not None:
-        doc_sh = sh.groupBy(id_col).agg(
-            F.sort_array(F.collect_list("shingle")).alias("sh_arr"),
-            F.count("*").alias("n_sh"),
+        # restrict BEFORE the expensive pass: Catalyst does not push a
+        # join below an aggregation, so without this semi-join the
+        # per-doc array build would still run over the ENTIRE corpus
+        # even for a handful of candidate pairs
+        cand_ids = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        doc_sh = (
+            sh.join(cand_ids, id_col, "left_semi")
+            .groupBy(id_col)
+            .agg(
+                F.sort_array(F.collect_list("shingle")).alias("sh_arr"),
+                F.count("*").alias("n_sh"),
+            )
         )
         a = doc_sh.select(
             F.col(id_col).alias("id_a"),
@@ -370,8 +389,13 @@ def corpus_clean(
 
     Deterministic keep rule (replayable in SQL for the oracle gate):
     a doc survives iff it is the min-id winner of its normalized-content
-    group AND it never appears as the HIGHER id of a verified near-dup
-    pair (jaccard >= threshold over the LSH candidate pairs).
+    group AND it is the min-id representative of its verified near-dup
+    CONNECTED COMPONENT (dedup_components over the jaccard-verified
+    pairs). A pair-level 'drop the higher id' rule over-deletes on
+    transitive chains a-b, b-c (c's only near-dup b is itself dropped);
+    the component rep always survives — a rep can only lose exact dedup
+    to a smaller id, which (being an exact duplicate) sits in the same
+    component and would itself be the rep.
 
     Every stage is the already-audited scale formulation: one
     content-hash shuffle, one banded LSH pipeline (no self-joins), and
@@ -387,8 +411,12 @@ def corpus_clean(
         df, text_col, id_col, shingle_n, jaccard_threshold,
         candidates=cands,
     )
-    drop_b = near.select(F.col("id_b").alias(id_col)).distinct()
-    return winners.join(drop_b, id_col, "left_anti")
+    comp = dedup_components(near)
+    drop = (
+        comp.filter(F.col("doc_id") != F.col("rep_id"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return winners.join(drop, id_col, "left_anti")
 
 
 SIMHASH_BITS = 64

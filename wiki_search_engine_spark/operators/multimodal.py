@@ -291,7 +291,11 @@ def decode_image_features(
 def frame_sample(media: DataFrame, every_n_bytes: int = 32) -> DataFrame:
     """'Frame sampling' plumbing demo: one output row per sampled offset of
     each video payload (explode pattern for frame extraction)."""
-    video = media.filter(F.col("kind") == "video")
+    # n_bytes == 0 would make sequence(0, -1, step) throw at runtime --
+    # an empty payload yields zero frames, not a failed job
+    video = media.filter(
+        (F.col("kind") == "video") & (F.col("n_bytes") > 0)
+    )
     offsets = F.sequence(
         F.lit(0), F.col("n_bytes") - 1, F.lit(every_n_bytes)
     )

@@ -39,7 +39,11 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # zero-norm guard: Spark 4's default ANSI mode turns x/0 into a
+    # job-killing DIVIDE_BY_ZERO; define cos(0-vector, .) = 0.0 (no
+    # direction -> no similarity) instead of aborting the query
+    denom = norm(a) * norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
 def cosine_topk(

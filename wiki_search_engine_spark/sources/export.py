@@ -43,12 +43,20 @@ def export_index(
         raise ValueError(f"fmt must be one of {FORMATS}, got {fmt!r}")
     out = df
     if single_file:
-        n = df.count()
+        if "://" in path and not path.startswith("file://"):
+            raise ValueError(
+                "single_file export renames part files with local "
+                f"os/glob calls — not supported for {path!r}; write "
+                "partitioned and post-process on the target store"
+            )
+        # bounded probe: a full count() would re-execute the entire
+        # upstream pipeline just to learn it is too big
+        n = df.limit(SINGLE_FILE_MAX_ROWS + 1).count()
         if n > SINGLE_FILE_MAX_ROWS:
             raise ValueError(
-                f"single_file export refused: {n} rows > "
-                f"{SINGLE_FILE_MAX_ROWS} (a coalesce(1) write serializes "
-                "everything through one task; use the partitioned form)"
+                f"single_file export refused: > {SINGLE_FILE_MAX_ROWS} "
+                "rows (a coalesce(1) write serializes everything "
+                "through one task; use the partitioned form)"
             )
         out = df.coalesce(1)
 

@@ -70,7 +70,10 @@ def vocabulary(seed: int = 42) -> tuple[list[str], list[float]]:
 
 
 def _draw(rng: random.Random, words: list[str], cum: list[float]) -> str:
-    return words[bisect.bisect_left(cum, rng.random())]
+    # clamp: fp accumulation can leave cum[-1] a hair below 1.0, and a
+    # draw landing in that sliver would index words[len(words)] —
+    # a deterministic task-killing IndexError at ~1e9 draws/1M docs
+    return words[min(bisect.bisect_left(cum, rng.random()), len(words) - 1)]
 
 
 def doc_html(i: int, seed: int = 42) -> str:

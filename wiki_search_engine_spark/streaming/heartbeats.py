@@ -47,56 +47,74 @@ STATE_SCHEMA = StructType(
 )
 
 
-def _monitor(key, pdfs, state: GroupState):
-    import datetime as dt
+def _make_monitor(session_tz: str):
+    """Kernel factory closing over the session timezone: Arrow hands the
+    kernel tz-NAIVE timestamps in the SESSION timezone, so epoch math
+    must localize first — treating them as UTC offsets every timeout by
+    the zone offset (and a west-of-UTC zone makes setTimeoutTimestamp
+    fall below the watermark, killing the stream)."""
 
-    import pandas as pd
+    def _monitor(key, pdfs, state: GroupState):
+        import pandas as pd
 
-    (worker_id,) = key
-    if state.hasTimedOut:
-        last_us, n_beats, total, _t = state.get
-        state.remove()
+        def to_session_naive(epoch_us: int):
+            return (
+                pd.Timestamp(epoch_us, unit="us", tz="UTC")
+                .tz_convert(session_tz)
+                .tz_localize(None)
+                .to_pydatetime()
+            )
+
+        (worker_id,) = key
+        if state.hasTimedOut:
+            last_us, n_beats, total, _t = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "worker_id": [worker_id],
+                    "last_ts": [to_session_naive(last_us)],
+                    "n_beats": [n_beats],
+                    "total_pages": [total],
+                    "status": ["dead"],
+                }
+            )
+            return
+
+        last_us, n_beats, total = 0, 0, 0
+        timeout_ms = 0
+        if state.exists:
+            last_us, n_beats, total, timeout_ms = state.get
+        for pdf in pdfs:
+            ts = pdf["ts"]
+            if ts.dt.tz is None:
+                ts = ts.dt.tz_localize(session_tz)
+            ts_us = ts.astype("int64") // 1000  # ns -> us (true epoch)
+            last_us = max(last_us, int(ts_us.max()))
+            n_beats += len(pdf)
+            total += int(pdf["pages"].sum())
+            timeout_ms = int(pdf["timeout_ms"].iloc[0])
+        state.update((last_us, n_beats, total, timeout_ms))
+        # dead once the WATERMARK (not wall clock) passes last_ts +
+        # timeout. Clamp ABOVE the current watermark: late heartbeats
+        # are not dropped by this operator family, and a timeout set in
+        # the past raises and kills the whole stream.
+        state.setTimeoutTimestamp(
+            max(
+                last_us // 1000 + timeout_ms,
+                state.getCurrentWatermarkMs() + 1,
+            )
+        )
         yield pd.DataFrame(
             {
                 "worker_id": [worker_id],
-                "last_ts": [
-                    dt.datetime.fromtimestamp(
-                        last_us / 1e6, dt.timezone.utc
-                    ).replace(tzinfo=None)
-                ],
+                "last_ts": [to_session_naive(last_us)],
                 "n_beats": [n_beats],
                 "total_pages": [total],
-                "status": ["dead"],
+                "status": ["alive"],
             }
         )
-        return
 
-    last_us, n_beats, total = 0, 0, 0
-    timeout_ms = 0
-    if state.exists:
-        last_us, n_beats, total, timeout_ms = state.get
-    for pdf in pdfs:
-        ts_us = pdf["ts"].astype("int64") // 1000  # ns -> us
-        last_us = max(last_us, int(ts_us.max()))
-        n_beats += len(pdf)
-        total += int(pdf["pages"].sum())
-        timeout_ms = int(pdf["timeout_ms"].iloc[0])
-    state.update((last_us, n_beats, total, timeout_ms))
-    # dead once the WATERMARK (not wall clock) passes last_ts + timeout
-    state.setTimeoutTimestamp(last_us // 1000 + timeout_ms)
-    yield pd.DataFrame(
-        {
-            "worker_id": [worker_id],
-            "last_ts": [
-                dt.datetime.fromtimestamp(
-                    last_us / 1e6, dt.timezone.utc
-                ).replace(tzinfo=None)
-            ],
-            "n_beats": [n_beats],
-            "total_pages": [total],
-            "status": ["alive"],
-        }
-    )
+    return _monitor
 
 
 def worker_liveness(
@@ -113,12 +131,18 @@ def worker_liveness(
         "second": 1000, "seconds": 1000,
         "minute": 60_000, "minutes": 60_000,
     }[unit]
+    session_tz = (
+        heartbeats.sparkSession.conf.get(
+            "spark.sql.session.timeZone", "UTC"
+        )
+        or "UTC"
+    )
     return (
         heartbeats.withWatermark("ts", watermark)
         .withColumn("timeout_ms", F.lit(timeout_ms))
         .groupBy("worker_id")
         .applyInPandasWithState(
-            _monitor,
+            _make_monitor(session_tz),
             OUTPUT_SCHEMA,
             STATE_SCHEMA,
             "update",
