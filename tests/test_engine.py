@@ -459,3 +459,29 @@ def test_fresh_rebuild_clears_stale_buckets(spark, tmp_path):
     assert terms == {"betaword", "solo"}  # no ghost alphaword* terms
     assert eng.search_local("alphaword0", k=5) == []
     assert eng.search_local("betaword", k=5)
+
+
+def test_negative_external_docid_fails_build(spark, tmp_path):
+    """A pre-keyed corpus with a negative docid must fail the build
+    loudly (tokenize kernel contract check) — a negative id would be
+    salted inconsistently between the build's unsigned shift and the
+    driver lookups' arithmetic shift, making the doc silently
+    unfindable (ADVICE r2)."""
+    import pandas as pd
+    import pytest as _p
+
+    from wiki_search_engine_spark.engine import SearchEngine
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"docid": 5, "url": "https://x/a", "text": "alpha beta"},
+                {"docid": -3, "url": "https://x/b", "text": "gamma delta"},
+            ]
+        )
+    )
+    with _p.raises(Exception, match="negative docid"):
+        SearchEngine.build(
+            spark, df, str(tmp_path / "negid"), stem=True,
+            n_buckets=4, bucket_groups=1, salt_bits=1,
+        )

@@ -605,3 +605,94 @@ def test_updated_docids_sidecar_top_shard_boundary(tmp_path):
     assert lo == [5, 1 << 61]
     assert hi == [(1 << 62) + 3, (1 << 63) - 2, (1 << 63) - 1]
     assert sorted(lo + hi) == updated.tolist()
+
+
+def test_tiered_query_response_wand_routes_distributed(
+    spark, merged_and_full, fixture_queries
+):
+    """query_response(path='wand') must actually serve through the
+    DISTRIBUTED tiered path (TieredEngine.search_ids), identical results
+    to the local path; unsupported paths / wand+AND are rejected rather
+    than silently downgraded (ADVICE r2)."""
+    import pytest as _p
+
+    from wiki_search_engine_spark.tiered import TieredEngine
+
+    merged, _full = merged_and_full
+    base_dir = merged.index_dir.replace("merged", "base")
+    delta_dir = merged.index_dir.replace("merged", "delta")
+    tiered = TieredEngine(spark, [base_dir, delta_dir])
+    q = fixture_queries[1]
+    local = tiered.query_response(q, option_name="bm25", k=5, path="local")
+    wand = tiered.query_response(q, option_name="bm25", k=5, path="wand")
+    assert [r["file_id"] for r in wand["textResult"]] == [
+        r["file_id"] for r in local["textResult"]
+    ]
+    assert [r["score"] for r in wand["textResult"]] == [
+        r["score"] for r in local["textResult"]
+    ]
+    with _p.raises(ValueError, match="path"):
+        tiered.query_response(q, path="exhaustive")
+    with _p.raises(ValueError, match="local"):
+        tiered.query_response(q, path="wand", semantics="and")
+
+
+def test_merge_delete_accept_presalt_side_tables(spark, tmp_path):
+    """A pre-salt-layout index (docs/doc_stats written without the salt
+    partition column — format-version 2 era) loads and serves, so
+    merge/delete must not crash on the missing column (ADVICE r2): the
+    salt is synthesized from the docid bits and the OUTPUT is written in
+    the upgraded salted layout."""
+    import os
+    import shutil
+
+    from wiki_search_engine_spark.engine import SearchEngine
+
+    rows = _rows(range(20), SEED)
+    base = str(tmp_path / "legacy")
+    SearchEngine.build(
+        spark, spark.createDataFrame(pd.DataFrame(rows)), base, **BUILD_KW
+    )
+    for sub in ("docs", "doc_stats"):
+        flat = f"{base}/{sub}_flat"
+        spark.read.parquet(f"{base}/{sub}").drop("salt").write.mode(
+            "overwrite"
+        ).parquet(flat)
+        shutil.rmtree(f"{base}/{sub}")
+        os.rename(flat, f"{base}/{sub}")
+    assert not any(
+        e.startswith("salt=") for e in os.listdir(f"{base}/docs")
+    )
+
+    # delete path (_minus)
+    victim = rows[3]["url"]
+    out_del = str(tmp_path / "legacy_del")
+    eng = SearchEngine.delete(spark, base, out_del, urls=[victim])
+    assert eng.n == 19
+    assert any(
+        e.startswith("salt=") for e in os.listdir(f"{out_del}/docs")
+    )
+    hits = eng.search_local(
+        next(w for w in rows[0]["text"].split() if w.isalpha()), k=5
+    )
+    assert hits and all(
+        r["url"] != victim for r in eng.lookup_docs([d for d, _ in hits])
+    )
+
+    # merge path (_anti_union): fold a fresh salted delta into the
+    # legacy base
+    delta_rows = _rows(range(20, 25), SEED)
+    delta = str(tmp_path / "legacy_delta")
+    SearchEngine.build(
+        spark, spark.createDataFrame(pd.DataFrame(delta_rows)), delta,
+        **BUILD_KW,
+    )
+    out_m = str(tmp_path / "legacy_merged")
+    merged = SearchEngine.merge(spark, base, delta, out_m)
+    assert merged.n == 25
+    assert any(
+        e.startswith("salt=") for e in os.listdir(f"{out_m}/docs")
+    )
+    assert merged.search_local(
+        next(w for w in delta_rows[0]["text"].split() if w.isalpha()), k=5
+    )

@@ -490,3 +490,13 @@ def test_ivf_assign_bulk_matches_literal(spark):
         for r in ivf_assign_bulk(df, cents, centroid_chunk=16).collect()
     }
     assert a == b
+
+
+def test_dedup_components_rejects_nonpositive_max_iter(spark):
+    import pytest as _p
+
+    from wiki_search_engine_spark.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with _p.raises(ValueError, match="max_iter"):
+        dedup_components(pairs, max_iter=0)

@@ -103,12 +103,17 @@ def main() -> None:
     else:
         print("PASS wand_single_exchange")
 
-    # 3. hydration join is broadcast, never sort-merge
-    hyd = eng.search(query, k=10)
+    # 3. hydration is a POINT LOOKUP, not a docs-table scan: the salt
+    # partition filter and the docid In(...) predicate both reach the
+    # parquet scan, and the k-row score side joins broadcast — the
+    # DataFrame-API analogue of lookup_docs' pruned pyarrow read
+    hplan = plan_of(eng.search(query, k=10))
     check(
-        "hydration_broadcast",
-        plan_of(hyd),
-        must=[r"BroadcastHashJoin"],
+        "hydration_point_lookup",
+        hplan,
+        must=[r"BroadcastHashJoin",
+              r"PartitionFilters: \[[^\]]*salt",
+              r"PushedFilters: \[In\(docid"],
         must_not=[r"SortMergeJoin"],
     )
 

@@ -651,18 +651,46 @@ class SearchEngine:
         with_images: bool = False,
     ) -> DataFrame:
         """Hydrated top-k: (docid, url, title, snippet, score) — the
-        reference's result-fetch join (mongoService.js:75-113), as a
-        broadcast join of the k-row result against the docs table.
-        ``with_images`` adds the per-doc image metadata columns
-        (images: array<struct<image_id,src>>, image_count) when the index
-        was built with them."""
-        ids = self.search_ids(query, k=k, mode=mode, path=path)
+        reference's result-fetch join (mongoService.js:75-113: $in over
+        the _id B-tree), as a POINT LOOKUP against the docs table, never
+        a table scan. The <= k result ids are collected (they are
+        driver-side anyway — any hydration join would broadcast them)
+        and the docs read is pruned twice: a salt PartitionFilter keeps
+        only the <= k salt directories holding the ids (a 10^12-row
+        table's other files are never listed), and docid IN(...) pushes
+        into row-group min/max stats inside them. tools/explain_audit.py
+        asserts both filters reach the scan. ``with_images`` adds the
+        per-doc image metadata columns (images:
+        array<struct<image_id,src>>, image_count) when the index was
+        built with them."""
+        id_rows = [
+            (int(r["docid"]), float(r["score"]))
+            for r in self.search_ids(
+                query, k=k, mode=mode, path=path
+            ).collect()
+        ]
         docs = self.spark.read.parquet(f"{self.index_dir}/docs")
         cols = ["docid", "url", "title", "snippet", "score"]
         if with_images:
             cols += ["images", "image_count"]
+        scores = self.spark.createDataFrame(
+            id_rows, "docid long, score double"
+        )
+        if not id_rows:
+            return (
+                docs.filter(F.lit(False))
+                .join(F.broadcast(scores), "docid")
+                .select(*cols)
+            )
+        docids = [d for d, _ in id_rows]
+        if "salt" in docs.columns:
+            shift = 63 - self.salt_bits
+            docs = docs.filter(
+                F.col("salt").isin(sorted({d >> shift for d in docids}))
+            )
         return (
-            docs.join(F.broadcast(ids), "docid")
+            docs.filter(F.col("docid").isin(docids))
+            .join(F.broadcast(scores), "docid")
             .select(*cols)
             .orderBy(F.desc("score"), F.asc("docid"))
         )

@@ -100,6 +100,20 @@ def tokenize_frame(docids, texts, stem: bool, analyzer: str | None = None):
     import numpy as np
     import pandas as pd
 
+    # docid contract check (operators/tokenize.py with_docid): a NEGATIVE
+    # external docid would be routed inconsistently — the build computes
+    # salt with an unsigned shift (salt >= 2^salt_bits) while driver-side
+    # point lookups / tombstone bucketing use Python's arithmetic shift
+    # (negative salt), making the doc silently unfindable. Fail the build
+    # loudly instead; the check is one vectorized min() per Arrow batch.
+    _ids = np.asarray(docids, dtype=np.int64)
+    if _ids.size and int(_ids.min()) < 0:
+        raise ValueError(
+            f"negative docid {int(_ids.min())} in corpus batch — docids "
+            "must be non-negative 63-bit values (with_docid contract); "
+            "rekey the corpus or drop the pre-existing docid column"
+        )
+
     # an explicit analyzer defines the stem behavior — a contradictory
     # (stem, analyzer) pair would otherwise build an index that its own
     # queries (analyze_query routes on analyzer) can never match

@@ -320,6 +320,11 @@ def dedup_components(
     driver-side convergence test is a count of changed labels (a tiny
     job per round, same pattern as any Pregel-style loop on DataFrames).
     """
+    if max_iter < 1:
+        raise ValueError(
+            f"max_iter={max_iter}: label propagation needs at least one "
+            "round (covers one hop per round)"
+        )
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     )

@@ -112,16 +112,23 @@ def write_updated_docids(
     return out_dir
 
 
+# Per-EXECUTOR sidecar slice cache for the big-delta path, keyed by
+# (sidecar dir, salt). Module-level on purpose: a closure-local dict is
+# serialized into every task and starts empty each time, so each task
+# would re-read its shards; module state lives in the (reused) Python
+# worker process, so tasks on the same executor share loaded slices.
+# Bounded implicitly: one merge touches <= 2^salt_bits slices per dir.
+_DD_CACHE: dict[tuple[str, int], "np.ndarray"] = {}
+
+
 def _dd_provider(bc, updated_docids_dir: str | None):
     """Returns fn(sorted unique salts present in a kernel table) ->
     sorted docid array covering those salts. Broadcast mode ignores the
     salts (the full array searches identically); directory mode loads
-    and caches per-salt slices from the sidecar written by
-    write_updated_docids."""
+    per-salt slices from the sidecar written by write_updated_docids,
+    cached per executor process (_DD_CACHE)."""
     if updated_docids_dir is None:
         return lambda salts: bc.value
-
-    cache: dict[int, "np.ndarray"] = {}
 
     def load(salts) -> "np.ndarray":
         import os
@@ -130,15 +137,15 @@ def _dd_provider(bc, updated_docids_dir: str | None):
 
         parts = []
         for s in salts:
-            s = int(s)
-            if s not in cache:
-                p = os.path.join(updated_docids_dir, f"salt={s}")
-                cache[s] = (
+            key = (updated_docids_dir, int(s))
+            if key not in _DD_CACHE:
+                p = os.path.join(updated_docids_dir, f"salt={int(s)}")
+                _DD_CACHE[key] = (
                     pq.read_table(p).column("docid").to_numpy()
                     if os.path.isdir(p)
                     else np.empty(0, dtype=np.int64)
                 )
-            parts.append(cache[s])
+            parts.append(_DD_CACHE[key])
         if not parts:
             return np.empty(0, dtype=np.int64)
         return np.concatenate(parts)  # salt order == sorted docid order

@@ -52,8 +52,10 @@ def with_docid(corpus: DataFrame, id_col: str = "url") -> DataFrame:
     insertIndex.py:63); we use xxhash64 >> 1 (non-negative so varbyte
     deltas on the signed-sorted order are valid) — same role, cheaper,
     JVM-side. A corpus that already carries a ``docid`` column is
-    trusted as pre-keyed (external doc ids) and passes through — the
-    caller owns non-negativity and stability in that case."""
+    trusted as pre-keyed (external doc ids) and passes through; the
+    non-negativity contract on that path is enforced at build time by
+    the tokenize kernel (functions/analyzer.py tokenize_frame raises on
+    the first negative docid it sees)."""
     if "docid" in corpus.columns:
         return corpus
     return corpus.withColumn(

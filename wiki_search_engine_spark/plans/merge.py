@@ -66,6 +66,21 @@ def _docid_df(spark: SparkSession, docids: np.ndarray) -> DataFrame:
     )
 
 
+def _with_salt(df: DataFrame, salt_bits: int) -> DataFrame:
+    """Backward compat: a pre-salt-layout index (format_version 2, side
+    tables written without partitionBy('salt')) loads and serves fine,
+    so merge/delete must not crash on it — synthesize the salt column
+    (top ``salt_bits`` docid bits, the same unsigned shift the build
+    uses) when the input lacks it; the OUTPUT is then written in the
+    salt-partitioned layout, upgrading the index in passing."""
+    if "salt" in df.columns:
+        return df
+    return df.withColumn(
+        "salt",
+        F.shiftrightunsigned(F.col("docid"), 63 - salt_bits).cast("int"),
+    )
+
+
 def _read_avgdl(index_dir: str) -> float:
     import pyarrow.parquet as pq
 
@@ -142,9 +157,13 @@ def merge_indexes(
     else:
         merge_kw = {"updated_docids": updated}
 
+    salt_bits = int(meta_b["salt_bits"])
+
     def _anti_union(sub: str) -> DataFrame:
-        base = spark.read.parquet(f"{base_dir}/{sub}")
-        delta = spark.read.parquet(f"{delta_dir}/{sub}")
+        base = _with_salt(spark.read.parquet(f"{base_dir}/{sub}"), salt_bits)
+        delta = _with_salt(
+            spark.read.parquet(f"{delta_dir}/{sub}"), salt_bits
+        )
         # big delta: no broadcast hint — let AQE pick a shuffle join
         anti = updated_df if big_delta else F.broadcast(updated_df)
         return base.join(anti, "docid", "left_anti").unionByName(delta)
@@ -307,9 +326,10 @@ def delete_docs(
         # big delete set: no broadcast hint — let AQE pick a shuffle
         # join (mirrors merge_indexes' _anti_union)
         anti = updated_df if big_delete else F.broadcast(updated_df)
-        return spark.read.parquet(f"{base_dir}/{sub}").join(
-            anti, "docid", "left_anti"
-        )
+        return _with_salt(
+            spark.read.parquet(f"{base_dir}/{sub}"),
+            int(meta_b["salt_bits"]),
+        ).join(anti, "docid", "left_anti")
 
     import pyarrow.parquet as pq
 

@@ -465,19 +465,39 @@ class TieredEngine:
     ) -> dict:
         """The reference HTTP response shape over tiered serving — the
         shared assembler (engine.py assemble_reference_response) with
-        search_local scoring and the override-aware point lookup; zero
-        Spark jobs. ``path`` accepted for SearchServer compatibility;
-        tiered serving is always the local path."""
+        the override-aware point lookup. ``path='local'`` (default)
+        scores driver-side with zero Spark jobs; ``path='wand'`` routes
+        to the DISTRIBUTED tiered kernel (search_ids) — the operator's
+        escape hatch when head-term candidate lists exceed driver
+        memory. Results are identical between the two (pytest); any
+        other path, or wand+AND (the distributed tiered path has no
+        conjunctive mode), is rejected rather than silently downgraded."""
         from .engine import assemble_reference_response
 
-        return assemble_reference_response(
-            query,
-            option_name,
-            self.analyze,
-            lambda mode: self.search_local(
+        if path not in ("local", "wand"):
+            raise ValueError(
+                f"unsupported tiered serving path {path!r}: use 'local' "
+                "or 'wand'"
+            )
+        if path == "wand" and semantics != "or":
+            raise ValueError(
+                "semantics='and' is only served by the tiered local "
+                "path (the distributed kernel has no conjunctive mode)"
+            )
+
+        def get_ids(mode):
+            if path == "wand":
+                return [
+                    (r["docid"], r["score"])
+                    for r in self.search_ids(query, k=k, mode=mode)
+                    .collect()
+                ]
+            return self.search_local(
                 query, k=k, mode=mode, semantics=semantics
-            ),
-            self.lookup_docs,
+            )
+
+        return assemble_reference_response(
+            query, option_name, self.analyze, get_ids, self.lookup_docs
         )
 
     def lookup_docs(
