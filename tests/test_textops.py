@@ -500,3 +500,71 @@ def test_dedup_components_rejects_nonpositive_max_iter(spark):
     pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     with _p.raises(ValueError, match="max_iter"):
         dedup_components(pairs, max_iter=0)
+
+
+def test_md5_prefix64_matches_hashlib():
+    """functions/fasthash.py must be byte-identical to hashlib md5 —
+    the SimHash kernel's values are replayed by the DuckDB oracle, so
+    the vectorized path cannot drift by a single bit."""
+    import hashlib
+    import random
+
+    from wiki_search_engine_spark.functions.fasthash import md5_prefix64
+
+    toks = (
+        [""]
+        + ["a" * i for i in range(1, 70)]  # crosses the 55-byte cutoff
+        + ["héllo wörld", "日本語トークン", "x" * 55, "y" * 56]
+    )
+    rng = random.Random(7)
+    toks += [
+        "".join(
+            rng.choice("abcdefghij0123456789_é")
+            for _ in range(rng.randint(1, 64))
+        )
+        for _ in range(500)
+    ]
+    got = md5_prefix64(np.array(toks, dtype=object))
+    for t, g in zip(toks, got):
+        exp = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+        assert int(g) == exp, t
+    assert md5_prefix64(np.array([], dtype=object)).size == 0
+
+
+def test_minhash_families_candidate_supersets(spark):
+    """Both hash families (md5 oracle-exact, xxhash64 production) must
+    surface every planted near-dup pair as an LSH candidate; unknown
+    family names are rejected."""
+    import random
+
+    import pytest as _p
+
+    from wiki_search_engine_spark.operators.dedup import (
+        minhash_lsh_candidates, minhash_signatures,
+    )
+
+    import pandas as pd
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(400)]
+    rows = []
+    for i in range(50):
+        toks = [rng.choice(vocab) for _ in range(40)]
+        rows.append({"doc_id": i, "text": " ".join(toks)})
+        if i < 8:  # planted near-dup: one token substituted
+            dup = list(toks)
+            dup[17] = "zzsub"
+            rows.append({"doc_id": 1000 + i, "text": " ".join(dup)})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    planted = {(i, 1000 + i) for i in range(8)}
+    for fam in ("md5", "xxhash64"):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_candidates(
+                df, num_hashes=16, bands=4, hash_family=fam
+            ).collect()
+        }
+        missing = planted - got
+        assert not missing, (fam, missing)
+    with _p.raises(ValueError, match="hash_family"):
+        minhash_signatures(df, hash_family="sha9")

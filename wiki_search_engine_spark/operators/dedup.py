@@ -83,36 +83,56 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     shingle_n: int = 3,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Per-doc minhash signature as ``num_hashes`` columns h0..h{n-1}.
 
     The per-seed hash family is INDEPENDENT: h_s(shingle) =
-    md5("<s>|" + shingle) — seeded re-hashes, so band-collision
+    hash("<s>", shingle) — seeded re-hashes, so band-collision
     probability approximates Jaccard^rows_per_band (overlapping windows
     of one digest, the previous scheme, are strongly correlated: adjacent
-    windows share 15 hex chars). Still a single whole-stage-codegen
-    projection: one explode + ``num_hashes`` md5 columns + one hash-agg
-    with ``num_hashes`` partial-min expressions. No higher-order
-    functions (Catalyst interprets HOF lambdas row-at-a-time — an early
-    formulation spent ~150s on 5k docs recomputing shingles+md5 16x
-    interpreted; this shape takes ~2s), map-side partial aggregation
-    shrinks the shuffle to |docs| rows, and the identical expression
-    runs in DuckDB (min(md5('<s>|' || shingle))) for the oracle gate.
-    Docs with fewer than ``shingle_n`` tokens produce no signature row
-    (explode drops empty shingle arrays)."""
+    windows share 15 hex chars). Two families:
+
+    - ``md5`` (default): h_s = md5('<s>|' || shingle) — the identical
+      expression runs in DuckDB, so this family is the oracle-exact
+      correctness gate;
+    - ``xxhash64`` (production): h_s = xxhash64(lit(s), shingle) — pure
+      JVM codegen, no digest-to-hex materialization, roughly half the
+      hash CPU of 16 md5s (bench.py minhash_lsh vs minhash_lsh_xx64).
+      Spark-specific (not replayable in DuckDB) — candidate QUALITY is
+      gated instead by the planted-dup superset pytest, which both
+      families must pass.
+
+    Either way a single whole-stage-codegen projection: one explode +
+    ``num_hashes`` hash columns + one hash-agg with ``num_hashes``
+    partial-min expressions. No higher-order functions (Catalyst
+    interprets HOF lambdas row-at-a-time — an early formulation spent
+    ~150s on 5k docs recomputing shingles+md5 16x interpreted; this
+    shape takes ~2s), and map-side partial aggregation shrinks the
+    shuffle to |docs| rows. Docs with fewer than ``shingle_n`` tokens
+    produce no signature row (explode drops empty shingle arrays)."""
+    if hash_family not in ("md5", "xxhash64"):
+        raise ValueError(
+            f"unknown hash_family {hash_family!r}: 'md5' (oracle-exact) "
+            "or 'xxhash64' (production)"
+        )
     sh = df.select(
         F.col(id_col),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"),
     )
-    hashed = sh.select(
-        id_col,
-        *[
+    if hash_family == "xxhash64":
+        hcols = [
+            F.xxhash64(F.lit(s), F.col("shingle")).alias(f"m{s}")
+            for s in range(num_hashes)
+        ]
+    else:
+        hcols = [
             F.md5(
                 F.concat_ws("|", F.lit(str(s)), F.col("shingle"))
             ).alias(f"m{s}")
             for s in range(num_hashes)
-        ],
-    )
+        ]
+    hashed = sh.select(id_col, *hcols)
     return hashed.groupBy(id_col).agg(
         *[F.min(f"m{s}").alias(f"h{s}") for s in range(num_hashes)]
     )
@@ -125,11 +145,15 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b, n_bands matched).
 
     Signature split into ``bands`` bands of num_hashes/bands rows; docs
-    sharing any band hash become a candidate pair."""
+    sharing any band hash become a candidate pair. ``hash_family``: see
+    minhash_signatures — 'md5' is the DuckDB-oracle-exact default,
+    'xxhash64' the cheaper JVM-codegen production family (both verified
+    as planted-dup candidate supersets in pytest)."""
     if num_hashes % bands:
         raise ValueError(
             f"num_hashes={num_hashes} not divisible by bands={bands} — "
@@ -137,7 +161,16 @@ def minhash_lsh_candidates(
             "collision probability the caller reasons about"
         )
     rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n, hash_family
+    )
+
+    def band_hash(b):
+        cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
+        if hash_family == "xxhash64":
+            return F.xxhash64(*cols)
+        return F.md5(F.concat_ws("|", *cols))
+
     band_rows = sig.select(
         id_col,
         F.explode(
@@ -145,15 +178,7 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col(f"h{b * rows + r}")
-                                    for r in range(rows)
-                                ],
-                            )
-                        ).alias("band_hash"),
+                        band_hash(b).alias("band_hash"),
                     )
                     for b in range(bands)
                 ]
@@ -435,15 +460,18 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
 
     The kernel is batch-vectorized, not per-row Python: tokens are
     flattened across the whole Arrow batch, each UNIQUE token is
-    md5-hashed once, the (uniq x 64) sign matrix is gathered per
+    md5-hashed once — through the NumPy-vectorized single-block MD5
+    (functions/fasthash.py), so even the unique pass is array ops, not a
+    hashlib loop — the (uniq x 64) sign matrix is gathered per
     occurrence and segment-reduced per doc with one np.add.reduceat —
     per-token-occurrence work is a NumPy gather, never a Python-level
     loop (the r1 formulation looped per doc and per token; this one
-    measures ~10x faster at sf0.1, see bench.py simhash line)."""
-    import hashlib
-
+    measures ~10x faster at sf0.1, see bench.py simhash line). The
+    DuckDB oracle replays the identical md5 values in SQL."""
     import numpy as np
     import pandas as pd
+
+    from ..functions.fasthash import md5_prefix64
 
     bitpos = np.arange(SIMHASH_BITS, dtype=np.uint64)
 
@@ -458,15 +486,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
             sh = np.zeros(n_docs, dtype=np.uint64)
             if flat.size:
                 uniq, inv = np.unique(flat, return_inverse=True)
-                h = np.array(
-                    [
-                        int.from_bytes(
-                            hashlib.md5(t.encode()).digest()[:8], "big"
-                        )
-                        for t in uniq
-                    ],
-                    dtype=np.uint64,
-                )
+                h = md5_prefix64(uniq)
                 # (uniq x 64) sign matrix: +1 where the hash bit is set
                 signs = (
                     ((h[:, None] >> bitpos[None, :]) & np.uint64(1))
