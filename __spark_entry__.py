@@ -13,14 +13,15 @@ keep the value-hash comparison stable:
   engine's base analyzer (functions/analyzer.py — lowercase, punctuation ->
   space, whitespace split, drop all-digit tokens longer than 4).
 
-Every entry has a value-level oracle. Two use non-view sources the SQL
+Every entry has a value-level oracle. Three use non-view sources the SQL
 reads directly: ``bm25_stemmed`` scores over a sidecar parquet of
 pure-Python-stemmed tokens (Porter is not SQL-expressible; the scoring
-math stays in SQL), and ``media_features`` compares against a sidecar of
-independently computed expected rows (the payloads are Spark-side
-synthesized binaries, not a driver view). ``simhash_near_dups`` is fully
-transliterated to SQL (md5-hex -> uint64 via strpos+shifts, bit_count/
-xor hamming).
+math stays in SQL), and ``media_features`` / ``media_embed`` compare
+against sidecars of independently computed expected rows (the payloads
+are Spark-side synthesized binaries, not a driver view; media_embed's
+sidecar comes from the independent scalar PNG decoder in
+oracle_py/png_ref.py). ``simhash_near_dups`` is fully transliterated to
+SQL (md5-hex -> uint64 via strpos+shifts, bit_count/xor hamming).
 """
 
 from __future__ import annotations
@@ -857,6 +858,32 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_media_embed(spark, sf_dir):
+    """REAL pixel decode: PNG payloads are complete files (zlib IDAT,
+    scanline filters cycling over all five RFC 2083 types) decoded
+    dependency-free in the Arrow kernel (operators/multimodal.py
+    decode_png_rgba) into exact-integer-sum feature vectors (mean RGBA +
+    4-bin luma histogram), exploded to (media_id, dim, value).
+    Value-checked against a sidecar computed by the INDEPENDENT scalar
+    decoder (oracle_py/png_ref.py — shares no code with the kernel);
+    the feature definition has no fp-accumulation slack, so the match
+    is bit-exact."""
+    from wiki_search_engine_spark.operators.multimodal import (
+        decode_image_features, synth_media,
+    )
+
+    emb = decode_image_features(synth_media(spark, N_MEDIA), fake=False)
+    return (
+        emb.filter(F.col("format") == "png")
+        .select("media_id", F.posexplode("feature").alias("dim", "value"))
+        .select(
+            F.col("media_id").cast("long").alias("media_id"),
+            F.col("dim").cast("long").alias("dim"),
+            "value",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -1051,7 +1078,7 @@ def _media_sidecar() -> str:
     )
 
     here = os.path.dirname(os.path.abspath(__file__))
-    path = os.path.join(here, "oracle_sidecar", "media_expected_v2.parquet")
+    path = os.path.join(here, "oracle_sidecar", "media_expected_v3.parquet")
     if os.path.exists(path):
         return path
     import hashlib
@@ -1084,6 +1111,51 @@ def _media_sidecar() -> str:
                 "height": pa.array(cols["height"], pa.int64()),
                 "n_bytes": pa.array(cols["n_bytes"], pa.int64()),
                 "payload_md5": pa.array(cols["payload_md5"], pa.string()),
+            }
+        ),
+        path,
+    )
+    return path
+
+
+def _media_embed_sidecar() -> str:
+    """Expected (media_id, dim, value) rows for media_embed, computed
+    WITHOUT Spark by the independent scalar PNG decoder
+    (oracle_py/png_ref.py) over the same deterministic synth payloads.
+    Exact-integer-sum features mean any two correct decoders agree to
+    the last double bit — no rounding in the comparison."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wiki_search_engine_spark.operators.multimodal import (
+        synth_payload, synth_spec,
+    )
+    from wiki_search_engine_spark.oracle_py import png_ref
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(
+        here, "oracle_sidecar", "media_embed_expected_v1.parquet"
+    )
+    if os.path.exists(path):
+        return path
+    ids, dims, vals = [], [], []
+    for i in range(N_MEDIA):
+        _doc, kind, fmt, _w, _h = synth_spec(i, N_MEDIA)
+        if kind != "image" or fmt != "png":
+            continue
+        for d, v in enumerate(png_ref.features(synth_payload(i, N_MEDIA))):
+            ids.append(i)
+            dims.append(d)
+            vals.append(v)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "dim": pa.array(dims, pa.int64()),
+                "value": pa.array(vals, pa.float64()),
             }
         ),
         path,
@@ -1261,6 +1333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merged_index_bm25": q_merged_index_bm25,
         "tiered_bm25": q_tiered_bm25,
         "media_features": q_media_features,
+        "media_embed": q_media_embed,
     }
 
 
@@ -1591,6 +1664,10 @@ FROM d WHERE round(dp / (na * nb), 6) >= {NEARDUP_T}""",
             "width::BIGINT AS width, height::BIGINT AS height, "
             "n_bytes::BIGINT AS n_bytes, payload_md5 "
             f"FROM read_parquet('{_media_sidecar()}')"
+        ),
+        "media_embed": (
+            "SELECT media_id::BIGINT AS media_id, dim::BIGINT AS dim, "
+            f"value FROM read_parquet('{_media_embed_sidecar()}')"
         ),
         "lang_id": _lang_sql(),
         "quality_scores": _QUALITY_SQL,

@@ -15,16 +15,21 @@ Two decode levels:
   payload md5. ``synth_media`` emits payloads with valid headers, so the
   kernel is value-checked end-to-end (driver entry ``media_features``
   against a sidecar oracle of independently expected rows).
-- ``decode_image_features`` — the CNN-embed slot. The container has no
-  image codecs/model runtimes, so ``fake=True`` produces deterministic
-  md5-derived stand-in features and ``fake=False`` raises
-  NotImplementedError where a real decoder (PIL/torchvision) would plug
-  into the same kernel signature.
+- ``decode_image_features(fake=False)`` — REAL pixel decode for PNG:
+  stdlib zlib IDAT inflate + the full RFC 2083 unfilter set
+  (``decode_png_rgba``), producing exact-integer-sum feature vectors
+  (``png_pixel_features``) that the independent scalar decoder
+  (oracle_py/png_ref.py) reproduces bit-for-bit (driver entry
+  ``media_embed``). JPEG/GIF entropy decode needs a real codec
+  (libjpeg/giflib — absent here), so those rows carry NULL features:
+  the remaining documented stub. ``fake=True`` keeps the deterministic
+  md5-derived stand-in features for plumbing tests over every format.
 """
 
 from __future__ import annotations
 
 import hashlib
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -41,7 +46,9 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 def png_bytes(w: int, h: int, filler: bytes = b"") -> bytes:
     """Minimal valid PNG prefix: magic + IHDR chunk (width/height
-    big-endian, 8-bit RGBA) + filler standing in for the IDAT stream."""
+    big-endian, 8-bit RGBA) + filler standing in for the IDAT stream.
+    Header-parse fixtures only; ``png_bytes_full`` emits a complete
+    decodable file."""
     return (
         PNG_MAGIC
         + (13).to_bytes(4, "big")
@@ -51,6 +58,176 @@ def png_bytes(w: int, h: int, filler: bytes = b"") -> bytes:
         + b"\x08\x06\x00\x00\x00"
         + filler
     )
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        len(data).to_bytes(4, "big")
+        + tag
+        + data
+        + (zlib.crc32(tag + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def png_bytes_full(
+    w: int, h: int, rgba: np.ndarray, filters: list[int] | None = None
+) -> bytes:
+    """COMPLETE valid 8-bit RGBA PNG (RFC 2083): magic + IHDR(+CRC) +
+    one zlib IDAT of filtered scanlines + IEND. ``rgba``: (h, w, 4)
+    uint8. ``filters``: per-scanline filter type (0..4, default all 0) —
+    rows are ENCODED with the given filter, so a decoder must implement
+    the full unfilter set to reconstruct the pixels. Filtering at
+    ENCODE time is fully vectorized (each predictor reads only raw
+    bytes of the current/previous raw scanline); it is the DECODER that
+    carries the sequential dependency."""
+    rgba = np.ascontiguousarray(rgba, dtype=np.uint8)
+    if rgba.shape != (h, w, 4):
+        raise ValueError(f"rgba shape {rgba.shape} != {(h, w, 4)}")
+    filters = [0] * h if filters is None else list(filters)
+    if len(filters) != h:
+        raise ValueError("one filter type per scanline")
+    bpp = 4
+    raw = rgba.reshape(h, w * bpp).astype(np.int64)
+    zeros = np.zeros(w * bpp, dtype=np.int64)
+    out = np.zeros((h, w * bpp + 1), dtype=np.uint8)
+    for y in range(h):
+        cur = raw[y]
+        prior = raw[y - 1] if y else zeros
+        left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, np.int64), prior[:-bpp]])
+        f = int(filters[y])
+        if f == 0:
+            enc = cur
+        elif f == 1:  # Sub
+            enc = cur - left
+        elif f == 2:  # Up
+            enc = cur - prior
+        elif f == 3:  # Average
+            enc = cur - ((left + prior) >> 1)
+        elif f == 4:  # Paeth
+            p = left + prior - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul)
+            )
+            enc = cur - pred
+        else:
+            raise ValueError(f"bad filter type {f}")
+        out[y, 0] = f
+        out[y, 1:] = (enc & 0xFF).astype(np.uint8)
+    ihdr = (
+        int(w).to_bytes(4, "big")
+        + int(h).to_bytes(4, "big")
+        + b"\x08\x06\x00\x00\x00"  # 8-bit, truecolor+alpha, no interlace
+    )
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(out.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_rgba(b: bytes) -> np.ndarray:
+    """(h, w, 4) uint8 pixels from an 8-bit RGBA PNG — stdlib-only
+    (zlib inflate + per-scanline unfilter, all five filter types).
+    Raises ValueError for other bit depths / color types / interlacing
+    (out of scope: the synth corpus emits truecolor-alpha, and this is
+    the documented boundary of the dependency-free decoder).
+
+    Unfilter cost model: None/Up are pure array ops; Sub is a per-lane
+    cumsum; Average/Paeth carry PNG's inherent left-neighbor dependency,
+    so they loop over pixels of one row (w iterations) with the 4 byte
+    lanes vectorized."""
+    if b[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = None
+    idat: list[bytes] = []
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos : pos + 4], "big")
+        tag = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, ctype, interlace = data[8], data[9], data[12]
+            if (depth, ctype, interlace) != (8, 6, 0):
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color={ctype}, "
+                    f"interlace={interlace}): decoder covers 8-bit RGBA"
+                )
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("truncated PNG (no IHDR/IDAT)")
+    raw = zlib.decompress(b"".join(idat))
+    bpp = 4
+    stride = w * bpp + 1
+    if len(raw) != h * stride:
+        raise ValueError(
+            f"IDAT size {len(raw)} != {h}x{stride} scanlines"
+        )
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    ftypes = arr[:, 0]
+    lines = arr[:, 1:].astype(np.int64)
+    out = np.zeros((h, w * bpp), dtype=np.int64)
+    zeros = np.zeros(w * bpp, dtype=np.int64)
+    for y in range(h):
+        f = int(ftypes[y])
+        cur = lines[y]
+        prior = out[y - 1] if y else zeros
+        if f == 0:
+            rec = cur
+        elif f == 1:  # Sub: per-lane cumulative sum mod 256
+            rec = np.cumsum(cur.reshape(w, bpp), axis=0).reshape(-1) & 0xFF
+        elif f == 2:  # Up
+            rec = (cur + prior) & 0xFF
+        elif f in (3, 4):  # Average / Paeth: sequential in x
+            c2 = cur.reshape(w, bpp)
+            pr = prior.reshape(w, bpp)
+            rec2 = np.zeros((w, bpp), dtype=np.int64)
+            left = np.zeros(bpp, dtype=np.int64)
+            ul = np.zeros(bpp, dtype=np.int64)
+            for x in range(w):
+                if f == 3:
+                    pred = (left + pr[x]) >> 1
+                else:
+                    p = left + pr[x] - ul
+                    pa = np.abs(p - left)
+                    pb = np.abs(p - pr[x])
+                    pc = np.abs(p - ul)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc),
+                        left,
+                        np.where(pb <= pc, pr[x], ul),
+                    )
+                rec2[x] = (c2[x] + pred) & 0xFF
+                left = rec2[x]
+                ul = pr[x]
+            rec = rec2.reshape(-1)
+        else:
+            raise ValueError(f"bad filter type {f} on row {y}")
+        out[y] = rec
+    return out.astype(np.uint8).reshape(h, w, bpp)
+
+
+def png_pixel_features(b: bytes) -> list[float]:
+    """8-float feature vector from a decoded PNG: mean R/G/B/A plus a
+    4-bin luma histogram (luma = (r+g+b)//3, bin = luma >> 6), all
+    normalized by pixel count. Every component is an exact integer sum
+    divided once by n_pixels, so any correct decoder produces
+    BIT-IDENTICAL doubles — the media_embed oracle sidecar relies on
+    this (no fp-accumulation-order slack)."""
+    px = decode_png_rgba(b).reshape(-1, 4).astype(np.int64)
+    n = px.shape[0]
+    sums = px.sum(axis=0)
+    luma = (px[:, 0] + px[:, 1] + px[:, 2]) // 3
+    hist = np.bincount(luma >> 6, minlength=4)
+    return [float(s) / n for s in sums] + [float(c) / n for c in hist]
 
 
 def gif_bytes(w: int, h: int, filler: bytes = b"") -> bytes:
@@ -104,12 +281,23 @@ def synth_spec(i: int, n: int) -> tuple[int, str, str | None, int | None,
 
 
 def synth_payload(i: int, n: int, seed: int = 42) -> bytes:
-    """Deterministic payload bytes for media_id ``i``: a valid image
-    header wrapping seeded filler for images; tagged opaque seeded bytes
-    for audio/video (the RAW0 prefix keeps random bytes from colliding
-    with the 2-byte JPEG magic)."""
+    """Deterministic payload bytes for media_id ``i``. PNG payloads are
+    COMPLETE decodable files: seeded pixel bytes wrapped through
+    png_bytes_full with the scanline filter type cycling (i+y) % 5, so
+    every filter of the unfilter set is exercised end-to-end. JPEG/GIF
+    payloads stay valid-header + seeded filler (their entropy decode is
+    the documented stub); audio/video are tagged opaque seeded bytes
+    (the RAW0 prefix keeps random bytes from colliding with the 2-byte
+    JPEG magic)."""
     _doc, kind, fmt, w, h = synth_spec(i, n)
     digest = hashlib.md5(f"{seed}|{i}".encode()).digest()
+    if kind == "image" and fmt == "png":
+        npx = w * h * 4
+        raw = (digest * (npx // 16 + 1))[:npx]
+        rgba = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 4)
+        return png_bytes_full(
+            w, h, rgba, [(i + y) % 5 for y in range(h)]
+        )
     filler = (digest * ((64 + i % 192) // 16 + 1))[: 64 + i % 192]
     if kind == "image":
         return _BUILDERS[fmt](w, h, filler)
@@ -240,22 +428,59 @@ FEATURE_SCHEMA = (
 FEATURE_DIM = 8
 
 
+EMBED_SCHEMA = (
+    "media_id long, kind string, format string, n_bytes int, "
+    "payload_md5 string, feature array<double>"
+)
+
+
 def decode_image_features(
     media: DataFrame, fake: bool = True, feature_dim: int = FEATURE_DIM
 ) -> DataFrame:
     """Binary payload -> feature vector, Arrow-batched.
 
-    ``fake=True``: deterministic stand-in features (md5-derived floats) —
-    the real decoder (PIL decode -> resize -> CNN embed) is not available
-    in this environment and would drop into the same kernel signature.
-    Header-level metadata (real) comes from ``decode_media_meta``.
+    ``fake=False`` (REAL pixel decode): PNG payloads are fully decoded
+    dependency-free — stdlib zlib IDAT inflate + per-scanline unfilter
+    (all five RFC 2083 filter types, decode_png_rgba) — into an 8-double
+    feature vector (png_pixel_features: mean RGBA + 4-bin luma
+    histogram), schema EMBED_SCHEMA. JPEG/GIF entropy decode needs a
+    real codec (libjpeg/giflib — not in this container), so those rows
+    carry feature = NULL: the documented stub boundary. A production
+    CNN embed (PIL decode -> resize -> model) drops into this same
+    kernel signature.
+
+    ``fake=True``: deterministic md5-derived stand-in floats for every
+    payload (schema FEATURE_SCHEMA) — the plumbing-only mode used where
+    tests need features for non-PNG media too. Header-level metadata
+    (always real) comes from ``decode_media_meta``.
     """
     if not fake:
-        raise NotImplementedError(
-            "real image decoding requires PIL/torchvision; not available "
-            "in this container — use fake=True (deterministic stub) or "
-            "decode_media_meta for real header-level metadata"
-        )
+
+        def kernel_real(batches):
+            for pdf in batches:
+                fmts, md5s, feats = [], [], []
+                for payload in pdf["payload"]:
+                    b = bytes(payload)
+                    md5s.append(hashlib.md5(b).hexdigest())
+                    fmt, _w, _h = parse_media_header(b)
+                    fmts.append(fmt)
+                    feats.append(
+                        png_pixel_features(b) if fmt == "png" else None
+                    )
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "kind": pdf["kind"],
+                        "format": fmts,
+                        "n_bytes": pdf["n_bytes"],
+                        "payload_md5": md5s,
+                        "feature": feats,
+                    }
+                )
+
+        return media.select(
+            "media_id", "kind", "n_bytes", "payload"
+        ).mapInPandas(kernel_real, schema=EMBED_SCHEMA)
 
     def kernel(batches):
         for pdf in batches:
