@@ -328,3 +328,27 @@ def test_bounded_postings_rows(spark):
                              salt_bits=1), **kw
     )
     assert decoded(m_cap) == decoded(m_norm)
+
+
+def test_ner_stopword_bridged_entities():
+    """<= 1 lowercase function word may bridge two capitalized words:
+    'Bank of America' / 'University of California' are single entities
+    (the most common recall gap of the plain capitalized-run rule vs
+    spaCy). The bridge word joins the phrase but is never indexed as a
+    lone component; two bridges in a row do NOT join."""
+    from wiki_search_engine_spark.functions.analyzer import ner_tokens
+
+    toks = ner_tokens(
+        "He banked at Bank of America near the University of "
+        "California campus"
+    )
+    assert "bank of america" in toks
+    assert "university of california" in toks
+    assert "america" in toks and "california" in toks
+    assert "of" not in toks  # bridge never indexed alone
+    # bare stopwords / trailing bridge form no entity
+    assert ner_tokens("of the and") == []
+    assert " ".join(ner_tokens("Alice of")) == "alic"
+    # two function words between caps: not bridged
+    toks = ner_tokens("Alice of the Bobs")
+    assert all(" " not in t for t in toks)

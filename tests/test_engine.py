@@ -161,6 +161,22 @@ def test_ner_index_rank_identity(spark, corpus_rows, tmp_path):
     from wiki_search_engine_spark.oracle_py.oracle import IndexOracle
 
     rows = corpus_rows[:30]
+    # planted stopword-bridged entities: the r3 analyzer extension must
+    # index and retrieve them end-to-end, not just in unit tests
+    rows = rows + [
+        dict(
+            rows[0],
+            url="https://en.wikipedia.org/wiki/Bridged_A",
+            text="Title: Bridged A\nThe Bank of America tower opened. "
+                 "Many visited Bank of America branches nearby.",
+        ),
+        dict(
+            rows[1],
+            url="https://en.wikipedia.org/wiki/Bridged_B",
+            text="Title: Bridged B\nThe University of California hosted "
+                 "a fair near Bank of America plaza.",
+        ),
+    ]
     corpus_df = spark.createDataFrame(pd.DataFrame(rows))
     eng = SearchEngine.build(
         spark, corpus_df, str(tmp_path / "ner_index"),
@@ -180,7 +196,8 @@ def test_ner_index_rank_identity(spark, corpus_rows, tmp_path):
     phrase = next(
         t for r in rows for t in ner_tokens(r["text"]) if " " in t
     )
-    for q in [phrase, f"{phrase} xyznotaword", "Some Words here"]:
+    for q in [phrase, f"{phrase} xyznotaword", "Some Words here",
+              "Bank of America", "University of California"]:
         exp = oracle.search(q, k=10, mode="bm25")
         got = [
             (r["docid"], r["score"])
@@ -194,6 +211,9 @@ def test_ner_index_rank_identity(spark, corpus_rows, tmp_path):
     loc = eng.search_local(phrase, k=10, mode="bm25")
     exp = oracle.search(phrase, k=10, mode="bm25")
     assert_rank_identical(loc, exp)
+    # the bridged-entity phrase must actually hit the planted docs
+    # (rank-identity alone would also pass on two empty result sets)
+    assert len(eng.search_local("Bank of America", k=10)) >= 2
 
 
 def test_docs_image_metadata_parity(spark, engine, corpus_rows, index_dir,

@@ -696,3 +696,101 @@ def test_merge_delete_accept_presalt_side_tables(spark, tmp_path):
     assert merged.search_local(
         next(w for w in delta_rows[0]["text"].split() if w.isalpha()), k=5
     )
+
+
+def test_tiered_deletes_segment_equals_delete_rebuild(
+    spark, merged_and_full, fixture_queries
+):
+    """Tombstone-only takedown (tiered.write_deletes_segment): a
+    deletes segment appended to [base, delta] must serve IDENTICALLY —
+    stats, ranks AND scores (live N/avgdl/df drop) — to delete_docs'
+    full rewrite over the compacted index, on both the driver-local and
+    distributed paths; hydration and the HTTP path never resurface a
+    deleted doc; compact() folds the deletes segment in via
+    delete_docs."""
+    import math
+
+    from wiki_search_engine_spark.engine import SearchEngine
+    from wiki_search_engine_spark.sources.synth import doc_row
+    from wiki_search_engine_spark.tiered import (
+        TieredEngine, compact, write_deletes_segment,
+    )
+
+    merged, _full = merged_and_full
+    base_dir = merged.index_dir.replace("merged", "base")
+    delta_dir = merged.index_dir.replace("merged", "delta")
+
+    # victims: base-only doc, delta-only doc, a re-crawled doc present
+    # in BOTH, plus a nonexistent docid (must be a no-op)
+    urls = [doc_row(i, SEED)["url"] for i in (5, 65, 12)]
+    docids = [
+        r["docid"]
+        for r in spark.createDataFrame([(u,) for u in urls], "url string")
+        .withColumn("docid", F.shiftrightunsigned(F.xxhash64("url"), 1))
+        .collect()
+    ] + [12345]
+
+    del_seg = write_deletes_segment(
+        merged.index_dir + "_delseg", docids=docids
+    )
+    tiered = TieredEngine(spark, [base_dir, delta_dir, del_seg])
+    expected = SearchEngine.delete(
+        spark, merged.index_dir, merged.index_dir + "_deleted",
+        docids=docids,
+    )
+
+    assert tiered.n == expected.n == merged.n - 3
+    assert math.isclose(tiered.avgdl, expected.avgdl, rel_tol=1e-12)
+    assert tiered.total_length == expected.total_length
+
+    checked = 0
+    for q in list(fixture_queries) + ["mergedelta"]:
+        for mode in ("bm25", "tfidf"):
+            try:
+                exp = expected.search_local(q, k=10, mode=mode)
+            except Exception:
+                continue
+            got = tiered.search_local(q, k=10, mode=mode)
+            assert [d for d, _ in got] == [d for d, _ in exp], (q, mode)
+            for (_, a), (_, b) in zip(got, exp):
+                assert math.isclose(a, b, rel_tol=1e-9), (q, mode)
+            checked += 1
+    assert checked >= 8
+
+    # distributed path parity
+    for q in list(fixture_queries)[:3]:
+        got = [
+            (r["docid"], r["score"])
+            for r in tiered.search_ids(q, k=10, mode="bm25").collect()
+        ]
+        exp = [
+            (r["docid"], r["score"])
+            for r in expected.search_ids(
+                q, k=10, mode="bm25", path="wand"
+            ).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in exp], q
+        for (_, a), (_, b) in zip(got, exp):
+            assert math.isclose(a, b, rel_tol=1e-9), q
+
+    # deleted docs never hydrate (lookup / HTTP path)
+    assert tiered.lookup_docs(docids) == []
+    resp = tiered.query_response(fixture_queries[0], "bm25", k=50)
+    assert resp["textResult"]
+    banned = {str(d) for d in docids}
+    assert not banned & {r["file_id"] for r in resp["textResult"]}
+
+    # compaction folds the deletes segment via delete_docs
+    out2 = merged.index_dir + "_compacted_del"
+    compact(spark, [base_dir, delta_dir, del_seg], out2)
+    comp = SearchEngine.load(spark, out2)
+    assert (comp.n, comp.total_length) == (expected.n,
+                                           expected.total_length)
+    q = fixture_queries[1]
+    assert comp.search_local(q, k=10) == expected.search_local(q, k=10)
+
+    # guard rails: deletes segment cannot lead
+    import pytest as _p
+
+    with _p.raises(ValueError, match="deletes"):
+        TieredEngine(spark, [del_seg, base_dir])

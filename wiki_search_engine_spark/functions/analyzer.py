@@ -210,24 +210,42 @@ def ner_tokens(text: str) -> list[str]:
 
     spaCy is a heavyweight model-versioned dependency, so the entity
     detector here is a deterministic surrogate: a maximal run of >= 2
-    consecutive capitalized alphabetic words ([A-Z][a-z]+) is an entity.
-    For each entity run we emit the lowercased phrase AND each component
-    word (reference quirk Q2); remaining tokens go through the normal
+    capitalized alphabetic words ([A-Z][a-z]+), where at most ONE
+    lowercase function word (STOPWORDS) may BRIDGE two capitalized
+    words — so "Bank of America" and "University of California" are
+    single entities, the most common recall gap of the pure
+    capitalized-run rule vs spaCy (see COVERAGE.md for what still
+    differs). For each entity run we emit the lowercased phrase
+    (bridge word included: 'bank of america') AND each CAPITALIZED
+    component word (reference quirk Q2 — the bridge is a stopword and
+    is never indexed alone); remaining tokens go through the normal
     stopword/junk/Porter chain, except tokens whose cleaned form is an
     entity component elsewhere in the doc, which are skipped
     (inverted_index.py:56-61 semantics)."""
     raw = text.split()
+    n = len(raw)
     cores = [STRIP_EDGE_RE.sub("", t) for t in raw]
     is_ent_word = [bool(ENTITY_CORE_RE.match(c)) for c in cores]
+    is_bridge = [
+        c.isalpha() and c.islower() and c in STOPWORDS for c in cores
+    ]
 
-    # maximal runs of >= 2 entity-shaped words
+    # maximal runs of entity-shaped words, allowing <= 1 bridge word
+    # between consecutive capitalized words; >= 2 capitalized words
     runs: list[tuple[int, int]] = []
     i = 0
-    while i < len(raw):
+    while i < n:
         if is_ent_word[i]:
             j = i
-            while j + 1 < len(raw) and is_ent_word[j + 1]:
-                j += 1
+            while True:
+                if j + 1 < n and is_ent_word[j + 1]:
+                    j += 1
+                elif (
+                    j + 2 < n and is_bridge[j + 1] and is_ent_word[j + 2]
+                ):
+                    j += 2
+                else:
+                    break
             if j > i:
                 runs.append((i, j))
             i = j + 1
@@ -236,7 +254,9 @@ def ner_tokens(text: str) -> list[str]:
     in_run = set()
     for a, b in runs:
         in_run.update(range(a, b + 1))
-    entity_words = {cores[i].lower() for i in in_run}
+    entity_words = {
+        cores[i].lower() for i in in_run if is_ent_word[i]
+    }
 
     out: list[str] = []
     for i, t in enumerate(raw):
@@ -244,7 +264,8 @@ def ner_tokens(text: str) -> list[str]:
             a, b = next(r for r in runs if r[0] <= i <= r[1])
             if i == a:
                 out.append(" ".join(cores[x].lower() for x in range(a, b + 1)))
-            out.append(cores[i].lower())
+            if is_ent_word[i]:
+                out.append(cores[i].lower())
             continue
         for tok in base_tokens(t):
             if tok in entity_words:

@@ -66,8 +66,12 @@ class IndexOracle:
         return len(self.postings.get(term, {}))
 
     def search(self, query: str, k: int = 50, mode: str = "bm25"):
-        """Top-k [(docid, score)] — score desc, docid asc on ties."""
-        terms = analyze_query(query, stem=self.stem)
+        """Top-k [(docid, score)] — score desc, docid asc on ties.
+        Queries analyze with the ORACLE'S OWN analyzer (the same
+        index/query symmetry the engine enforces, SURVEY §8.Q4): a
+        'ner' oracle must expand capitalized query phrases exactly like
+        the 'ner' index side did."""
+        terms = analyze_query(query, stem=self.stem, analyzer=self.analyzer)
         n, avgdl = self.n_docs, self.avgdl
         scores: dict[int, float] = defaultdict(float)
         for term in terms:

@@ -64,6 +64,82 @@ from .oracle_py.oracle import bm25_idf, tfidf_idf
 _COMPAT_KEYS = ("stem", "analyzer", "n_buckets", "salt_bits")
 
 
+def is_deletes_segment(path: str) -> bool:
+    """True if ``path`` is a tombstone-only DELETES segment (meta.json
+    type == 'deletes') rather than a full index segment."""
+    import json
+    import os
+
+    meta_path = f"{path}/meta.json"
+    if not os.path.exists(meta_path):
+        return False
+    with open(meta_path) as f:
+        return json.load(f).get("type") == "deletes"
+
+
+def read_deletes_docids(path: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    return np.sort(
+        pq.read_table(f"{path}/docids", columns=["docid"])
+        .column("docid")
+        .to_numpy()
+        .astype(np.int64)
+    )
+
+
+def write_deletes_segment(
+    path: str,
+    docids: list[int] | None = None,
+    urls: list[str] | None = None,
+    spark: SparkSession | None = None,
+) -> str:
+    """Takedown WITHOUT index-sized IO: materialize a tombstone-only
+    DELETES segment — a sorted docid list plus a type marker, no
+    postings, no docs. Appended to a TieredEngine's segment list it
+    removes the docs from every EARLIER segment exactly like a re-crawl
+    override (live N/avgdl/df all drop — same tombstone machinery), so
+    right-to-be-forgotten costs O(|batch|) like any crawl fold; the
+    index-sized rewrite (plans/merge.py delete_docs) becomes the
+    compaction-time path (``compact`` folds deletes segments in via
+    delete_docs). Pure driver-side pyarrow; ``urls`` need ``spark`` for
+    the one tiny xxhash64 job that derives docids the same way the
+    build does. Written atomically (.building rename)."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if (docids is None) == (urls is None):
+        raise ValueError("pass exactly one of docids= or urls=")
+    if urls is not None:
+        if spark is None:
+            raise ValueError("urls= needs spark= for docid derivation")
+        from .operators.tokenize import with_docid
+
+        rows = with_docid(
+            spark.createDataFrame([(u,) for u in urls], "url string"),
+            "url",
+        ).select("docid").collect()
+        docids = [r["docid"] for r in rows]
+    arr = np.unique(np.asarray(sorted(docids), dtype=np.int64))
+    tmp = path + ".building"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(f"{tmp}/docids", exist_ok=True)
+    pq.write_table(
+        pa.table({"docid": pa.array(arr, pa.int64())}),
+        f"{tmp}/docids/part-0.parquet",
+    )
+    import json
+
+    with open(f"{tmp}/meta.json", "w") as f:
+        json.dump({"type": "deletes", "n_docids": int(arr.size)}, f)
+    shutil.rmtree(path, ignore_errors=True)
+    os.rename(tmp, path)
+    return path
+
+
 def _overridden_doc_stats(
     doc_stats_dir: str, tombs: np.ndarray, salt_bits: int
 ) -> tuple[int, int]:
@@ -119,15 +195,30 @@ class TieredEngine:
         cache_terms: int = 0,
     ):
         """``index_dirs`` oldest-first: [base, batch1, batch2, ...].
-        Later segments override earlier ones per docid."""
+        Later segments override earlier ones per docid. Any entry may be
+        a tombstone-only DELETES segment (``write_deletes_segment``):
+        it contributes its docid set to every earlier segment's
+        tombstones — a pure removal with batch-sized IO — but no
+        postings or docs of its own. The first entry must be a full
+        index segment."""
         import pyarrow.parquet as pq
 
         if not index_dirs:
             raise ValueError("need at least one index dir")
         self.spark = spark
+        kinds = [
+            "deletes" if is_deletes_segment(d) else "index"
+            for d in index_dirs
+        ]
+        if kinds[0] == "deletes":
+            raise ValueError(
+                f"first segment {index_dirs[0]} is a deletes segment — "
+                "there is nothing before it to delete from"
+            )
         self.engines = [
             SearchEngine(spark, d, cache_terms=cache_terms)
-            for d in index_dirs
+            for d, k in zip(index_dirs, kinds)
+            if k == "index"
         ]
         head = self.engines[0]
         for eng in self.engines[1:]:
@@ -141,21 +232,27 @@ class TieredEngine:
                     f"{head.index_dir} on {diffs}"
                 )
 
-        # docid arrays of every NON-base segment (crawl batches — small
-        # by construction; the base's docids are never loaded)
-        seg_docids: dict[int, np.ndarray] = {}
-        for i, d in enumerate(index_dirs):
-            if i == 0:
-                continue
-            seg_docids[i] = np.sort(
-                pq.read_table(f"{d}/docs", columns=["docid"])
-                .column("docid")
-                .to_numpy()
-            )
-        # tombstones[i] = sorted union of docids of segments AFTER i
+        # docid set per non-head unit position (crawl batches / deletes
+        # lists — small by construction; the base's docids never load)
+        unit_docids: dict[int, np.ndarray] = {}
+        for j, (d, k) in enumerate(zip(index_dirs, kinds)):
+            if k == "deletes":
+                unit_docids[j] = read_deletes_docids(d)
+            elif j > 0:
+                unit_docids[j] = np.sort(
+                    pq.read_table(f"{d}/docs", columns=["docid"])
+                    .column("docid")
+                    .to_numpy()
+                )
+        # tombstones (ENGINE-aligned, like self.engines): for the engine
+        # at original position i, the sorted union of every later unit's
+        # docids — a later index segment overrides, a later deletes
+        # segment removes; the tombstone machinery is identical
         self.tombstones: list[np.ndarray] = []
-        for i in range(len(index_dirs)):
-            later = [seg_docids[j] for j in seg_docids if j > i]
+        for i, k in enumerate(kinds):
+            if k != "index":
+                continue
+            later = [unit_docids[j] for j in unit_docids if j > i]
             self.tombstones.append(
                 np.unique(np.concatenate(later))
                 if later
@@ -504,10 +601,25 @@ class TieredEngine:
         self, docids: list[int], with_images: bool = True
     ) -> list[dict]:
         """Point-lookup hydration across segments — later segments win
-        per docid (same pruned pyarrow reads as SearchEngine)."""
+        per docid (same pruned pyarrow reads as SearchEngine). Each
+        segment is only asked for ids NOT tombstoned at its position:
+        a re-crawled doc hydrates from the overriding segment, and a
+        doc removed by a deletes segment hydrates from nowhere (the
+        HTTP-path guarantee that a taken-down doc never resurfaces)."""
+        from .operators.codec import isin_sorted
+
         out: dict[int, dict] = {}
-        for eng in self.engines:  # oldest first; later overwrites
-            for row in eng.lookup_docs(docids, with_images=with_images):
+        ids = np.asarray(docids, dtype=np.int64)
+        for i, eng in enumerate(self.engines):  # oldest first
+            tombs = self.tombstones[i]
+            live = (
+                ids[~isin_sorted(tombs, ids)] if tombs.size else ids
+            )
+            if not live.size:
+                continue
+            for row in eng.lookup_docs(
+                [int(d) for d in live], with_images=with_images
+            ):
                 out[row["docid"]] = row
         return [out[d] for d in docids if d in out]
 
@@ -521,15 +633,20 @@ def compact(
     """Fold segments [base, batch1, ...] (oldest first) into one index
     at ``out_dir`` — the offline compaction policy behind TieredEngine.
     Pairwise left folds via plans/merge.py (delta wins per docid at each
-    step == last segment wins overall, matching tiered override order).
+    step == last segment wins overall, matching tiered override order);
+    a DELETES segment folds in via plans/merge.py delete_docs — this is
+    where the tombstone-only takedown finally pays its index-sized IO,
+    amortized into the compaction that was happening anyway.
     Intermediate results live under ``work_dir`` (default: siblings of
     out_dir) and are removed on success."""
     import shutil
 
-    from .plans.merge import merge_indexes
+    from .plans.merge import delete_docs, merge_indexes
 
     if len(index_dirs) < 2:
         raise ValueError("compaction needs at least two segments")
+    if is_deletes_segment(index_dirs[0]):
+        raise ValueError("first segment cannot be a deletes segment")
     work_dir = work_dir or f"{out_dir}_work"
     cur = index_dirs[0]
     tmp_dirs = []
@@ -539,7 +656,13 @@ def compact(
             if i == len(index_dirs) - 2
             else f"{work_dir}/fold_{i}"
         )
-        merge_indexes(spark, cur, delta, dst)
+        if is_deletes_segment(delta):
+            delete_docs(
+                spark, cur, dst,
+                docids=[int(d) for d in read_deletes_docids(delta)],
+            )
+        else:
+            merge_indexes(spark, cur, delta, dst)
         tmp_dirs.append(dst)
         cur = dst
     for d in tmp_dirs[:-1]:
