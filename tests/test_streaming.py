@@ -400,3 +400,82 @@ def test_worker_liveness_non_utc_timezone(spark, tmp_path):
         )
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_pointer_commit_crash_injection(spark, tmp_path):
+    """The pointer-file commit (streaming/ingest.py): at EVERY simulated
+    crash point of the enroll + merge + commit sequence, a reader
+    (SearchEngine.load through engine.resolve_index_dir) opens a
+    complete, servable index — there is no instant with a missing
+    index, unlike the old directory-swap scheme's parked-dir window."""
+    import os
+
+    import pandas as pd
+
+    from tests.conftest import SEED
+    from wiki_search_engine_spark.engine import SearchEngine
+    from wiki_search_engine_spark.plans.merge import merge_indexes
+    from wiki_search_engine_spark.sources.synth import doc_row
+    from wiki_search_engine_spark.streaming.ingest import (
+        INDEX_ENTRIES, cleanup_index_root, enroll_index_root,
+        read_index_pointer, write_index_pointer,
+    )
+
+    kw = dict(stem=True, n_buckets=8, bucket_groups=1, salt_bits=2)
+    rows = [doc_row(i, SEED) for i in range(25)]
+    root = str(tmp_path / "root")
+    SearchEngine.build(
+        spark, spark.createDataFrame(pd.DataFrame(rows)), root, **kw
+    )
+    q0 = next(w for w in rows[0]["text"].split() if w.isalpha())
+
+    def servable(expect_n):
+        eng = SearchEngine.load(spark, root)
+        assert eng.n == expect_n
+        eng.search_local(q0, k=3)
+        return eng
+
+    servable(25)  # plain legacy dir resolves to itself
+
+    # crash mid-enrollment: half the entries moved, then resume
+    building = f"{root}/v_init.building"
+    os.makedirs(building)
+    for e in INDEX_ENTRIES[:3]:
+        if os.path.exists(f"{root}/{e}"):
+            os.rename(f"{root}/{e}", f"{building}/{e}")
+    enroll_index_root(root)  # resumes and completes the migration
+    assert read_index_pointer(root) == "v_init"
+    servable(25)
+
+    # steady-state fold, crashing at every step boundary
+    delta_rows = [doc_row(i, SEED) for i in range(25, 30)]
+    delta = str(tmp_path / "delta")
+    SearchEngine.build(
+        spark, spark.createDataFrame(pd.DataFrame(delta_rows)), delta,
+        **kw,
+    )
+    cur = read_index_pointer(root)
+    new_building = f"{root}/v_b1.building"
+    merge_indexes(spark, f"{root}/{cur}", delta, new_building)
+    servable(25)  # crash: building exists, pointer still old
+    os.rename(new_building, f"{root}/v_b1")
+    servable(25)  # crash: new snapshot complete, pre-commit
+    with open(f"{root}/current.tmp", "w") as f:
+        f.write("v_b1")  # crash mid-commit: tmp written, not renamed
+    servable(25)
+    write_index_pointer(root, "v_b1")
+    servable(30)  # committed: readers see the folded corpus
+    assert os.path.isdir(f"{root}/v_init")  # old snapshot alive at flip
+    cleanup_index_root(root, keep="v_b1")
+    servable(30)
+    assert not os.path.isdir(f"{root}/v_init")
+    assert not os.path.exists(f"{root}/current.tmp")
+
+    # a pre-commit crash's leftovers vanish at the next batch's cleanup
+    # without touching the live snapshot
+    os.makedirs(f"{root}/v_b2.building")
+    with open(f"{root}/current.tmp", "w") as f:
+        f.write("junk")
+    cleanup_index_root(root, keep=read_index_pointer(root))
+    servable(30)
+    assert not os.path.exists(f"{root}/v_b2.building")

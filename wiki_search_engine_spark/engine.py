@@ -31,6 +31,26 @@ class EmptyQueryError(ValueError):
     for blank queries (backend/controllers/queryController.js:21-25)."""
 
 
+def resolve_index_dir(path: str) -> str:
+    """Pointer-root resolution: a path whose directory contains a
+    ``current`` file is a SNAPSHOT ROOT — the file names the live
+    snapshot subdirectory (streaming/ingest.py flips it atomically on
+    every incremental fold, the local analogue of an Iceberg manifest
+    pointer commit). Readers resolve through the pointer; a plain index
+    directory resolves to itself. An engine instance PINS the resolved
+    snapshot: it keeps serving that snapshot across later flips until
+    reloaded (POSIX keeps open files alive; on object storage, until
+    snapshot GC)."""
+    import os
+
+    p = os.path.join(path, "current")
+    if os.path.isfile(p):
+        with open(p) as f:
+            name = f.read().strip()
+        return os.path.join(path, name)
+    return path
+
+
 def sys_snapshot() -> dict:
     """Driver-process memory snapshot mirroring the reference's
     profiler sysSnapshot shape (backend/utils/profiler.js:20-29):
@@ -162,7 +182,7 @@ class SearchEngine:
         import os
 
         self.spark = spark
-        self.index_dir = index_dir
+        self.index_dir = index_dir = resolve_index_dir(index_dir)
         meta = {}
         meta_path = f"{index_dir}/meta.json"
         if os.path.exists(meta_path):

@@ -114,6 +114,77 @@ def events_windowed_counts(
     )
 
 
+# entries a complete index snapshot may contain (enrollment move list)
+INDEX_ENTRIES = (
+    "meta.json", "manifest.json", "postings", "docs", "doc_stats",
+    "stats", "term_stats",
+)
+
+
+def read_index_pointer(index_dir: str) -> str:
+    import os
+
+    with open(os.path.join(index_dir, "current")) as f:
+        return f.read().strip()
+
+
+def write_index_pointer(index_dir: str, name: str) -> None:
+    """THE commit: write current.tmp, fsync, atomically rename over
+    ``current``. Readers (engine.resolve_index_dir) see either the old
+    or the new pointer value, never an absent/partial one; both named
+    snapshots exist across the flip."""
+    import os
+
+    pointer = os.path.join(index_dir, "current")
+    tmp = pointer + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(name)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, pointer)
+
+
+def enroll_index_root(index_dir: str) -> None:
+    """One-time in-place migration of a plain index directory into the
+    pointer-root layout (entries move into ``v_init``, pointer written).
+    Idempotent — every step can resume after a crash: entry moves are
+    individually atomic renames, the known-entry loop just continues,
+    and the final pointer write is the atomic commit. Unlike steady
+    state, enrollment is not concurrent-reader-safe; it happens once at
+    upgrade time."""
+    import os
+
+    if os.path.isfile(os.path.join(index_dir, "current")):
+        return
+    snap = os.path.join(index_dir, "v_init")
+    building = snap + ".building"
+    if not os.path.isdir(snap):
+        os.makedirs(building, exist_ok=True)
+        for e in INDEX_ENTRIES:
+            src = os.path.join(index_dir, e)
+            if os.path.exists(src):
+                os.rename(src, os.path.join(building, e))
+        os.rename(building, snap)
+    write_index_pointer(index_dir, "v_init")
+
+
+def cleanup_index_root(index_dir: str, keep: str) -> None:
+    """Drop every snapshot except ``keep`` plus stale temporaries —
+    crash leftovers (an unreferenced v_* or *.building from a
+    pre-commit crash, a current.tmp from a mid-commit crash) and
+    superseded snapshots. Callers pass the name ``current`` points at,
+    so the pointer never dangles."""
+    import os
+    import shutil
+
+    for e in os.listdir(index_dir):
+        p = os.path.join(index_dir, e)
+        if e == "current.tmp":
+            os.remove(p)
+        elif e.startswith("v_") and e != keep:
+            shutil.rmtree(p, ignore_errors=True)
+
+
 def maintain_index_incremental(
     spark: SparkSession,
     input_dir: str,
@@ -125,28 +196,47 @@ def maintain_index_incremental(
 ):
     """Streaming index MAINTENANCE — the crawler-to-index loop closed:
     each micro-batch of landed pages (new urls and re-crawls alike)
-    builds its own delta index and folds it into ``index_dir`` with the
-    incremental merge (delta wins per url, untouched posting groups pass
-    through; plans/merge.py), then the merged index replaces
-    ``index_dir`` atomically via directory rename. Exactly-once comes
-    from the file-source checkpoint: a crashed batch re-runs, and both
-    the delta build and the merge are idempotent overwrites of
-    batch-scoped directories.
+    builds its own delta index and folds it into the live index with
+    the incremental merge (delta wins per url, untouched posting groups
+    pass through; plans/merge.py). Exactly-once comes from the
+    file-source checkpoint: a crashed batch re-runs, and the delta
+    build, the merge (delta-wins is idempotent), and the commit are all
+    safe to repeat.
+
+    COMMIT SCHEME — pointer file, not directory swap: ``index_dir`` is
+    a SNAPSHOT ROOT holding versioned snapshot directories ``v_*`` and
+    a ``current`` pointer file naming the live one
+    (engine.resolve_index_dir follows it; SearchEngine.load on the root
+    serves whatever the pointer names). Each micro-batch:
+
+      1. builds the batch's delta index under ``work_dir``;
+      2. merges <root>/<current> + delta into <root>/v_<id>.building;
+      3. renames it to <root>/v_<id> — a complete snapshot appears;
+      4. writes current.tmp and atomically renames it over ``current``
+         — THE commit (on object storage this file is the Iceberg-style
+         manifest pointer; the rename is the table commit);
+      5. removes non-current snapshots and stale temporaries.
+
+    Readers never see a missing index: the pointer always names a
+    complete snapshot and both old and new snapshots exist across the
+    flip — there is no instant at which ``index_dir`` is unservable
+    (the previous directory-rename scheme had one, recovered by a
+    parked-dir dance; a crash-injection pytest now kills between every
+    step pair and loads the engine at each point). A plain legacy index
+    directory is ENROLLED on stream start: its entries move into
+    ``v_init`` and the pointer is written — a one-time idempotent
+    migration that resumes if interrupted (enrollment, unlike steady
+    state, is not concurrent-reader-safe; it happens once at upgrade).
 
     The reference's equivalent is "re-run the whole Indexer spark job
-    and rewrite every CSV" (Indexer/merge_index_files.py) — here a crawl
-    batch costs one delta build over just its pages plus a merge that
-    re-encodes only collided (term, docid-range) groups.
+    and rewrite every CSV" (Indexer/merge_index_files.py) — here a
+    crawl batch costs one delta build over just its pages plus a merge
+    that re-encodes only collided (term, docid-range) groups. Returns
+    the StreamingQuery (availableNow by default: drain, stop).
 
-    On object storage the rename becomes a pointer flip (e.g. an
-    Iceberg snapshot commit or a manifest of the current index path);
-    the local form keeps the same swap discipline. Returns the
-    StreamingQuery (availableNow by default: drain what exists, stop).
-
-    Serving note: SearchEngine.load caches nothing but stats/meta, so a
-    search head re-instantiated after a swap serves the new index; a
-    long-lived engine object keeps serving the renamed-away snapshot
-    it opened (POSIX) until reloaded.
+    Serving note: a search head re-instantiated after a flip serves the
+    new snapshot; a long-lived engine object pins the snapshot it
+    resolved (POSIX) until reloaded.
     """
     import os
     import shutil
@@ -154,46 +244,17 @@ def maintain_index_incremental(
     from ..engine import SearchEngine
     from ..plans.merge import merge_indexes
 
-    def recover_swap() -> None:
-        """Roll back a crash between the two swap renames: index_dir
-        missing means the live index is parked at old_b*. Restoring it
-        is always correct — the checkpoint re-runs the interrupted
-        batch, which rebuilds the delta and re-merges. Runs BEFORE
-        anything reads index_dir (a crashed previous session must not
-        fail at stream setup)."""
-        if os.path.isdir(index_dir):
-            return
-        parked = [
-            e for e in os.listdir(work_dir) if e.startswith("old_b")
-        ] if os.path.isdir(work_dir) else []
-        if len(parked) != 1:
-            raise RuntimeError(
-                f"{index_dir} missing and no unique parked index "
-                f"in {work_dir} ({parked}) — manual recovery needed"
-            )
-        os.rename(os.path.join(work_dir, parked[0]), index_dir)
-
-    recover_swap()
+    enroll_index_root(index_dir)
     stream = stream_corpus(spark, input_dir)
     meta_engine = SearchEngine.load(spark, index_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
-        recover_swap()
-        # a crash AFTER the swap but before cleanup leaves a stale
-        # old_b* next to a healthy index_dir — garbage now (would both
-        # ENOTEMPTY the rename below and confuse the next recovery)
-        if os.path.isdir(work_dir):
-            for e in os.listdir(work_dir):
-                if e.startswith("old_b"):
-                    shutil.rmtree(
-                        os.path.join(work_dir, e), ignore_errors=True
-                    )
+        cur_name = read_index_pointer(index_dir)
+        cleanup_index_root(index_dir, keep=cur_name)
         delta_dir = f"{work_dir}/delta_b{batch_id}"
-        merged_dir = f"{work_dir}/merged_b{batch_id}"
         shutil.rmtree(delta_dir, ignore_errors=True)
-        shutil.rmtree(merged_dir, ignore_errors=True)
         SearchEngine.build(
             spark, batch_df, delta_dir, stem=stem,
             n_buckets=meta_engine.n_buckets,
@@ -201,11 +262,20 @@ def maintain_index_incremental(
             bucket_groups=1,
             analyzer=meta_engine.analyzer,
         )
-        merge_indexes(spark, index_dir, delta_dir, merged_dir)
-        old = f"{work_dir}/old_b{batch_id}"
-        os.rename(index_dir, old)
-        os.rename(merged_dir, index_dir)
-        shutil.rmtree(old, ignore_errors=True)
+        new_name = f"v_{batch_id:08d}"
+        while new_name == cur_name:
+            # checkpoint re-run of a batch whose commit already landed:
+            # the re-merge is idempotent (delta wins twice == once) but
+            # needs a fresh snapshot name
+            new_name += "r"
+        building = os.path.join(index_dir, new_name + ".building")
+        shutil.rmtree(building, ignore_errors=True)
+        merge_indexes(
+            spark, os.path.join(index_dir, cur_name), delta_dir, building
+        )
+        os.rename(building, os.path.join(index_dir, new_name))
+        write_index_pointer(index_dir, new_name)
+        cleanup_index_root(index_dir, keep=new_name)
         shutil.rmtree(delta_dir, ignore_errors=True)
 
     writer = (
