@@ -81,6 +81,19 @@ def main(argv=None):
     )
     d.add_argument("--resume", action="store_true")
 
+    tb = sub.add_parser("tombstone")
+    tb.add_argument(
+        "--out", required=True,
+        help="deletes-segment dir to write; append it to a serve/compact "
+        "segment list for O(batch) takedown without touching the index",
+    )
+    tb.add_argument(
+        "--urls", default=None, help="comma-separated urls to take down"
+    )
+    tb.add_argument(
+        "--docids", default=None, help="comma-separated docids"
+    )
+
     s = sub.add_parser("synth")
     s.add_argument("--docs", type=int, default=2000)
     s.add_argument("--out", required=True)
@@ -97,7 +110,8 @@ def main(argv=None):
     v.add_argument(
         "--index", required=True,
         help="index dir, or comma-separated segment dirs (oldest first) "
-        "to serve tiered without compaction",
+        "to serve tiered without compaction; entries after the first may "
+        "be deletes segments (see the tombstone subcommand)",
     )
     v.add_argument("--host", default="127.0.0.1")
     v.add_argument("--port", type=int, default=8080)
@@ -167,6 +181,29 @@ def main(argv=None):
                     "avgdl": round(eng.avgdl, 3),
                     "delete_sec": round(time.time() - t0, 2),
                 }
+            )
+        )
+    elif args.cmd == "tombstone":
+        import json as _json
+
+        from wiki_search_engine_spark.tiered import write_deletes_segment
+
+        if args.urls:
+            path = write_deletes_segment(
+                args.out,
+                urls=[u for u in args.urls.split(",") if u],
+                spark=spark,
+            )
+        else:
+            path = write_deletes_segment(
+                args.out,
+                docids=[int(x) for x in (args.docids or "").split(",") if x],
+            )
+        with open(f"{path}/meta.json") as f:
+            meta = _json.load(f)
+        print(
+            json.dumps(
+                {"deletes_segment": path, "n_docids": meta["n_docids"]}
             )
         )
     elif args.cmd == "build":
@@ -250,12 +287,48 @@ def main(argv=None):
             EmptyQueryError, SearchEngine,
         )
 
-        eng = SearchEngine.load(spark, args.index)
+        dirs = [d for d in args.index.split(",") if d]
         t0 = time.time()
         try:
-            rows = eng.search(
-                args.query, k=args.k, mode=args.mode, path=args.path
-            ).collect()
+            if len(dirs) > 1:
+                # tiered search over a segment list (deletes segments
+                # allowed after the first entry) — local or wand path
+                from wiki_search_engine_spark.tiered import TieredEngine
+
+                if args.path == "exhaustive":
+                    raise SystemExit(
+                        "path=exhaustive is single-index only; use "
+                        "local or wand for tiered search"
+                    )
+                teng = TieredEngine(spark, dirs)
+                if args.path == "local":
+                    ids = teng.search_local(
+                        args.query, k=args.k, mode=args.mode
+                    )
+                else:
+                    ids = [
+                        (r["docid"], r["score"])
+                        for r in teng.search_ids(
+                            args.query, k=args.k, mode=args.mode
+                        ).collect()
+                    ]
+                smap = dict(ids)
+                rows = sorted(
+                    (
+                        {
+                            "docid": r["docid"], "url": r["url"],
+                            "score": smap[r["docid"]],
+                            "snippet": r["snippet"],
+                        }
+                        for r in teng.lookup_docs([d for d, _ in ids])
+                    ),
+                    key=lambda r: (-r["score"], r["docid"]),
+                )
+            else:
+                eng = SearchEngine.load(spark, dirs[0])
+                rows = eng.search(
+                    args.query, k=args.k, mode=args.mode, path=args.path
+                ).collect()
         except EmptyQueryError:
             # mirror the reference's HTTP 400 body
             # (backend/controllers/queryController.js:21-25)

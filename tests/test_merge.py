@@ -794,3 +794,58 @@ def test_tiered_deletes_segment_equals_delete_rebuild(
 
     with _p.raises(ValueError, match="deletes"):
         TieredEngine(spark, [del_seg, base_dir])
+
+
+def test_segments_dir_takedown_and_compaction(spark, tmp_path):
+    """add_deletes_to_segments over a maintained segments directory:
+    the deletes segment sorts last, serving drops the docs immediately,
+    and compacting the full segment list (deletes included) equals the
+    tiered view's stats and results."""
+    import math
+    import os
+
+    from wiki_search_engine_spark.engine import SearchEngine
+    from wiki_search_engine_spark.tiered import (
+        TieredEngine, add_deletes_to_segments, compact, list_segments,
+    )
+
+    segdir = str(tmp_path / "segs")
+    os.makedirs(segdir)
+    rows_a = _rows(range(20), SEED)
+    rows_b = _rows(range(20, 30), SEED)
+    SearchEngine.build(
+        spark, spark.createDataFrame(pd.DataFrame(rows_a)),
+        f"{segdir}/seg_00000001", **BUILD_KW,
+    )
+    SearchEngine.build(
+        spark, spark.createDataFrame(pd.DataFrame(rows_b)),
+        f"{segdir}/seg_00000002", **BUILD_KW,
+    )
+    victims = [rows_a[2]["url"], rows_b[1]["url"]]
+    path = add_deletes_to_segments(segdir, urls=victims, spark=spark)
+    segs = list_segments(segdir)
+    assert segs[-1] == path  # sorts after every index segment
+
+    tiered = TieredEngine(spark, segs)
+    assert tiered.n == 28
+    banned = {
+        r["docid"]
+        for r in spark.createDataFrame(
+            [(u,) for u in victims], "url string"
+        ).withColumn(
+            "docid", F.shiftrightunsigned(F.xxhash64("url"), 1)
+        ).collect()
+    }
+    assert tiered.lookup_docs(sorted(banned)) == []
+
+    out = str(tmp_path / "compacted")
+    compact(spark, segs, out)
+    comp = SearchEngine.load(spark, out)
+    assert (comp.n, comp.total_length) == (tiered.n, tiered.total_length)
+    assert math.isclose(comp.avgdl, tiered.avgdl, rel_tol=1e-12)
+    q = next(w for w in rows_a[0]["text"].split() if w.isalpha())
+    got = tiered.search_local(q, k=10)
+    exp = comp.search_local(q, k=10)
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (_, a), (_, b) in zip(got, exp):
+        assert math.isclose(a, b, rel_tol=1e-9)

@@ -716,7 +716,12 @@ def maintain_segments_incremental(
     os.makedirs(segments_dir, exist_ok=True)
 
     def config() -> dict:
-        segs = list_segments(segments_dir)
+        # first FULL index segment defines the layout config (deletes
+        # segments carry no build knobs)
+        segs = [
+            s for s in list_segments(segments_dir)
+            if not is_deletes_segment(s)
+        ]
         if segs:
             with open(f"{segs[0]}/meta.json") as f:
                 m = json.load(f)
@@ -783,6 +788,35 @@ def maintain_segments_incremental(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def add_deletes_to_segments(
+    segments_dir: str,
+    docids: list[int] | None = None,
+    urls: list[str] | None = None,
+    spark: SparkSession | None = None,
+) -> str:
+    """Register a takedown in a MAINTAINED segments directory
+    (maintain_segments_incremental): writes a deletes segment named to
+    sort after every existing segment, so ``list_segments`` orders it
+    last — TieredEngine then removes the docs from every current
+    segment, and the next auto-compaction folds the deletion in via
+    delete_docs. O(|docids|) IO at call time."""
+    import os
+
+    segs = list_segments(segments_dir)
+    if not segs:
+        raise ValueError(
+            f"{segments_dir} has no segments — nothing to delete from"
+        )
+    base = os.path.basename(segs[-1])
+    k = 0
+    while os.path.exists(os.path.join(segments_dir, f"{base}_del{k}")):
+        k += 1
+    return write_deletes_segment(
+        os.path.join(segments_dir, f"{base}_del{k}"),
+        docids=docids, urls=urls, spark=spark,
+    )
 
 
 def list_segments(segments_dir: str) -> list[str]:
