@@ -552,6 +552,26 @@ def q_ann_lsh_top10(spark, sf_dir):
     ).select(F.col("vec_id").cast("long").alias("vec_id"), "cos_sim")
 
 
+LSH_NPROBES = 4
+
+
+def q_ann_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe LSH ANN: the query's own bucket plus the
+    (n_probes - 1) smallest-|margin| single-bit-flip buckets
+    (operators/similarity.py lsh_probe_buckets — the single-flip prefix
+    of Lv et al. VLDB'07's probing sequence). Recall climbs toward
+    exact at linear probe cost (bench.py grades recall@10 for the
+    sweep); the probe-set selection is replayed EXACTLY in SQL (dots of
+    literal planes, ORDER BY abs(margin) LIMIT, xor)."""
+    from wiki_search_engine_spark.operators.similarity import ann_lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_lsh_topk(
+        emb, _query_vec(spark, sf_dir), k=10, n_planes=N_PLANES,
+        seed=LSH_SEED, n_probes=LSH_NPROBES,
+    ).select(F.col("vec_id").cast("long").alias("vec_id"), "cos_sim")
+
+
 def q_lang_id(spark, sf_dir):
     from wiki_search_engine_spark.functions.textstats import lang_id
 
@@ -1316,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "cosine_top10": q_cosine_top10,
         "ann_lsh_top10": q_ann_lsh_top10,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivf_top10": q_ann_ivf_top10,
         "ann_ivf_trained": q_ann_ivf_trained,
         "ann_ivf_pruned": q_ann_ivf_pruned,
@@ -1342,6 +1363,11 @@ def oracle_sql() -> dict[str, str]:
     plane_dots = _lsh_planes_sql()
     bucket_expr = " + ".join(
         f"(CASE WHEN ({d}) >= 0 THEN {2 ** i} ELSE 0 END)"
+        for i, d in enumerate(plane_dots)
+    )
+    # per-plane query margins for the multi-probe flip ordering
+    qdots_union = "\n  UNION ALL\n".join(
+        f"  SELECT {i} AS i, ({d.replace('v[', 'qv[')}) AS d FROM q"
         for i, d in enumerate(plane_dots)
     )
     cos_sql = f"""
@@ -1517,6 +1543,35 @@ qb AS (
 cand AS (
   SELECT b.vec_id, b.v FROM bucketed b CROSS JOIN qb
   WHERE b.bucket = qb.qbucket),
+d AS (
+  SELECT c.vec_id,
+    (SELECT sum(c.v[i] * q.qv[i]) FROM generate_series(1, 64) g(i)) AS dp,
+    sqrt((SELECT sum(c.v[i] * c.v[i]) FROM generate_series(1, 64) g(i)))
+      AS na,
+    sqrt((SELECT sum(q.qv[i] * q.qv[i]) FROM generate_series(1, 64) g(i)))
+      AS nb
+  FROM cand c CROSS JOIN q)
+SELECT vec_id, round(dp / (na * nb), 6) AS cos_sim
+FROM d ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+        "ann_lsh_multiprobe": f"""
+WITH q AS (SELECT {qvec} AS qv),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bucketed AS (
+  SELECT vec_id, v, {bucket_expr} AS bucket FROM e),
+qb AS (
+  SELECT {bucket_expr.replace('v[', 'qv[')} AS qbucket FROM q),
+qdots AS (
+{qdots_union}),
+flips AS (
+  SELECT (1 << i) AS bit FROM qdots ORDER BY abs(d), i
+  LIMIT {LSH_NPROBES - 1}),
+probes AS (
+  SELECT qbucket AS b FROM qb
+  UNION ALL
+  SELECT xor(qb.qbucket, f.bit) FROM qb CROSS JOIN flips f),
+cand AS (
+  SELECT b.vec_id, b.v FROM bucketed b
+  WHERE b.bucket IN (SELECT b FROM probes)),
 d AS (
   SELECT c.vec_id,
     (SELECT sum(c.v[i] * q.qv[i]) FROM generate_series(1, 64) g(i)) AS dp,

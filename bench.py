@@ -345,6 +345,12 @@ def main() -> None:
     q["ann_lsh_recall10"] = recall(
         lambda qv: ann_lsh_topk(emb, qv, k=10, n_planes=8, seed=42)
     )
+    for n_probes in (2, 4, 8):
+        q[f"ann_lsh_mp{n_probes}_recall10"] = recall(
+            lambda qv, n=n_probes: ann_lsh_topk(
+                emb, qv, k=10, n_planes=8, seed=42, n_probes=n
+            )
+        )
     import __spark_entry__ as _E
 
     cents = kmeans_train(emb, k=_E.KMEANS_K, iters=_E.KMEANS_ITERS)

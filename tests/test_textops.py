@@ -628,3 +628,47 @@ def test_minhash_families_candidate_supersets(spark):
         assert not missing, (fam, missing)
     with _p.raises(ValueError, match="hash_family"):
         minhash_signatures(df, hash_family="sha9")
+
+
+def test_lsh_multiprobe_recall_monotone(spark):
+    """Multi-probe LSH: the probe set always contains the query's own
+    bucket, grows by smallest-margin single flips, and recall@10 vs
+    exact cosine is monotone non-decreasing in n_probes (reaching the
+    exact top-10 well before probing all 2^n_planes buckets on this
+    seeded corpus)."""
+    from wiki_search_engine_spark.operators.similarity import (
+        ann_lsh_topk, cosine_topk, hyperplanes, lsh_probe_buckets,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(300, 16)).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+    qv = [float(x) for x in vecs[0]]
+    planes = hyperplanes(16, 8, 42)
+    probes = lsh_probe_buckets(qv, planes, 4)
+    assert len(probes) == 4 == len(set(probes))
+    assert probes == lsh_probe_buckets(qv, planes, 4)  # deterministic
+    assert lsh_probe_buckets(qv, planes, 1) == [probes[0]]
+
+    exact = {r["vec_id"] for r in cosine_topk(df, qv, k=10).collect()}
+    last = -1.0
+    recalls = []
+    for n in (1, 2, 4, 8, 16):
+        got = {
+            r["vec_id"]
+            for r in ann_lsh_topk(
+                df, qv, k=10, n_planes=8, seed=42, n_probes=n
+            ).collect()
+        }
+        r = len(got & exact) / 10
+        assert r >= last - 1e-9, (n, r, last)
+        last = r
+        recalls.append(r)
+    assert recalls[-1] > recalls[0] or recalls[0] == 1.0
+    import pytest as _p
+
+    with _p.raises(ValueError, match="n_probes"):
+        lsh_probe_buckets(qv, planes, 0)

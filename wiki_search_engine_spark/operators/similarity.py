@@ -84,6 +84,33 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def lsh_probe_buckets(
+    query_vec: list[float],
+    planes: list[list[float]],
+    n_probes: int = 1,
+) -> list[int]:
+    """Multi-probe LSH probe set (the single-flip prefix of Lv et al.,
+    VLDB'07's probing sequence): the query's own bucket plus the
+    buckets reached by flipping the sign bit of the ``n_probes - 1``
+    planes with the SMALLEST |dot(query, plane)| margin — a vector on
+    the wrong side of a hyperplane the query barely clears is the most
+    likely near neighbor lost to bucketing. Deterministic (ties break
+    on plane index) and replayable in SQL (dots of literal planes,
+    ORDER BY abs LIMIT, xor) — which is why probing is restricted to
+    single-bit flips: multi-bit subset enumeration buys little at
+    n_probes <= n_planes and is not reasonably SQL-expressible."""
+    if n_probes < 1:
+        raise ValueError("n_probes must be >= 1")
+    dots = [
+        sum(a * b for a, b in zip(query_vec, p)) for p in planes
+    ]
+    base = sum(2**i for i, d in enumerate(dots) if d >= 0)
+    order = sorted(range(len(planes)), key=lambda i: (abs(dots[i]), i))
+    return [base] + [
+        base ^ (2**i) for i in order[: n_probes - 1]
+    ]
+
+
 def ann_lsh_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -92,18 +119,20 @@ def ann_lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probes: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: exact cosine ranking restricted to the query's
-    hyperplane-LSH bucket. Deterministic (planes from seed)."""
+    """Approximate top-k: exact cosine ranking restricted to the
+    query's hyperplane-LSH bucket(s). ``n_probes > 1`` enables
+    multi-probe (lsh_probe_buckets): probe cost grows linearly with the
+    bucket count while recall climbs toward exact — the recall/latency
+    dial bench.py grades (ann_lsh_recall10*). Deterministic (planes
+    from seed)."""
     dim = len(query_vec)
     planes = hyperplanes(dim, n_planes, seed)
-    qbucket = 0
-    for i, plane in enumerate(planes):
-        if sum(a * b for a, b in zip(query_vec, plane)) >= 0:
-            qbucket += 2**i
+    buckets = lsh_probe_buckets(query_vec, planes, n_probes)
     bucketed = df.withColumn(
         "_bucket", lsh_bucket(F.col(vec_col), planes)
-    ).filter(F.col("_bucket") == qbucket)
+    ).filter(F.col("_bucket").isin(buckets))
     return cosine_topk(bucketed, query_vec, k, id_col, vec_col)
 
 
