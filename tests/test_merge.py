@@ -428,6 +428,17 @@ def test_tiered_and_semantics(spark, merged_and_full, fixture_queries):
         assert [d for d, _ in got] == [d for d, _ in exp], q
         for (_, a), (_, b) in zip(got, exp):
             assert math.isclose(a, b, rel_tol=1e-9), q
+        # DISTRIBUTED conjunctive path: tombstone-aware decode + the
+        # Catalyst AND scorer — identical to both of the above
+        dist = [
+            (r["docid"], r["score"])
+            for r in tiered.search_ids(
+                q, k=20, semantics="and"
+            ).collect()
+        ]
+        assert [d for d, _ in dist] == [d for d, _ in exp], q
+        for (_, a), (_, b) in zip(dist, exp):
+            assert math.isclose(a, b, rel_tol=1e-9), q
         checked += 1
     assert checked == 3
 
@@ -633,8 +644,19 @@ def test_tiered_query_response_wand_routes_distributed(
     ]
     with _p.raises(ValueError, match="path"):
         tiered.query_response(q, path="exhaustive")
-    with _p.raises(ValueError, match="local"):
-        tiered.query_response(q, path="wand", semantics="and")
+    # conjunctive retrieval serves on BOTH paths, identically
+    and_local = tiered.query_response(
+        q, option_name="bm25", k=5, path="local", semantics="and"
+    )
+    and_wand = tiered.query_response(
+        q, option_name="bm25", k=5, path="wand", semantics="and"
+    )
+    assert [r["file_id"] for r in and_wand["textResult"]] == [
+        r["file_id"] for r in and_local["textResult"]
+    ]
+    assert [r["score"] for r in and_wand["textResult"]] == [
+        r["score"] for r in and_local["textResult"]
+    ]
 
 
 def test_merge_delete_accept_presalt_side_tables(spark, tmp_path):

@@ -486,7 +486,71 @@ class TieredEngine:
             out[r["term"]] = out.get(r["term"], 0) + int(r["df"])
         return out
 
-    def search_ids(self, query: str, k: int = 50, mode: str = "bm25"):
+    def _decoded_live_postings(self, terms: list[str]):
+        """Flat LIVE (term, docid, tf, doc_len) rows across segments —
+        candidate lists decoded WHERE THEY LIVE (bucket-pruned tasks),
+        tombstoned postings dropped inside the kernel via the same
+        broadcast the live-df job uses. Row count per term == live df,
+        so downstream exhaustive scoring recomputes df correctly from
+        the relation itself (§8.Q7)."""
+        from pyspark.sql import functions as F
+
+        cand = self._candidate_postings(terms).filter(
+            F.col("term").isin(terms)
+        )
+        bc = self.spark.sparkContext.broadcast(list(self.tombstones))
+
+        def kernel(batches):
+            import pandas as pd
+
+            from wiki_search_engine_spark.operators.codec import (
+                decode_posting_list, isin_sorted,
+            )
+
+            empty = pd.DataFrame(
+                {
+                    "term": pd.Series([], dtype="string"),
+                    "docid": pd.Series([], dtype="int64"),
+                    "tf": pd.Series([], dtype="int32"),
+                    "doc_len": pd.Series([], dtype="int32"),
+                }
+            )
+            for pdf in batches:
+                frames = []
+                for term, seg, blocks in zip(
+                    pdf["term"], pdf["seg"], pdf["blocks"]
+                ):
+                    d, tf, dl = decode_posting_list(
+                        [
+                            b if isinstance(b, dict) else b.asDict()
+                            for b in blocks
+                        ]
+                    )
+                    t = bc.value[int(seg)]
+                    if t.size and d.size:
+                        keep = ~isin_sorted(t, d)
+                        d, tf, dl = d[keep], tf[keep], dl[keep]
+                    if d.size:
+                        frames.append(
+                            pd.DataFrame(
+                                {
+                                    "term": term,
+                                    "docid": d,
+                                    "tf": tf,
+                                    "doc_len": dl,
+                                }
+                            )
+                        )
+                yield pd.concat(frames) if frames else empty
+
+        return cand.select("term", "seg", "blocks").mapInPandas(
+            kernel, "term string, docid long, tf int, doc_len int"
+        )
+
+    def search_ids(
+        self, query: str, k: int = 50, mode: str = "bm25",
+        semantics: str = "or",
+    ):
         """DISTRIBUTED tiered top-k — the cluster path for head terms
         whose candidate lists exceed driver memory. Two jobs: phase 1
         computes exact live df per term (above); phase 2 is the standard
@@ -496,11 +560,29 @@ class TieredEngine:
         share the docid-range salt domain (enforced at load), so a salt
         shard holds every segment's postings for its range and per-shard
         top-k stays exact. Rank- and score-identical to the compacted
-        index (pytest)."""
+        index (pytest).
+
+        ``semantics='and'`` (conjunctive) routes through the
+        tombstone-aware decode + the Catalyst AND scorer
+        (operators/scoring.py score_exhaustive): the intersection is
+        the pruning, so block-max machinery has nothing to add —
+        identical results to the tiered local path (pytest)."""
         terms = self.analyze(query)
         if not terms:
             return self.spark.createDataFrame(
                 [], "docid long, score double"
+            )
+        if semantics == "and":
+            from .operators.scoring import score_exhaustive
+
+            return score_exhaustive(
+                self._decoded_live_postings(list(dict.fromkeys(terms))),
+                list(dict.fromkeys(terms)),
+                self.n,
+                self.avgdl,
+                k,
+                mode,
+                semantics="and",
             )
         from .operators.wand import search_topk
 
@@ -576,11 +658,12 @@ class TieredEngine:
         shared assembler (engine.py assemble_reference_response) with
         the override-aware point lookup. ``path='local'`` (default)
         scores driver-side with zero Spark jobs; ``path='wand'`` routes
-        to the DISTRIBUTED tiered kernel (search_ids) — the operator's
-        escape hatch when head-term candidate lists exceed driver
-        memory. Results are identical between the two (pytest); any
-        other path, or wand+AND (the distributed tiered path has no
-        conjunctive mode), is rejected rather than silently downgraded."""
+        to the DISTRIBUTED tiered path (search_ids — the block-max
+        kernel for OR, the tombstone-aware exhaustive scorer for AND) —
+        the operator's escape hatch when head-term candidate lists
+        exceed driver memory. Results are identical between the two
+        (pytest); any other path is rejected rather than silently
+        downgraded."""
         from .engine import assemble_reference_response
 
         if path not in ("local", "wand"):
@@ -588,18 +671,14 @@ class TieredEngine:
                 f"unsupported tiered serving path {path!r}: use 'local' "
                 "or 'wand'"
             )
-        if path == "wand" and semantics != "or":
-            raise ValueError(
-                "semantics='and' is only served by the tiered local "
-                "path (the distributed kernel has no conjunctive mode)"
-            )
 
         def get_ids(mode):
             if path == "wand":
                 return [
                     (r["docid"], r["score"])
-                    for r in self.search_ids(query, k=k, mode=mode)
-                    .collect()
+                    for r in self.search_ids(
+                        query, k=k, mode=mode, semantics=semantics
+                    ).collect()
                 ]
             return self.search_local(
                 query, k=k, mode=mode, semantics=semantics
