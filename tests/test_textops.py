@@ -672,3 +672,42 @@ def test_lsh_multiprobe_recall_monotone(spark):
 
     with _p.raises(ValueError, match="n_probes"):
         lsh_probe_buckets(qv, planes, 0)
+
+
+def test_corrupt_png_yields_null_feature_not_job_failure(spark):
+    """A malformed PNG payload (valid magic/IHDR, garbage IDAT) must
+    produce feature=NULL in decode_image_features(fake=False), never an
+    exception that kills the Spark job — malformed media is a certainty
+    at corpus scale."""
+    import pandas as pd
+
+    from wiki_search_engine_spark.operators.multimodal import (
+        _png_chunk, PNG_MAGIC, decode_image_features,
+    )
+
+    good_hdr = (
+        PNG_MAGIC
+        + _png_chunk(
+            b"IHDR",
+            (4).to_bytes(4, "big") + (4).to_bytes(4, "big")
+            + b"\x08\x06\x00\x00\x00",
+        )
+    )
+    corrupt = good_hdr + _png_chunk(b"IDAT", b"not zlib at all")
+    truncated = good_hdr  # no IDAT chunk
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"media_id": 0, "kind": "image", "payload": corrupt,
+                 "n_bytes": len(corrupt)},
+                {"media_id": 1, "kind": "image", "payload": truncated,
+                 "n_bytes": len(truncated)},
+            ]
+        )
+    )
+    rows = {
+        r["media_id"]: r
+        for r in decode_image_features(df, fake=False).collect()
+    }
+    assert rows[0]["format"] == "png" and rows[0]["feature"] is None
+    assert rows[1]["format"] == "png" and rows[1]["feature"] is None

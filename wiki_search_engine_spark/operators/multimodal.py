@@ -457,6 +457,8 @@ def decode_image_features(
     if not fake:
 
         def kernel_real(batches):
+            import zlib
+
             for pdf in batches:
                 fmts, md5s, feats = [], [], []
                 for payload in pdf["payload"]:
@@ -464,9 +466,17 @@ def decode_image_features(
                     md5s.append(hashlib.md5(b).hexdigest())
                     fmt, _w, _h = parse_media_header(b)
                     fmts.append(fmt)
-                    feats.append(
-                        png_pixel_features(b) if fmt == "png" else None
-                    )
+                    if fmt != "png":
+                        feats.append(None)
+                        continue
+                    # a corrupt payload (truncated IDAT, bad filter
+                    # byte, unsupported color type) must yield a NULL
+                    # feature row, never kill the job — at corpus scale
+                    # malformed media is a certainty, not an edge case
+                    try:
+                        feats.append(png_pixel_features(b))
+                    except (ValueError, zlib.error, AssertionError):
+                        feats.append(None)
                 yield pd.DataFrame(
                     {
                         "media_id": pdf["media_id"],

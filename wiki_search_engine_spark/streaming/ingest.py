@@ -158,6 +158,18 @@ def enroll_index_root(index_dir: str) -> None:
         return
     snap = os.path.join(index_dir, "v_init")
     building = snap + ".building"
+    # refuse to "enroll" something that is not an index at all (a typo'd
+    # path would otherwise become an empty-but-valid-looking pointer
+    # root whose engine load fails much later with a confusing error);
+    # a resumed enrollment has meta.json already inside v_init/building
+    if not any(
+        os.path.exists(os.path.join(d, "meta.json"))
+        for d in (index_dir, snap, building)
+    ):
+        raise FileNotFoundError(
+            f"{index_dir} is not an index (no meta.json at the root or "
+            "in a partially-enrolled snapshot) — build it first"
+        )
     if not os.path.isdir(snap):
         os.makedirs(building, exist_ok=True)
         for e in INDEX_ENTRIES:
