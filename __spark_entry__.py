@@ -128,20 +128,28 @@ FROM contrib GROUP BY doc_id{having}
 ORDER BY score DESC, doc_id LIMIT {k}"""
 
 
-def _live_corpus_bm25_sql() -> str:
+def _live_corpus_bm25_sql(deleted: tuple = ()) -> str:
     """BM25 over the live corpus after the re-crawl (docs < 300
     original, >= 300 with appended delta terms) — the shared oracle for
-    the compacted (merged_index_bm25) and tiered (tiered_bm25) forms."""
+    the compacted (merged_index_bm25) and tiered (tiered_bm25) forms.
+    ``deleted``: doc_ids additionally excluded everywhere (the
+    tombstone-takedown form, tiered_deleted_bm25 — N/avgdl/df all drop
+    because the corpus CTE itself shrinks)."""
+    excl = (
+        f" AND doc_id NOT IN ({', '.join(str(d) for d in deleted)})"
+        if deleted
+        else ""
+    )
     return (
         _bm25_sql(["table", "scan", "mergedelta"], 50, "bm25")
         .replace("FROM documents", "FROM corpus")
         .replace(
             "\nWITH ",
             "\nWITH corpus AS ("
-            "SELECT doc_id, text FROM documents WHERE doc_id < 300 "
+            f"SELECT doc_id, text FROM documents WHERE doc_id < 300{excl} "
             "UNION ALL "
             "SELECT doc_id, text || ' mergedelta mergedelta' AS text "
-            "FROM documents WHERE doc_id >= 300),\n",
+            f"FROM documents WHERE doc_id >= 300{excl}),\n",
             1,
         )
     )
@@ -855,6 +863,43 @@ def q_tiered_bm25(spark, sf_dir):
     )
 
 
+# base-only doc, re-crawled doc (lives in the DELTA segment), and a
+# nonexistent id (must be a no-op) — the takedown entry's victims
+TIERED_DELETED_IDS = (7, 350, 99999999)
+
+
+def q_tiered_deleted_bm25(spark, sf_dir):
+    """Tombstone-only takedown end-to-end (tiered.py
+    write_deletes_segment): base + re-crawl-delta segments plus a
+    DELETES segment queried as one index — the deleted docs vanish and
+    live N/avgdl/df drop exactly, so BM25 scores must equal DuckDB over
+    (live corpus minus the deleted ids). One victim lives only in the
+    base, one in the overriding delta, one nowhere. Pytest additionally
+    asserts the deletes segment equals delete_docs' full rewrite."""
+    import os
+
+    import pandas as pd
+
+    from wiki_search_engine_spark.tiered import (
+        TieredEngine, write_deletes_segment,
+    )
+
+    base_dir, delta_dir = _tiered_dirs(spark, sf_dir)
+    del_dir = os.path.join(os.path.dirname(base_dir), "delseg")
+    if not os.path.exists(f"{del_dir}/meta.json"):
+        write_deletes_segment(del_dir, docids=list(TIERED_DELETED_IDS))
+    eng = TieredEngine(spark, [base_dir, delta_dir, del_dir])
+    rows = eng.search_local("table scan mergedelta", k=50, mode="bm25")
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": pd.array([d for d, _ in rows], dtype="int64"),
+                "score": [round(s, 6) for _, s in rows],
+            }
+        )
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal decode: synthetic binary payloads with VALID
     PNG/JPEG/GIF headers -> Arrow-batched codec-free header parse
@@ -1353,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_batch": q_bm25_batch,
         "merged_index_bm25": q_merged_index_bm25,
         "tiered_bm25": q_tiered_bm25,
+        "tiered_deleted_bm25": q_tiered_deleted_bm25,
         "media_features": q_media_features,
         "media_embed": q_media_embed,
     }
@@ -1425,6 +1471,7 @@ FROM tf JOIN qdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s""",
         # (segments + tombstones), so it shares the oracle.
         "merged_index_bm25": _live_corpus_bm25_sql(),
         "tiered_bm25": _live_corpus_bm25_sql(),
+        "tiered_deleted_bm25": _live_corpus_bm25_sql(TIERED_DELETED_IDS),
         "search_hydrated": f"""
 WITH ranked AS ({_bm25_sql(Q_MAIN, 10, "bm25")})
 SELECT r.doc_id, r.score, {_SNIPPET_SQL} AS snippet

@@ -291,6 +291,8 @@ def main() -> None:
         ("cosine_top10", E.q_cosine_top10),
         ("ann_ivf_trained", E.q_ann_ivf_trained),
         ("media_decode", E.q_media_features),
+        ("media_embed", E.q_media_embed),
+        ("tiered_deleted_bm25", E.q_tiered_deleted_bm25),
         ("quality_scores", E.q_quality_scores),
         ("bm25_docs_table", E.q_bm25_top50_wand),
         ("tiered_bm25", E.q_tiered_bm25),

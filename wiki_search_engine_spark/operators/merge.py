@@ -135,6 +135,13 @@ def _dd_provider(bc, updated_docids_dir: str | None):
 
         import pyarrow.parquet as pq
 
+        # a long-lived executor (streaming maintenance) sees many merge
+        # rounds, each with its own sidecar dir: evict other dirs' slices
+        # once the cache grows past a round's worth, so memory is bounded
+        # by one delta set rather than the process lifetime
+        if len(_DD_CACHE) > 1024:
+            for k in [k for k in _DD_CACHE if k[0] != updated_docids_dir]:
+                del _DD_CACHE[k]
         parts = []
         for s in salts:
             key = (updated_docids_dir, int(s))
