@@ -505,3 +505,24 @@ def test_negative_external_docid_fails_build(spark, tmp_path):
             spark, df, str(tmp_path / "negid"), stem=True,
             n_buckets=4, bucket_groups=1, salt_bits=1,
         )
+
+
+def test_salt_of_matches_unsigned_shift(spark):
+    """Driver-side salt derivation must equal Spark's
+    shiftrightunsigned for NEGATIVE docids too (legacy pre-r3 indexes
+    could contain them; arithmetic >> would compute a negative salt and
+    miss the doc's salt directory — r3 review finding)."""
+    from wiki_search_engine_spark.engine import salt_of
+
+    ids = [0, 1, 5, 2**62, 2**63 - 1, -1, -5, -(2**62), -(2**63)]
+    for bits in (1, 2, 3):
+        exp = {
+            r["d"]: r["s"]
+            for r in spark.createDataFrame(
+                [(d,) for d in ids], "d long"
+            ).selectExpr(
+                "d", f"cast(shiftrightunsigned(d, {63 - bits}) as long) s"
+            ).collect()
+        }
+        for d in ids:
+            assert salt_of(d, bits) == exp[d], (d, bits)

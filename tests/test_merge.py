@@ -871,3 +871,54 @@ def test_segments_dir_takedown_and_compaction(spark, tmp_path):
     assert [d for d, _ in got] == [d for d, _ in exp]
     for (_, a), (_, b) in zip(got, exp):
         assert math.isclose(a, b, rel_tol=1e-9)
+
+
+def test_legacy_meta_without_salt_bits_delete(spark, tmp_path):
+    """A legacy meta.json may predate the salt_bits key entirely (the
+    engine defaults it to 3) — delete/merge must apply the same default
+    instead of KeyError-ing on exactly the old indexes the compat shim
+    exists for (r3 review finding)."""
+    import json
+    import os
+    import shutil
+
+    from wiki_search_engine_spark.engine import SearchEngine
+
+    rows = _rows(range(12), SEED)
+    base = str(tmp_path / "oldmeta")
+    SearchEngine.build(
+        spark, spark.createDataFrame(pd.DataFrame(rows)), base,
+        stem=True, n_buckets=8, bucket_groups=1, salt_bits=3,
+    )
+    # age the index: strip salt layout AND the salt_bits meta key
+    for sub in ("docs", "doc_stats"):
+        flat = f"{base}/{sub}_flat"
+        spark.read.parquet(f"{base}/{sub}").drop("salt").write.mode(
+            "overwrite"
+        ).parquet(flat)
+        shutil.rmtree(f"{base}/{sub}")
+        os.rename(flat, f"{base}/{sub}")
+    with open(f"{base}/meta.json") as f:
+        meta = json.load(f)
+    del meta["salt_bits"]
+    with open(f"{base}/meta.json", "w") as f:
+        json.dump(meta, f)
+
+    victim = rows[2]["url"]
+    eng = SearchEngine.delete(
+        spark, base, str(tmp_path / "oldmeta_del"), urls=[victim]
+    )
+    assert eng.n == 11
+    hits = eng.search_local(
+        next(w for w in rows[0]["text"].split() if w.isalpha()), k=5
+    )
+    assert hits
+
+
+def test_write_deletes_segment_rejects_empty(tmp_path):
+    import pytest as _p
+
+    from wiki_search_engine_spark.tiered import write_deletes_segment
+
+    with _p.raises(ValueError, match="empty takedown"):
+        write_deletes_segment(str(tmp_path / "seg"), docids=[])

@@ -711,3 +711,76 @@ def test_corrupt_png_yields_null_feature_not_job_failure(spark):
     }
     assert rows[0]["format"] == "png" and rows[0]["feature"] is None
     assert rows[1]["format"] == "png" and rows[1]["feature"] is None
+
+
+def test_malicious_png_payloads_yield_null_not_oom(spark):
+    """Adversarial payloads (r3 review findings): zero-dimension IHDR,
+    truncated IHDR, declared-size lies, and a zlib bomb whose IDAT
+    inflates far beyond the declared scanline size must all yield
+    feature=NULL — and the bomb must be rejected by the BOUNDED inflate
+    (decompressobj max_length), never materialized."""
+    import zlib
+
+    import pandas as pd
+
+    from wiki_search_engine_spark.operators.multimodal import (
+        PNG_MAGIC, _png_chunk, decode_image_features, decode_png_rgba,
+    )
+
+    def ihdr(w, h):
+        return _png_chunk(
+            b"IHDR",
+            int(w).to_bytes(4, "big") + int(h).to_bytes(4, "big")
+            + b"\x08\x06\x00\x00\x00",
+        )
+
+    zero_dim = PNG_MAGIC + ihdr(0, 0) + _png_chunk(b"IDAT", zlib.compress(b""))
+    trunc_ihdr = PNG_MAGIC + _png_chunk(b"IHDR", b"\x00" * 8)
+    # declares 2x2 but carries 64KB of zeros: inflate must stop at the
+    # 2 * (2*4+1) = 18-byte cap and reject, not buffer 64KB+ first
+    bomb = PNG_MAGIC + ihdr(2, 2) + _png_chunk(
+        b"IDAT", zlib.compress(b"\x00" * 65536)
+    )
+    huge_decl = PNG_MAGIC + ihdr(1 << 14, 1 << 14) + _png_chunk(
+        b"IDAT", zlib.compress(b"\x00" * 64)
+    )
+    for b in (zero_dim, trunc_ihdr, bomb, huge_decl):
+        with pytest.raises(ValueError):
+            decode_png_rgba(b)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"media_id": i, "kind": "image", "payload": b,
+                 "n_bytes": len(b)}
+                for i, b in enumerate(
+                    (zero_dim, trunc_ihdr, bomb, huge_decl)
+                )
+            ]
+        )
+    )
+    rows = decode_image_features(df, fake=False).collect()
+    assert len(rows) == 4
+    assert all(r["feature"] is None for r in rows)
+
+
+def test_dd_cache_detects_rewritten_sidecar(tmp_path):
+    """The per-executor sidecar cache keys by file identity (mtime_ns +
+    size), so a sidecar REWRITTEN at the same path — rmtree + re-merge
+    into a reused out_dir with worker reuse on — serves the new docid
+    set, never the previous run's (r3 review finding)."""
+    import os
+
+    from wiki_search_engine_spark.operators.merge import (
+        _dd_provider, write_updated_docids,
+    )
+
+    d = str(tmp_path / "sidecar")
+    write_updated_docids(np.array([1, 2, 3], dtype=np.int64), d, 1)
+    load = _dd_provider(None, d)
+    assert load([0]).tolist() == [1, 2, 3]
+    # rewrite with different content; force a distinct mtime_ns
+    write_updated_docids(np.array([7, 8], dtype=np.int64), d, 1)
+    p = f"{d}/salt=0/docids.parquet"
+    st = os.stat(p)
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    assert _dd_provider(None, d)([0]).tolist() == [7, 8]

@@ -31,6 +31,15 @@ class EmptyQueryError(ValueError):
     for blank queries (backend/controllers/queryController.js:21-25)."""
 
 
+def salt_of(docid: int, salt_bits: int) -> int:
+    """Driver-side salt of a docid, matching the build's UNSIGNED shift
+    (shiftrightunsigned). New builds reject negative docids, but a
+    pre-r3 index built from negative external ids placed them in salt
+    directories >= 2^salt_bits — Python's arithmetic >> would compute a
+    negative salt and silently miss those docs on lookup."""
+    return (int(docid) & 0xFFFFFFFFFFFFFFFF) >> (63 - salt_bits)
+
+
 def resolve_index_dir(path: str) -> str:
     """Pointer-root resolution: a path whose directory contains a
     ``current`` file is a SNAPSHOT ROOT — the file names the live
@@ -637,10 +646,11 @@ class SearchEngine:
         if with_images:
             cols += ["images", "image_count"]
         base = f"{self.index_dir}/docs"
-        shift = 63 - self.salt_bits
         by_salt: dict[int, list[int]] = {}
         for d in docids:
-            by_salt.setdefault(int(d) >> shift, []).append(int(d))
+            by_salt.setdefault(salt_of(d, self.salt_bits), []).append(
+                int(d)
+            )
         legacy = not any(
             e.startswith("salt=") for e in os.listdir(base)
         )
@@ -704,9 +714,10 @@ class SearchEngine:
             )
         docids = [d for d, _ in id_rows]
         if "salt" in docs.columns:
-            shift = 63 - self.salt_bits
             docs = docs.filter(
-                F.col("salt").isin(sorted({d >> shift for d in docids}))
+                F.col("salt").isin(
+                    sorted({salt_of(d, self.salt_bits) for d in docids})
+                )
             )
         return (
             docs.filter(F.col("docid").isin(docids))

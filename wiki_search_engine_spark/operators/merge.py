@@ -113,12 +113,19 @@ def write_updated_docids(
 
 
 # Per-EXECUTOR sidecar slice cache for the big-delta path, keyed by
-# (sidecar dir, salt). Module-level on purpose: a closure-local dict is
-# serialized into every task and starts empty each time, so each task
-# would re-read its shards; module state lives in the (reused) Python
-# worker process, so tasks on the same executor share loaded slices.
-# Bounded implicitly: one merge touches <= 2^salt_bits slices per dir.
-_DD_CACHE: dict[tuple[str, int], "np.ndarray"] = {}
+# (sidecar dir, salt, file mtime_ns, file size). Module-level on
+# purpose: a closure-local dict is serialized into every task and
+# starts empty each time, so each task would re-read its shards; module
+# state lives in the (reused) Python worker process, so tasks on the
+# same executor share loaded slices. The stat components make the key
+# CONTENT-identifying: a sidecar rewritten at the same path (rmtree +
+# re-merge into a reused out_dir within one Spark app, with
+# spark.python.worker.reuse on) gets a fresh key instead of serving the
+# previous run's docid set — a stale slice would silently leave stale
+# postings in the merged index. Bounded: one merge touches
+# <= 2^salt_bits slices per dir and the eviction below drops other
+# runs' entries.
+_DD_CACHE: dict[tuple, "np.ndarray"] = {}
 
 
 def _dd_provider(bc, updated_docids_dir: str | None):
@@ -144,13 +151,28 @@ def _dd_provider(bc, updated_docids_dir: str | None):
                 del _DD_CACHE[k]
         parts = []
         for s in salts:
-            key = (updated_docids_dir, int(s))
+            p = os.path.join(
+                updated_docids_dir, f"salt={int(s)}", "docids.parquet"
+            )
+            try:
+                st = os.stat(p)
+                key = (
+                    updated_docids_dir, int(s), st.st_mtime_ns, st.st_size,
+                )
+            except FileNotFoundError:
+                st, key = None, None
+            if key is None:
+                parts.append(np.empty(0, dtype=np.int64))
+                continue
             if key not in _DD_CACHE:
-                p = os.path.join(updated_docids_dir, f"salt={int(s)}")
+                # same (dir, salt) under an older stat = a rewritten
+                # sidecar; drop the superseded slice
+                for k in [
+                    k for k in _DD_CACHE if k[:2] == key[:2] and k != key
+                ]:
+                    del _DD_CACHE[k]
                 _DD_CACHE[key] = (
                     pq.read_table(p).column("docid").to_numpy()
-                    if os.path.isdir(p)
-                    else np.empty(0, dtype=np.int64)
                 )
             parts.append(_DD_CACHE[key])
         if not parts:

@@ -149,6 +149,8 @@ def decode_png_rgba(b: bytes) -> np.ndarray:
         tag = b[pos + 4 : pos + 8]
         data = b[pos + 8 : pos + 8 + ln]
         if tag == b"IHDR":
+            if len(data) < 13:
+                raise ValueError("truncated IHDR chunk")
             w = int.from_bytes(data[0:4], "big")
             h = int.from_bytes(data[4:8], "big")
             depth, ctype, interlace = data[8], data[9], data[12]
@@ -157,6 +159,12 @@ def decode_png_rgba(b: bytes) -> np.ndarray:
                     f"unsupported PNG (depth={depth}, color={ctype}, "
                     f"interlace={interlace}): decoder covers 8-bit RGBA"
                 )
+            if w < 1 or h < 1 or w * h > (1 << 26):
+                # zero-pixel images have no features; a declared
+                # multi-hundred-megapixel image is outside the
+                # dependency-free decoder's remit (and an allocation
+                # bomb) either way
+                raise ValueError(f"refusing PNG dimensions {w}x{h}")
         elif tag == b"IDAT":
             idat.append(data)
         elif tag == b"IEND":
@@ -164,12 +172,20 @@ def decode_png_rgba(b: bytes) -> np.ndarray:
         pos += 12 + ln
     if w is None or not idat:
         raise ValueError("truncated PNG (no IHDR/IDAT)")
-    raw = zlib.decompress(b"".join(idat))
     bpp = 4
     stride = w * bpp + 1
-    if len(raw) != h * stride:
+    # BOUNDED inflate: a crafted ~100KB zlib bomb would otherwise
+    # materialize gigabytes before the size check below could reject it
+    # — cap output at the exact expected scanline size and reject any
+    # unconsumed input
+    dec = zlib.decompressobj()
+    raw = dec.decompress(b"".join(idat), h * stride)
+    # re-feeding the unconsumed tail with a 1-byte cap distinguishes "a
+    # trailer left to consume" (returns b'') from "more pixel data than
+    # the header declared" (returns a byte)
+    if len(raw) != h * stride or dec.decompress(dec.unconsumed_tail, 1):
         raise ValueError(
-            f"IDAT size {len(raw)} != {h}x{stride} scanlines"
+            f"IDAT size mismatch vs {h}x{stride} scanlines"
         )
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
     ftypes = arr[:, 0]
@@ -469,13 +485,16 @@ def decode_image_features(
                     if fmt != "png":
                         feats.append(None)
                         continue
-                    # a corrupt payload (truncated IDAT, bad filter
-                    # byte, unsupported color type) must yield a NULL
-                    # feature row, never kill the job — at corpus scale
-                    # malformed media is a certainty, not an edge case
+                    # a corrupt payload (truncated IDAT/IHDR, bad filter
+                    # byte, unsupported color type, declared-size lies)
+                    # must yield a NULL feature row, never kill the job
+                    # — at corpus scale malformed media is a certainty,
+                    # not an edge case, and there is no enumeration of
+                    # the ways bytes can be wrong (hence the broad
+                    # except around the side-effect-free decode)
                     try:
                         feats.append(png_pixel_features(b))
-                    except (ValueError, zlib.error, AssertionError):
+                    except Exception:
                         feats.append(None)
                 yield pd.DataFrame(
                     {

@@ -151,13 +151,13 @@ def merge_indexes(
             "updated_docids": None,
             "updated_docids_dir": write_updated_docids(
                 updated, f"{out_dir}/_updated_docids",
-                int(meta_b["salt_bits"]),
+                int(meta_b.get("salt_bits", 3)),
             ),
         }
     else:
         merge_kw = {"updated_docids": updated}
 
-    salt_bits = int(meta_b["salt_bits"])
+    salt_bits = int(meta_b.get("salt_bits", 3))
 
     def _anti_union(sub: str) -> DataFrame:
         base = _with_salt(spark.read.parquet(f"{base_dir}/{sub}"), salt_bits)
@@ -328,7 +328,7 @@ def delete_docs(
         anti = updated_df if big_delete else F.broadcast(updated_df)
         return _with_salt(
             spark.read.parquet(f"{base_dir}/{sub}"),
-            int(meta_b["salt_bits"]),
+            int(meta_b.get("salt_bits", 3)),
         ).join(anti, "docid", "left_anti")
 
     import pyarrow.parquet as pq
@@ -398,7 +398,7 @@ def delete_docs(
                 "updated_docids": None,
                 "updated_docids_dir": write_updated_docids(
                     updated, f"{out_dir}/_updated_docids",
-                    int(meta_b["salt_bits"]),
+                    int(meta_b.get("salt_bits", 3)),
                 ),
             }
         else:

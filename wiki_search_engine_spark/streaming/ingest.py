@@ -130,9 +130,13 @@ def read_index_pointer(index_dir: str) -> str:
 
 def write_index_pointer(index_dir: str, name: str) -> None:
     """THE commit: write current.tmp, fsync, atomically rename over
-    ``current``. Readers (engine.resolve_index_dir) see either the old
-    or the new pointer value, never an absent/partial one; both named
-    snapshots exist across the flip."""
+    ``current``, then fsync the DIRECTORY. Readers
+    (engine.resolve_index_dir) see either the old or the new pointer
+    value, never an absent/partial one; both named snapshots exist
+    across the flip. The directory fsync makes the rename itself
+    crash-DURABLE before any later step (old-snapshot deletion) can
+    reach disk — without it, a power loss could persist the cleanup but
+    not the flip, leaving ``current`` naming a deleted snapshot."""
     import os
 
     pointer = os.path.join(index_dir, "current")
@@ -142,6 +146,11 @@ def write_index_pointer(index_dir: str, name: str) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.rename(tmp, pointer)
+    dfd = os.open(index_dir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def enroll_index_root(index_dir: str) -> None:

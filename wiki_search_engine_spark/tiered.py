@@ -135,6 +135,13 @@ def write_deletes_segment(
             "url",
         ).select("docid").collect()
         docids = [r["docid"] for r in rows]
+    if not docids:
+        # a takedown with zero ids is ALWAYS caller error (a typo'd or
+        # omitted CLI flag) — writing an empty segment and reporting
+        # success would silently drop the request
+        raise ValueError(
+            "empty takedown set: pass at least one docid/url"
+        )
     arr = np.unique(np.asarray(sorted(docids), dtype=np.int64))
     tmp = path + ".building"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -820,8 +827,15 @@ def maintain_segments_incremental(
             return
         # crash hygiene: in-progress artifacts from a previous attempt
         # of this (re-run) batch are fair game — never visible to
-        # list_segments (see its filters), always safe to clear
+        # list_segments (see its filters), always safe to clear.
+        # EXCEPT takedown temporaries ("_del" in the name): a CONCURRENT
+        # add_deletes_to_segments may be mid-write in this directory and
+        # deleting its .building dir would lose the right-to-be-
+        # forgotten request; a genuinely crashed takedown's leftover is
+        # tiny and invisible to serving, so sparing it is safe
         for e in os.listdir(segments_dir):
+            if "_del" in e and ".building" in e:
+                continue
             if (
                 ".building" in e
                 or e.startswith(".retired_")
