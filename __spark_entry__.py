@@ -19,8 +19,8 @@ pure-Python-stemmed tokens (Porter is not SQL-expressible; the scoring
 math stays in SQL), and ``media_features`` / ``media_embed`` compare
 against sidecars of independently computed expected rows (the payloads
 are Spark-side synthesized binaries, not a driver view; media_embed's
-sidecar comes from the independent scalar PNG decoder in
-oracle_py/png_ref.py). ``simhash_near_dups`` is fully transliterated to
+sidecars come from the independent scalar PNG/GIF decoders in
+oracle_py/png_ref.py and oracle_py/gif_ref.py). ``simhash_near_dups`` is fully transliterated to
 SQL (md5-hex -> uint64 via strpos+shifts, bit_count/xor hamming).
 """
 
@@ -925,21 +925,23 @@ def q_media_features(spark, sf_dir):
 
 def q_media_embed(spark, sf_dir):
     """REAL pixel decode: PNG payloads are complete files (zlib IDAT,
-    scanline filters cycling over all five RFC 2083 types) decoded
-    dependency-free in the Arrow kernel (operators/multimodal.py
-    decode_png_rgba) into exact-integer-sum feature vectors (mean RGBA +
-    4-bin luma histogram), exploded to (media_id, dim, value).
-    Value-checked against a sidecar computed by the INDEPENDENT scalar
-    decoder (oracle_py/png_ref.py — shares no code with the kernel);
-    the feature definition has no fp-accumulation slack, so the match
-    is bit-exact."""
+    scanline filters cycling over all five RFC 2083 types) and GIF
+    payloads are complete LZW-coded frames (interlace + transparency
+    exercised), both decoded dependency-free in the Arrow kernel
+    (operators/multimodal.py decode_png_rgba / decode_gif_rgba) into
+    exact-integer-sum feature vectors (mean RGBA + 4-bin luma
+    histogram), exploded to (media_id, dim, value). Value-checked
+    against a sidecar computed by the INDEPENDENT scalar decoders
+    (oracle_py/png_ref.py, oracle_py/gif_ref.py — share no code with
+    the kernels); the feature definition has no fp-accumulation slack,
+    so the match is bit-exact."""
     from wiki_search_engine_spark.operators.multimodal import (
         decode_image_features, synth_media,
     )
 
     emb = decode_image_features(synth_media(spark, N_MEDIA), fake=False)
     return (
-        emb.filter(F.col("format") == "png")
+        emb.filter(F.col("format").isin("png", "gif"))
         .select("media_id", F.posexplode("feature").alias("dim", "value"))
         .select(
             F.col("media_id").cast("long").alias("media_id"),
@@ -1143,7 +1145,7 @@ def _media_sidecar() -> str:
     )
 
     here = os.path.dirname(os.path.abspath(__file__))
-    path = os.path.join(here, "oracle_sidecar", "media_expected_v3.parquet")
+    path = os.path.join(here, "oracle_sidecar", "media_expected_v4.parquet")
     if os.path.exists(path):
         return path
     import hashlib
@@ -1185,8 +1187,9 @@ def _media_sidecar() -> str:
 
 def _media_embed_sidecar() -> str:
     """Expected (media_id, dim, value) rows for media_embed, computed
-    WITHOUT Spark by the independent scalar PNG decoder
-    (oracle_py/png_ref.py) over the same deterministic synth payloads.
+    WITHOUT Spark by the independent scalar PNG/GIF decoders
+    (oracle_py/png_ref.py, oracle_py/gif_ref.py) over the same
+    deterministic synth payloads.
     Exact-integer-sum features mean any two correct decoders agree to
     the last double bit — no rounding in the comparison."""
     import os
@@ -1197,20 +1200,21 @@ def _media_embed_sidecar() -> str:
     from wiki_search_engine_spark.operators.multimodal import (
         synth_payload, synth_spec,
     )
-    from wiki_search_engine_spark.oracle_py import png_ref
+    from wiki_search_engine_spark.oracle_py import gif_ref, png_ref
 
     here = os.path.dirname(os.path.abspath(__file__))
     path = os.path.join(
-        here, "oracle_sidecar", "media_embed_expected_v1.parquet"
+        here, "oracle_sidecar", "media_embed_expected_v2.parquet"
     )
     if os.path.exists(path):
         return path
     ids, dims, vals = [], [], []
     for i in range(N_MEDIA):
         _doc, kind, fmt, _w, _h = synth_spec(i, N_MEDIA)
-        if kind != "image" or fmt != "png":
+        if kind != "image" or fmt not in ("png", "gif"):
             continue
-        for d, v in enumerate(png_ref.features(synth_payload(i, N_MEDIA))):
+        ref = png_ref if fmt == "png" else gif_ref
+        for d, v in enumerate(ref.features(synth_payload(i, N_MEDIA))):
             ids.append(i)
             dims.append(d)
             vals.append(v)

@@ -217,13 +217,14 @@ def test_png_unfilter_matches_reference_decoder():
 
 def test_real_image_features_spark_path(spark):
     """decode_image_features(fake=False): PNG payloads (real IDAT,
-    mixed filters) decode in the Arrow kernel to the reference
-    decoder's exact features; JPEG/GIF rows stay the documented stub
-    (feature NULL)."""
+    mixed filters) and GIF payloads (real LZW, interlace/transparency
+    cycling) decode in the Arrow kernel to the reference decoders'
+    exact features; JPEG rows stay the documented stub (feature
+    NULL)."""
     from wiki_search_engine_spark.operators.multimodal import (
         decode_image_features, synth_media, synth_payload, synth_spec,
     )
-    from wiki_search_engine_spark.oracle_py import png_ref
+    from wiki_search_engine_spark.oracle_py import gif_ref, png_ref
 
     n = 45
     rows = {
@@ -233,17 +234,18 @@ def test_real_image_features_spark_path(spark):
         ).collect()
     }
     assert len(rows) == n
-    n_png = 0
+    n_decoded = 0
     for i in range(n):
         _doc, kind, fmt, _w, _h = synth_spec(i, n)
         r = rows[i]
-        if kind == "image" and fmt == "png":
-            exp = png_ref.features(synth_payload(i, n))
+        if kind == "image" and fmt in ("png", "gif"):
+            ref = png_ref if fmt == "png" else gif_ref
+            exp = ref.features(synth_payload(i, n))
             assert list(r["feature"]) == exp, i
-            n_png += 1
+            n_decoded += 1
         else:
             assert r["feature"] is None, (i, kind, fmt)
-    assert n_png >= 5
+    assert n_decoded >= 10
 
 
 def test_ivf_assign_and_topk(spark):
@@ -784,3 +786,130 @@ def test_dd_cache_detects_rewritten_sidecar(tmp_path):
     st = os.stat(p)
     os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
     assert _dd_provider(None, d)([0]).tolist() == [7, 8]
+
+
+def test_gif_roundtrip_vs_independent_oracle():
+    """The vectorized GIF decoder (decode_gif_rgba) and the scalar
+    reference decoder (oracle_py/gif_ref.py — zero shared code) must
+    reconstruct identical pixels AND identical feature doubles across
+    interlace, transparency, and LZW table growth past every width
+    boundary (random 256-symbol frames grow ~1 dict entry per pixel, so
+    a 90x70 frame crosses 512/1024/2048/4096)."""
+    from wiki_search_engine_spark.operators.multimodal import (
+        decode_gif_rgba, gif_bytes_full, gif_pixel_features,
+        parse_media_header,
+    )
+    from wiki_search_engine_spark.oracle_py import gif_ref
+
+    rng = np.random.default_rng(3)
+    for t in range(12):
+        w, h = int(rng.integers(1, 90)), int(rng.integers(1, 70))
+        idx = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+        tr = int(idx[0, 0]) if t % 3 == 0 else None
+        b = gif_bytes_full(
+            w, h, idx, pal, interlace=bool(t % 2), transparent_index=tr
+        )
+        assert parse_media_header(b) == ("gif", w, h)
+        px = decode_gif_rgba(b)
+        assert (px[:, :, :3] == pal[idx]).all()
+        exp_a = np.full((h, w), 255, np.uint8)
+        if tr is not None:
+            exp_a[idx == tr] = 0
+        assert (px[:, :, 3] == exp_a).all()
+        ow, oh, flat = gif_ref.decode_rgba(b)
+        assert (ow, oh) == (w, h)
+        assert flat == px.reshape(-1).tolist()
+        assert gif_pixel_features(b) == gif_ref.features(b)
+
+
+def test_gif_lzw_kwkwk_and_table_reset():
+    """Single-symbol runs exercise the KwKwK (code == next-slot) rule
+    on nearly every code; 20k random symbols force the 4096-entry table
+    reset mid-stream (encoder emits CLEAR, decoder must resync)."""
+    from wiki_search_engine_spark.operators.multimodal import (
+        _gif_lzw_compress, _gif_lzw_decompress,
+    )
+
+    run = np.zeros(9000, dtype=np.uint8)
+    enc = _gif_lzw_compress(run, 8)
+    assert _gif_lzw_decompress(enc, 8, 9000) == run.tobytes()
+    rng = np.random.default_rng(11)
+    big = rng.integers(0, 256, size=20000, dtype=np.uint8)
+    assert (
+        _gif_lzw_decompress(_gif_lzw_compress(big, 8), 8, 20000)
+        == big.tobytes()
+    )
+
+
+def test_malicious_gif_payloads_yield_null_not_oom(spark):
+    """Adversarial GIFs: a pixel bomb whose LZW stream expands past the
+    declared w*h (bounded decode must reject, never materialize),
+    truncated LZW (no EOI), a frame with no color table, a dimension
+    lie, and an out-of-range palette index against a 4-entry local
+    table — all NULL features, never a job failure."""
+    import pandas as pd
+
+    from wiki_search_engine_spark.operators.multimodal import (
+        _gif_lzw_compress, decode_gif_rgba, decode_image_features,
+        gif_bytes_full,
+    )
+
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    good = gif_bytes_full(
+        4, 4, rng.integers(0, 256, size=(4, 4), dtype=np.uint8), pal
+    )
+
+    # bomb: take a valid 64x64 frame's LZW data but declare 2x2
+    big = gif_bytes_full(
+        64, 64, rng.integers(0, 256, size=(64, 64), dtype=np.uint8), pal
+    )
+    bomb = bytearray(big)
+    bomb[6:8] = (2).to_bytes(2, "little")
+    bomb[8:10] = (2).to_bytes(2, "little")
+    # image descriptor w/h live after the 768-byte GCT at offset 13
+    desc = 13 + 768
+    assert bomb[desc] == 0x2C
+    bomb[desc + 5 : desc + 7] = (2).to_bytes(2, "little")
+    bomb[desc + 7 : desc + 9] = (2).to_bytes(2, "little")
+    bomb = bytes(bomb)
+
+    truncated = good[: len(good) - 6]  # chops EOI + trailer
+
+    no_palette = bytearray(good)
+    no_palette[10] &= 0x7F  # clear GCT flag but leave bytes: junk walk
+    no_palette = bytes(no_palette[:13] + no_palette[13 + 768 :])
+
+    zero_dim = bytearray(good)
+    zero_dim[desc + 5 : desc + 7] = (0).to_bytes(2, "little")
+    zero_dim = bytes(zero_dim)
+
+    # 4-entry local palette with indices up to 255 in the stream
+    lct_frame = bytearray()
+    lct_frame += b"GIF89a" + (2).to_bytes(2, "little")
+    lct_frame += (2).to_bytes(2, "little") + b"\x00\x00\x00"  # no GCT
+    lct_frame += b"\x2c" + b"\x00\x00\x00\x00"
+    lct_frame += (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+    lct_frame += b"\x80"  # LCT present, 2 entries... (2<<0)
+    lct_frame += bytes(6)  # 2-entry palette
+    lzw = _gif_lzw_compress(np.array([200, 1, 0, 1], np.uint8), 8)
+    lct_frame += bytes([8, len(lzw)]) + lzw + b"\x00\x3b"
+    lct_frame = bytes(lct_frame)
+
+    bad = [bomb, truncated, no_palette, zero_dim, lct_frame]
+    for b in bad:
+        with pytest.raises(ValueError):
+            decode_gif_rgba(b)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"media_id": i, "kind": "image", "payload": b,
+                 "n_bytes": len(b)}
+                for i, b in enumerate(bad)
+            ]
+        )
+    )
+    rows = decode_image_features(df, fake=False).collect()
+    assert len(rows) == len(bad)
+    assert all(r["feature"] is None for r in rows)

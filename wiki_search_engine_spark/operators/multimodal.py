@@ -15,15 +15,17 @@ Two decode levels:
   payload md5. ``synth_media`` emits payloads with valid headers, so the
   kernel is value-checked end-to-end (driver entry ``media_features``
   against a sidecar oracle of independently expected rows).
-- ``decode_image_features(fake=False)`` — REAL pixel decode for PNG:
-  stdlib zlib IDAT inflate + the full RFC 2083 unfilter set
-  (``decode_png_rgba``), producing exact-integer-sum feature vectors
-  (``png_pixel_features``) that the independent scalar decoder
-  (oracle_py/png_ref.py) reproduces bit-for-bit (driver entry
-  ``media_embed``). JPEG/GIF entropy decode needs a real codec
-  (libjpeg/giflib — absent here), so those rows carry NULL features:
-  the remaining documented stub. ``fake=True`` keeps the deterministic
-  md5-derived stand-in features for plumbing tests over every format.
+- ``decode_image_features(fake=False)`` — REAL pixel decode for PNG
+  (stdlib zlib IDAT inflate + the full RFC 2083 unfilter set,
+  ``decode_png_rgba``) and GIF (dependency-free bounded LZW +
+  deinterlace + transparency, ``decode_gif_rgba``), producing
+  exact-integer-sum feature vectors (``rgba_features``) that the
+  independent scalar decoders (oracle_py/png_ref.py, oracle_py/
+  gif_ref.py) reproduce bit-for-bit (driver entry ``media_embed``).
+  JPEG entropy decode (Huffman + IDCT) needs libjpeg — absent here —
+  so jpeg rows carry NULL features: the remaining documented stub.
+  ``fake=True`` keeps the deterministic md5-derived stand-in features
+  for plumbing tests over every format.
 """
 
 from __future__ import annotations
@@ -231,19 +233,30 @@ def decode_png_rgba(b: bytes) -> np.ndarray:
     return out.astype(np.uint8).reshape(h, w, bpp)
 
 
-def png_pixel_features(b: bytes) -> list[float]:
-    """8-float feature vector from a decoded PNG: mean R/G/B/A plus a
-    4-bin luma histogram (luma = (r+g+b)//3, bin = luma >> 6), all
-    normalized by pixel count. Every component is an exact integer sum
-    divided once by n_pixels, so any correct decoder produces
-    BIT-IDENTICAL doubles — the media_embed oracle sidecar relies on
-    this (no fp-accumulation-order slack)."""
-    px = decode_png_rgba(b).reshape(-1, 4).astype(np.int64)
+def rgba_features(px: np.ndarray) -> list[float]:
+    """8-float feature vector from (h, w, 4) uint8 pixels: mean R/G/B/A
+    plus a 4-bin luma histogram (luma = (r+g+b)//3, bin = luma >> 6),
+    all normalized by pixel count. Every component is an exact integer
+    sum divided once by n_pixels, so any correct decoder of any format
+    produces BIT-IDENTICAL doubles — the media_embed oracle sidecar
+    relies on this (no fp-accumulation-order slack)."""
+    px = px.reshape(-1, 4).astype(np.int64)
     n = px.shape[0]
     sums = px.sum(axis=0)
     luma = (px[:, 0] + px[:, 1] + px[:, 2]) // 3
     hist = np.bincount(luma >> 6, minlength=4)
     return [float(s) / n for s in sums] + [float(c) / n for c in hist]
+
+
+def png_pixel_features(b: bytes) -> list[float]:
+    """``rgba_features`` over a decoded 8-bit RGBA PNG."""
+    return rgba_features(decode_png_rgba(b))
+
+
+def gif_pixel_features(b: bytes) -> list[float]:
+    """``rgba_features`` over the decoded first frame of a GIF (alpha
+    255 except graphic-control transparent pixels)."""
+    return rgba_features(decode_gif_rgba(b))
 
 
 def gif_bytes(w: int, h: int, filler: bytes = b"") -> bytes:
@@ -255,6 +268,294 @@ def gif_bytes(w: int, h: int, filler: bytes = b"") -> bytes:
         + int(h).to_bytes(2, "little")
         + filler
     )
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_interlace_order(h: int) -> list[int]:
+    """Row output order of an interlaced GIF (89a spec appendix E):
+    four passes at strides 8/8/4/2 starting at rows 0/4/2/1."""
+    return [
+        y for start, step in _GIF_INTERLACE_PASSES
+        for y in range(start, h, step)
+    ]
+
+
+def _gif_lzw_compress(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-variant LZW over palette indices: variable code width
+    starting at min_code_size+1, LSB-first bit packing, CLEAR emitted
+    up front and whenever the table reaches 4096 codes. The width-bump
+    rule mirrors the decoder exactly — width grows when the table
+    length hits 2^width — so encode/decode stay code-aligned at every
+    position (round-trip pytest sweeps table growth past every
+    boundary including a forced CLEAR)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {
+        bytes([i]): i for i in range(clear)
+    }
+    avail = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    w = b""
+    for k in indices.tolist():
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        if avail < 4096:
+            table[wk] = avail
+            avail += 1
+            # the decoder's table lags the encoder's by one entry (the
+            # KwKwK lag), so its length at the matching stream position
+            # is avail-1 — bump width exactly when IT crosses 2^width
+            if avail - 1 == (1 << width) and width < 12:
+                width += 1
+        else:
+            # table full: reset, exactly as the decoder will
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            avail = eoi + 1
+            width = min_code_size + 1
+        w = bytes([k])
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decompress(
+    data: bytes, min_code_size: int, max_pixels: int
+) -> bytes:
+    """Inverse of ``_gif_lzw_compress`` with the standard KwKwK
+    (code == next-table-slot) rule. BOUNDED: output is capped at the
+    declared pixel count — a crafted stream that keeps expanding past
+    the image size is rejected instead of materialized (same posture as
+    the PNG bounded inflate)."""
+    if not 2 <= min_code_size <= 8:
+        raise ValueError(f"bad LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0
+    nbits = 0
+    acc = 0
+    n = len(data)
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    while True:
+        while nbits < width:
+            if pos >= n:
+                raise ValueError("truncated LZW stream (no EOI)")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table) or code >= clear:
+                raise ValueError(f"bad first LZW code {code}")
+            entry = table[code]
+        else:
+            if code < len(table) and code != eoi and code != clear:
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]  # KwKwK
+            else:
+                raise ValueError(f"LZW code {code} out of range")
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+        out += entry
+        if len(out) > max_pixels:
+            raise ValueError(
+                f"LZW output exceeds declared {max_pixels} pixels"
+            )
+        prev = entry
+    return bytes(out)
+
+
+def gif_bytes_full(
+    w: int,
+    h: int,
+    indices: np.ndarray,
+    palette: np.ndarray,
+    interlace: bool = False,
+    transparent_index: int | None = None,
+) -> bytes:
+    """COMPLETE valid GIF89a (one frame): header + logical screen
+    descriptor + 256-entry global color table + optional graphic
+    control extension (transparency) + image descriptor + LZW-coded
+    index stream in <=255-byte sub-blocks + trailer. ``indices``:
+    (h, w) uint8 palette indices; ``palette``: (256, 3) uint8 RGB.
+    ``interlace=True`` writes rows in the 4-pass interlaced order, so a
+    decoder must implement deinterlacing to reconstruct the frame."""
+    indices = np.ascontiguousarray(indices, dtype=np.uint8)
+    palette = np.ascontiguousarray(palette, dtype=np.uint8)
+    if indices.shape != (h, w):
+        raise ValueError(f"indices shape {indices.shape} != {(h, w)}")
+    if palette.shape != (256, 3):
+        raise ValueError("palette must be (256, 3) uint8")
+    out = bytearray(b"GIF89a")
+    out += int(w).to_bytes(2, "little") + int(h).to_bytes(2, "little")
+    out.append(0xF7)  # GCT present, 8-bit color resolution, 256 entries
+    out += b"\x00\x00"  # background index, aspect ratio
+    out += palette.tobytes()
+    if transparent_index is not None:
+        out += bytes(
+            [0x21, 0xF9, 0x04, 0x01, 0x00, 0x00,
+             int(transparent_index), 0x00]
+        )
+    out.append(0x2C)  # image descriptor
+    out += b"\x00\x00\x00\x00"  # left, top
+    out += int(w).to_bytes(2, "little") + int(h).to_bytes(2, "little")
+    out.append(0x40 if interlace else 0x00)  # no LCT
+    rows = indices[_gif_interlace_order(h)] if interlace else indices
+    lzw = _gif_lzw_compress(rows.reshape(-1), 8)
+    out.append(8)  # LZW min code size
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator, trailer
+    return bytes(out)
+
+
+def decode_gif_rgba(b: bytes) -> np.ndarray:
+    """(h, w, 4) uint8 pixels from the FIRST frame of a GIF87a/89a —
+    stdlib-only: block walk (extensions skipped, graphic-control
+    transparency honored), global/local color table, bounded LZW
+    decode, 4-pass deinterlace. Raises ValueError on truncated or
+    out-of-spec payloads (no color table, dimension lies, LZW
+    overruns); frames smaller than the logical screen are decoded at
+    their own size (the feature contract is per-frame, not composited
+    — multi-frame animation compositing is out of the dependency-free
+    decoder's scope)."""
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    packed = b[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8)
+        if gct.size != 3 * n:
+            raise ValueError("truncated global color table")
+        gct = gct.reshape(n, 3)
+        pos += 3 * n
+    transparent = None
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:  # extension
+            if pos + 2 > len(b):
+                raise ValueError("truncated extension block")
+            label = b[pos + 1]
+            pos += 2
+            sub = []
+            while True:
+                if pos >= len(b):
+                    raise ValueError("truncated extension sub-blocks")
+                ln = b[pos]
+                pos += 1
+                if ln == 0:
+                    break
+                sub.append(b[pos : pos + ln])
+                pos += ln
+            if label == 0xF9 and sub and len(sub[0]) >= 4:
+                if sub[0][0] & 0x01:
+                    transparent = sub[0][3]
+        elif block == 0x2C:  # image descriptor: the frame
+            if pos + 10 > len(b):
+                raise ValueError("truncated image descriptor")
+            w = int.from_bytes(b[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(b[pos + 7 : pos + 9], "little")
+            ipacked = b[pos + 9]
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:  # local color table wins
+                n = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(
+                    b[pos : pos + 3 * n], dtype=np.uint8
+                )
+                if pal.size != 3 * n:
+                    raise ValueError("truncated local color table")
+                pal = pal.reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF frame has no color table")
+            if w < 1 or h < 1 or w * h > (1 << 26):
+                raise ValueError(f"refusing GIF dimensions {w}x{h}")
+            if pos >= len(b):
+                raise ValueError("truncated before LZW data")
+            mcs = b[pos]
+            pos += 1
+            chunks = []
+            while True:
+                if pos >= len(b):
+                    raise ValueError("truncated LZW sub-blocks")
+                ln = b[pos]
+                pos += 1
+                if ln == 0:
+                    break
+                chunks.append(b[pos : pos + ln])
+                pos += ln
+            idx = _gif_lzw_decompress(b"".join(chunks), mcs, w * h)
+            if len(idx) != w * h:
+                raise ValueError(
+                    f"LZW yielded {len(idx)} of {w * h} pixels"
+                )
+            arr = np.frombuffer(idx, dtype=np.uint8)
+            if arr.max(initial=0) >= pal.shape[0]:
+                raise ValueError("palette index out of range")
+            arr = arr.reshape(h, w)
+            if ipacked & 0x40:  # deinterlace
+                dst = np.empty_like(arr)
+                dst[_gif_interlace_order(h)] = arr
+                arr = dst
+            rgba = np.empty((h, w, 4), dtype=np.uint8)
+            rgba[:, :, :3] = pal[arr]
+            rgba[:, :, 3] = 255
+            if transparent is not None and transparent < pal.shape[0]:
+                rgba[:, :, 3][arr == transparent] = 0
+            return rgba
+        elif block == 0x3B:  # trailer before any frame
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image frame")
 
 
 def jpeg_bytes(w: int, h: int, filler: bytes = b"") -> bytes:
@@ -300,11 +601,14 @@ def synth_payload(i: int, n: int, seed: int = 42) -> bytes:
     """Deterministic payload bytes for media_id ``i``. PNG payloads are
     COMPLETE decodable files: seeded pixel bytes wrapped through
     png_bytes_full with the scanline filter type cycling (i+y) % 5, so
-    every filter of the unfilter set is exercised end-to-end. JPEG/GIF
-    payloads stay valid-header + seeded filler (their entropy decode is
-    the documented stub); audio/video are tagged opaque seeded bytes
-    (the RAW0 prefix keeps random bytes from colliding with the 2-byte
-    JPEG magic)."""
+    every filter of the unfilter set is exercised end-to-end. GIF
+    payloads are likewise complete LZW-coded files (seeded 256-color
+    palette + indices, interlace on every other gif, transparency on
+    every third) so deinterlace and alpha handling are exercised too.
+    JPEG payloads stay valid-header + seeded filler (their entropy
+    decode is the documented stub); audio/video are tagged opaque
+    seeded bytes (the RAW0 prefix keeps random bytes from colliding
+    with the 2-byte JPEG magic)."""
     _doc, kind, fmt, w, h = synth_spec(i, n)
     digest = hashlib.md5(f"{seed}|{i}".encode()).digest()
     if kind == "image" and fmt == "png":
@@ -313,6 +617,18 @@ def synth_payload(i: int, n: int, seed: int = 42) -> bytes:
         rgba = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 4)
         return png_bytes_full(
             w, h, rgba, [(i + y) % 5 for y in range(h)]
+        )
+    if kind == "image" and fmt == "gif":
+        raw = (digest * (w * h // 16 + 1))[: w * h]
+        indices = np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
+        pal_raw = hashlib.md5(f"{seed}|pal|{i}".encode()).digest()
+        palette = np.frombuffer(
+            (pal_raw * (768 // 16 + 1))[:768], dtype=np.uint8
+        ).reshape(256, 3)
+        return gif_bytes_full(
+            w, h, indices, palette,
+            interlace=(i % 2 == 0),
+            transparent_index=(i % 256) if i % 3 == 0 else None,
         )
     filler = (digest * ((64 + i % 192) // 16 + 1))[: 64 + i % 192]
     if kind == "image":
@@ -457,13 +773,14 @@ def decode_image_features(
 
     ``fake=False`` (REAL pixel decode): PNG payloads are fully decoded
     dependency-free — stdlib zlib IDAT inflate + per-scanline unfilter
-    (all five RFC 2083 filter types, decode_png_rgba) — into an 8-double
-    feature vector (png_pixel_features: mean RGBA + 4-bin luma
-    histogram), schema EMBED_SCHEMA. JPEG/GIF entropy decode needs a
-    real codec (libjpeg/giflib — not in this container), so those rows
-    carry feature = NULL: the documented stub boundary. A production
-    CNN embed (PIL decode -> resize -> model) drops into this same
-    kernel signature.
+    (all five RFC 2083 filter types, decode_png_rgba) — and GIF
+    payloads likewise (bounded LZW + 4-pass deinterlace + transparency,
+    decode_gif_rgba) — into an 8-double feature vector (rgba_features:
+    mean RGBA + 4-bin luma histogram), schema EMBED_SCHEMA. JPEG
+    entropy decode needs a real codec (libjpeg — not in this
+    container), so jpeg rows carry feature = NULL: the documented stub
+    boundary. A production CNN embed (PIL decode -> resize -> model)
+    drops into this same kernel signature.
 
     ``fake=True``: deterministic md5-derived stand-in floats for every
     payload (schema FEATURE_SCHEMA) — the plumbing-only mode used where
@@ -482,18 +799,23 @@ def decode_image_features(
                     md5s.append(hashlib.md5(b).hexdigest())
                     fmt, _w, _h = parse_media_header(b)
                     fmts.append(fmt)
-                    if fmt != "png":
+                    if fmt == "png":
+                        decode = png_pixel_features
+                    elif fmt == "gif":
+                        decode = gif_pixel_features
+                    else:
                         feats.append(None)
                         continue
-                    # a corrupt payload (truncated IDAT/IHDR, bad filter
-                    # byte, unsupported color type, declared-size lies)
-                    # must yield a NULL feature row, never kill the job
-                    # — at corpus scale malformed media is a certainty,
-                    # not an edge case, and there is no enumeration of
-                    # the ways bytes can be wrong (hence the broad
-                    # except around the side-effect-free decode)
+                    # a corrupt payload (truncated IDAT/IHDR/LZW, bad
+                    # filter byte, unsupported color type, declared-size
+                    # lies) must yield a NULL feature row, never kill
+                    # the job — at corpus scale malformed media is a
+                    # certainty, not an edge case, and there is no
+                    # enumeration of the ways bytes can be wrong (hence
+                    # the broad except around the side-effect-free
+                    # decode)
                     try:
-                        feats.append(png_pixel_features(b))
+                        feats.append(decode(b))
                     except Exception:
                         feats.append(None)
                 yield pd.DataFrame(
