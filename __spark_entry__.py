@@ -924,24 +924,27 @@ def q_media_features(spark, sf_dir):
 
 
 def q_media_embed(spark, sf_dir):
-    """REAL pixel decode: PNG payloads are complete files (zlib IDAT,
-    scanline filters cycling over all five RFC 2083 types) and GIF
-    payloads are complete LZW-coded frames (interlace + transparency
-    exercised), both decoded dependency-free in the Arrow kernel
-    (operators/multimodal.py decode_png_rgba / decode_gif_rgba) into
-    exact-integer-sum feature vectors (mean RGBA + 4-bin luma
-    histogram), exploded to (media_id, dim, value). Value-checked
-    against a sidecar computed by the INDEPENDENT scalar decoders
-    (oracle_py/png_ref.py, oracle_py/gif_ref.py — share no code with
-    the kernels); the feature definition has no fp-accumulation slack,
-    so the match is bit-exact."""
+    """REAL pixel decode for every image format the corpus carries:
+    PNG payloads are complete files (zlib IDAT, scanline filters
+    cycling over all five RFC 2083 types), GIF payloads complete
+    LZW-coded frames (interlace + transparency exercised), and JPEG
+    payloads complete baseline files (Huffman entropy data, grayscale
+    and restart intervals exercised) — all decoded dependency-free in
+    the Arrow kernel (operators/multimodal.py decode_png_rgba /
+    decode_gif_rgba, operators/jpeg.py decode_jpeg_rgb with its
+    integer-exact IDCT spec) into exact-integer-sum feature vectors
+    (mean RGBA + 4-bin luma histogram), exploded to (media_id, dim,
+    value). Value-checked against a sidecar computed by the
+    INDEPENDENT scalar decoders (oracle_py/{png,gif,jpeg}_ref.py —
+    share no code with the kernels); the feature definition has no
+    fp-accumulation slack, so the match is bit-exact."""
     from wiki_search_engine_spark.operators.multimodal import (
         decode_image_features, synth_media,
     )
 
     emb = decode_image_features(synth_media(spark, N_MEDIA), fake=False)
     return (
-        emb.filter(F.col("format").isin("png", "gif"))
+        emb.filter(F.col("format").isin("png", "gif", "jpeg"))
         .select("media_id", F.posexplode("feature").alias("dim", "value"))
         .select(
             F.col("media_id").cast("long").alias("media_id"),
@@ -1145,7 +1148,7 @@ def _media_sidecar() -> str:
     )
 
     here = os.path.dirname(os.path.abspath(__file__))
-    path = os.path.join(here, "oracle_sidecar", "media_expected_v4.parquet")
+    path = os.path.join(here, "oracle_sidecar", "media_expected_v5.parquet")
     if os.path.exists(path):
         return path
     import hashlib
@@ -1187,9 +1190,9 @@ def _media_sidecar() -> str:
 
 def _media_embed_sidecar() -> str:
     """Expected (media_id, dim, value) rows for media_embed, computed
-    WITHOUT Spark by the independent scalar PNG/GIF decoders
-    (oracle_py/png_ref.py, oracle_py/gif_ref.py) over the same
-    deterministic synth payloads.
+    WITHOUT Spark by the independent scalar PNG/GIF/JPEG decoders
+    (oracle_py/{png,gif,jpeg}_ref.py) over the same deterministic
+    synth payloads.
     Exact-integer-sum features mean any two correct decoders agree to
     the last double bit — no rounding in the comparison."""
     import os
@@ -1200,20 +1203,22 @@ def _media_embed_sidecar() -> str:
     from wiki_search_engine_spark.operators.multimodal import (
         synth_payload, synth_spec,
     )
-    from wiki_search_engine_spark.oracle_py import gif_ref, png_ref
+    from wiki_search_engine_spark.oracle_py import (
+        gif_ref, jpeg_ref, png_ref,
+    )
 
     here = os.path.dirname(os.path.abspath(__file__))
     path = os.path.join(
-        here, "oracle_sidecar", "media_embed_expected_v2.parquet"
+        here, "oracle_sidecar", "media_embed_expected_v3.parquet"
     )
     if os.path.exists(path):
         return path
     ids, dims, vals = [], [], []
     for i in range(N_MEDIA):
         _doc, kind, fmt, _w, _h = synth_spec(i, N_MEDIA)
-        if kind != "image" or fmt not in ("png", "gif"):
+        if kind != "image":
             continue
-        ref = png_ref if fmt == "png" else gif_ref
+        ref = {"png": png_ref, "gif": gif_ref, "jpeg": jpeg_ref}[fmt]
         for d, v in enumerate(ref.features(synth_payload(i, N_MEDIA))):
             ids.append(i)
             dims.append(d)

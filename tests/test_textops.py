@@ -217,14 +217,17 @@ def test_png_unfilter_matches_reference_decoder():
 
 def test_real_image_features_spark_path(spark):
     """decode_image_features(fake=False): PNG payloads (real IDAT,
-    mixed filters) and GIF payloads (real LZW, interlace/transparency
-    cycling) decode in the Arrow kernel to the reference decoders'
-    exact features; JPEG rows stay the documented stub (feature
-    NULL)."""
+    mixed filters), GIF payloads (real LZW, interlace/transparency
+    cycling), and baseline JPEG payloads (real Huffman entropy data,
+    grayscale + restart-interval cycling) all decode in the Arrow
+    kernel to the reference decoders' exact features; only non-image
+    payloads carry feature NULL."""
     from wiki_search_engine_spark.operators.multimodal import (
         decode_image_features, synth_media, synth_payload, synth_spec,
     )
-    from wiki_search_engine_spark.oracle_py import gif_ref, png_ref
+    from wiki_search_engine_spark.oracle_py import (
+        gif_ref, jpeg_ref, png_ref,
+    )
 
     n = 45
     rows = {
@@ -234,18 +237,18 @@ def test_real_image_features_spark_path(spark):
         ).collect()
     }
     assert len(rows) == n
-    n_decoded = 0
+    per_fmt = {"png": 0, "gif": 0, "jpeg": 0}
     for i in range(n):
         _doc, kind, fmt, _w, _h = synth_spec(i, n)
         r = rows[i]
-        if kind == "image" and fmt in ("png", "gif"):
-            ref = png_ref if fmt == "png" else gif_ref
+        if kind == "image":
+            ref = {"png": png_ref, "gif": gif_ref, "jpeg": jpeg_ref}[fmt]
             exp = ref.features(synth_payload(i, n))
             assert list(r["feature"]) == exp, i
-            n_decoded += 1
+            per_fmt[fmt] += 1
         else:
             assert r["feature"] is None, (i, kind, fmt)
-    assert n_decoded >= 10
+    assert all(c >= 3 for c in per_fmt.values()), per_fmt
 
 
 def test_ivf_assign_and_topk(spark):
@@ -901,6 +904,132 @@ def test_malicious_gif_payloads_yield_null_not_oom(spark):
     for b in bad:
         with pytest.raises(ValueError):
             decode_gif_rgba(b)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"media_id": i, "kind": "image", "payload": b,
+                 "n_bytes": len(b)}
+                for i, b in enumerate(bad)
+            ]
+        )
+    )
+    rows = decode_image_features(df, fake=False).collect()
+    assert len(rows) == len(bad)
+    assert all(r["feature"] is None for r in rows)
+
+
+def test_jpeg_roundtrip_vs_independent_oracle():
+    """The matmul-IDCT decoder (operators/jpeg.py decode_jpeg_rgb) and
+    the scalar figure-F.16 reference decoder (oracle_py/jpeg_ref.py —
+    different Huffman algorithm, per-coefficient IDCT loops) must
+    produce BIT-IDENTICAL pixels and feature doubles: the fixed-point
+    IDCT + YCbCr spec leaves no accumulation-order slack. Sweeps
+    color/gray, odd dims, and restart intervals."""
+    from wiki_search_engine_spark.operators.jpeg import (
+        decode_jpeg_rgb, jpeg_bytes_full, jpeg_pixel_features,
+    )
+    from wiki_search_engine_spark.oracle_py import jpeg_ref
+
+    rng = np.random.default_rng(9)
+    yy, xx = np.mgrid[0:33, 0:57]
+    gradient = np.stack(
+        [
+            np.clip(40 + xx, 0, 255),
+            np.clip(30 + yy * 2, 0, 255),
+            np.clip(100 + (xx - yy), 0, 255),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    cases = [
+        (gradient, False, 0),
+        (rng.integers(0, 256, size=(41, 29, 3), dtype=np.uint8), False, 0),
+        (rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8), False, 0),
+        (
+            np.repeat(
+                rng.integers(0, 256, size=(17, 23, 1), dtype=np.uint8),
+                3, 2,
+            ),
+            True, 0,
+        ),
+        (rng.integers(0, 256, size=(50, 66, 3), dtype=np.uint8), False, 3),
+        (rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8), True, 1),
+    ]
+    for img, gray, ri in cases:
+        b = jpeg_bytes_full(img, gray=gray, restart_interval=ri)
+        k = decode_jpeg_rgb(b)
+        w, h, flat = jpeg_ref.decode_rgb(b)
+        assert (h, w) == k.shape[:2]
+        assert flat == k.reshape(-1).tolist(), (gray, ri)
+        assert jpeg_pixel_features(b) == jpeg_ref.features(b), (gray, ri)
+
+
+def test_jpeg_decode_is_faithful():
+    """Lossy but sane: flat-color frames reconstruct within +-3 and a
+    smooth gradient within +-8 of the source — catches transform
+    orientation/scale bugs that bit-identical cross-decoder checks
+    alone would miss (both decoders could share a transposed view)."""
+    from wiki_search_engine_spark.operators.jpeg import (
+        decode_jpeg_rgb, jpeg_bytes_full,
+    )
+
+    img = np.zeros((24, 40, 3), np.uint8)
+    img[:, :] = (12, 200, 99)
+    out = decode_jpeg_rgb(jpeg_bytes_full(img))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+    yy, xx = np.mgrid[0:33, 0:57]
+    grad = np.stack(
+        [
+            np.clip(40 + xx, 0, 255),
+            np.clip(30 + yy * 2, 0, 255),
+            np.clip(100 + (xx - yy), 0, 255),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    out = decode_jpeg_rgb(jpeg_bytes_full(grad))
+    err = np.abs(out.astype(int) - grad.astype(int))
+    assert err.max() <= 8 and err.mean() < 3
+
+
+def test_malicious_jpeg_payloads_yield_null_not_failure(spark):
+    """Adversarial JPEGs: progressive (SOF2) and arithmetic-coded
+    (DAC) files are out of the baseline decoder's scope, truncated
+    entropy data and dimension lies must be rejected — all NULL
+    features in the kernel, never a job failure."""
+    import pandas as pd
+
+    from wiki_search_engine_spark.operators.jpeg import (
+        decode_jpeg_rgb, jpeg_bytes_full,
+    )
+    from wiki_search_engine_spark.operators.multimodal import (
+        decode_image_features,
+    )
+
+    rng = np.random.default_rng(21)
+    good = jpeg_bytes_full(
+        rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    )
+
+    progressive = bytearray(good)
+    sof = good.index(b"\xff\xc0")
+    progressive[sof + 1] = 0xC2
+    progressive = bytes(progressive)
+
+    truncated = good[: len(good) - 40]
+
+    huge = bytearray(good)
+    huge[sof + 5 : sof + 7] = (60000).to_bytes(2, "big")
+    huge[sof + 7 : sof + 9] = (60000).to_bytes(2, "big")
+    huge = bytes(huge)
+
+    subsampled = bytearray(good)
+    assert good[sof + 11] == 0x11  # Y sampling byte
+    subsampled[sof + 11] = 0x22
+    subsampled = bytes(subsampled)
+
+    bad = [progressive, truncated, huge, subsampled]
+    for b in bad:
+        with pytest.raises(ValueError):
+            decode_jpeg_rgb(b)
     df = spark.createDataFrame(
         pd.DataFrame(
             [

@@ -15,17 +15,17 @@ Two decode levels:
   payload md5. ``synth_media`` emits payloads with valid headers, so the
   kernel is value-checked end-to-end (driver entry ``media_features``
   against a sidecar oracle of independently expected rows).
-- ``decode_image_features(fake=False)`` — REAL pixel decode for PNG
-  (stdlib zlib IDAT inflate + the full RFC 2083 unfilter set,
-  ``decode_png_rgba``) and GIF (dependency-free bounded LZW +
-  deinterlace + transparency, ``decode_gif_rgba``), producing
+- ``decode_image_features(fake=False)`` — REAL pixel decode for all
+  three formats, dependency-free: PNG (stdlib zlib IDAT inflate + the
+  full RFC 2083 unfilter set, ``decode_png_rgba``), GIF (bounded LZW +
+  deinterlace + transparency, ``decode_gif_rgba``), and baseline JPEG
+  (Huffman + integer-exact IDCT, ``operators/jpeg.py``), producing
   exact-integer-sum feature vectors (``rgba_features``) that the
-  independent scalar decoders (oracle_py/png_ref.py, oracle_py/
-  gif_ref.py) reproduce bit-for-bit (driver entry ``media_embed``).
-  JPEG entropy decode (Huffman + IDCT) needs libjpeg — absent here —
-  so jpeg rows carry NULL features: the remaining documented stub.
-  ``fake=True`` keeps the deterministic md5-derived stand-in features
-  for plumbing tests over every format.
+  independent scalar decoders (oracle_py/{png,gif,jpeg}_ref.py)
+  reproduce bit-for-bit (driver entry ``media_embed``). The only
+  remaining stub is the CNN-embed slot itself (a learned model is not
+  re-derivable); ``fake=True`` keeps the deterministic md5-derived
+  stand-in features for plumbing tests over every payload kind.
 """
 
 from __future__ import annotations
@@ -604,11 +604,13 @@ def synth_payload(i: int, n: int, seed: int = 42) -> bytes:
     every filter of the unfilter set is exercised end-to-end. GIF
     payloads are likewise complete LZW-coded files (seeded 256-color
     palette + indices, interlace on every other gif, transparency on
-    every third) so deinterlace and alpha handling are exercised too.
-    JPEG payloads stay valid-header + seeded filler (their entropy
-    decode is the documented stub); audio/video are tagged opaque
-    seeded bytes (the RAW0 prefix keeps random bytes from colliding
-    with the 2-byte JPEG magic)."""
+    every third) so deinterlace and alpha handling are exercised too;
+    JPEG payloads are complete baseline files (seeded RGB through the
+    real FDCT/Huffman encoder, grayscale every fifth, restart
+    intervals cycling 0/3/6/9) so entropy decode, DRI resync, and both
+    color modes are exercised. Audio/video are tagged opaque seeded
+    bytes (the RAW0 prefix keeps random bytes from colliding with the
+    2-byte JPEG magic)."""
     _doc, kind, fmt, w, h = synth_spec(i, n)
     digest = hashlib.md5(f"{seed}|{i}".encode()).digest()
     if kind == "image" and fmt == "png":
@@ -629,6 +631,19 @@ def synth_payload(i: int, n: int, seed: int = 42) -> bytes:
             w, h, indices, palette,
             interlace=(i % 2 == 0),
             transparent_index=(i % 256) if i % 3 == 0 else None,
+        )
+    if kind == "image" and fmt == "jpeg":
+        from wiki_search_engine_spark.operators.jpeg import (
+            jpeg_bytes_full,
+        )
+
+        npx = w * h * 3
+        raw = (digest * (npx // 16 + 1))[:npx]
+        rgb = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+        return jpeg_bytes_full(
+            rgb,
+            gray=(i % 5 == 0),
+            restart_interval=(i % 4) * 3,  # 0 (none), 3, 6, 9 MCUs
         )
     filler = (digest * ((64 + i % 192) // 16 + 1))[: 64 + i % 192]
     if kind == "image":
@@ -773,14 +788,16 @@ def decode_image_features(
 
     ``fake=False`` (REAL pixel decode): PNG payloads are fully decoded
     dependency-free — stdlib zlib IDAT inflate + per-scanline unfilter
-    (all five RFC 2083 filter types, decode_png_rgba) — and GIF
-    payloads likewise (bounded LZW + 4-pass deinterlace + transparency,
-    decode_gif_rgba) — into an 8-double feature vector (rgba_features:
-    mean RGBA + 4-bin luma histogram), schema EMBED_SCHEMA. JPEG
-    entropy decode needs a real codec (libjpeg — not in this
-    container), so jpeg rows carry feature = NULL: the documented stub
-    boundary. A production CNN embed (PIL decode -> resize -> model)
-    drops into this same kernel signature.
+    (all five RFC 2083 filter types, decode_png_rgba) — GIF payloads
+    likewise (bounded LZW + 4-pass deinterlace + transparency,
+    decode_gif_rgba), and baseline JPEGs too (DQT/DHT/SOF0/SOS parse,
+    canonical Huffman, integer-exact IDCT — operators/jpeg.py) — into
+    an 8-double feature vector (rgba_features: mean RGBA + 4-bin luma
+    histogram), schema EMBED_SCHEMA. Non-baseline JPEG variants
+    (progressive/subsampled/12-bit) and unrecognized formats carry
+    feature = NULL. A production CNN embed (decode -> resize -> model)
+    drops into this same kernel signature; the learned model itself is
+    the one genuinely environment-bound slot.
 
     ``fake=True``: deterministic md5-derived stand-in floats for every
     payload (schema FEATURE_SCHEMA) — the plumbing-only mode used where
@@ -794,6 +811,10 @@ def decode_image_features(
 
             for pdf in batches:
                 fmts, md5s, feats = [], [], []
+                from wiki_search_engine_spark.operators.jpeg import (
+                    jpeg_pixel_features,
+                )
+
                 for payload in pdf["payload"]:
                     b = bytes(payload)
                     md5s.append(hashlib.md5(b).hexdigest())
@@ -803,6 +824,8 @@ def decode_image_features(
                         decode = png_pixel_features
                     elif fmt == "gif":
                         decode = gif_pixel_features
+                    elif fmt == "jpeg":
+                        decode = jpeg_pixel_features
                     else:
                         feats.append(None)
                         continue
