@@ -954,6 +954,33 @@ def q_media_embed(spark, sf_dir):
     )
 
 
+def q_audio_features(spark, sf_dir):
+    """REAL audio decode: the corpus's audio payloads are complete
+    RIFF/WAVE PCM files (8/16-bit, mono/stereo, LIST chunks and RIFF
+    pad bytes exercised) decoded dependency-free in the Arrow kernel
+    (operators/wav.py decode_wav_pcm) into exact-integer feature
+    vectors (rate/channels/frames/bits, sum, abs-sum, peak,
+    zero-crossings), exploded to (media_id, dim, value). Value-checked
+    against a sidecar computed by an INDEPENDENT decoder built on
+    stdlib ``wave`` (oracle_py/wav_ref.py — zero shared code, plain
+    Python loops); the integer feature definition leaves no
+    fp-accumulation slack, so the match is bit-exact."""
+    from wiki_search_engine_spark.operators.multimodal import (
+        decode_audio_features, synth_media,
+    )
+
+    feats = decode_audio_features(synth_media(spark, N_MEDIA))
+    return (
+        feats.filter(F.col("format") == "wav")
+        .select("media_id", F.posexplode("feature").alias("dim", "value"))
+        .select(
+            F.col("media_id").cast("long").alias("media_id"),
+            F.col("dim").cast("long").alias("dim"),
+            "value",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -1148,7 +1175,7 @@ def _media_sidecar() -> str:
     )
 
     here = os.path.dirname(os.path.abspath(__file__))
-    path = os.path.join(here, "oracle_sidecar", "media_expected_v5.parquet")
+    path = os.path.join(here, "oracle_sidecar", "media_expected_v6.parquet")
     if os.path.exists(path):
         return path
     import hashlib
@@ -1165,7 +1192,11 @@ def _media_sidecar() -> str:
         payload = synth_payload(i, N_MEDIA)
         cols["media_id"].append(i)
         cols["kind"].append(kind)
-        cols["format"].append(fmt if kind == "image" else "raw")
+        # audio rows are real RIFF/WAVE files now, so the header parse
+        # on the Spark side reports 'wav'; video remains opaque 'raw'
+        cols["format"].append(
+            fmt if kind == "image" else ("wav" if kind == "audio" else "raw")
+        )
         cols["width"].append(w)
         cols["height"].append(h)
         cols["n_bytes"].append(len(payload))
@@ -1220,6 +1251,49 @@ def _media_embed_sidecar() -> str:
             continue
         ref = {"png": png_ref, "gif": gif_ref, "jpeg": jpeg_ref}[fmt]
         for d, v in enumerate(ref.features(synth_payload(i, N_MEDIA))):
+            ids.append(i)
+            dims.append(d)
+            vals.append(v)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "dim": pa.array(dims, pa.int64()),
+                "value": pa.array(vals, pa.float64()),
+            }
+        ),
+        path,
+    )
+    return path
+
+
+def _audio_sidecar() -> str:
+    """Expected (media_id, dim, value) rows for audio_features,
+    computed WITHOUT Spark by the independent stdlib-``wave`` reference
+    decoder (oracle_py/wav_ref.py) over the same deterministic synth
+    payloads.  Exact-integer features mean any two correct decoders
+    agree to the last double bit."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wiki_search_engine_spark.operators.multimodal import (
+        synth_payload, synth_spec,
+    )
+    from wiki_search_engine_spark.oracle_py import wav_ref
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(here, "oracle_sidecar", "audio_expected_v1.parquet")
+    if os.path.exists(path):
+        return path
+    ids, dims, vals = [], [], []
+    for i in range(N_MEDIA):
+        _doc, kind, _fmt, _w, _h = synth_spec(i, N_MEDIA)
+        if kind != "audio":
+            continue
+        for d, v in enumerate(wav_ref.features(synth_payload(i, N_MEDIA))):
             ids.append(i)
             dims.append(d)
             vals.append(v)
@@ -1410,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiered_deleted_bm25": q_tiered_deleted_bm25,
         "media_features": q_media_features,
         "media_embed": q_media_embed,
+        "audio_features": q_audio_features,
     }
 
 
@@ -1779,6 +1854,10 @@ FROM d WHERE round(dp / (na * nb), 6) >= {NEARDUP_T}""",
         "media_embed": (
             "SELECT media_id::BIGINT AS media_id, dim::BIGINT AS dim, "
             f"value FROM read_parquet('{_media_embed_sidecar()}')"
+        ),
+        "audio_features": (
+            "SELECT media_id::BIGINT AS media_id, dim::BIGINT AS dim, "
+            f"value FROM read_parquet('{_audio_sidecar()}')"
         ),
         "lang_id": _lang_sql(),
         "quality_scores": _QUALITY_SQL,

@@ -391,7 +391,7 @@ def test_decode_media_meta_matches_encoded(spark):
             assert (r["width"], r["height"]) == (w, h)
             assert r["format"] in ("png", "jpeg", "gif")
         else:
-            assert r["format"] == "raw"
+            assert r["format"] == ("wav" if kind == "audio" else "raw")
             assert r["width"] is None and r["height"] is None
 
 
@@ -1040,5 +1040,93 @@ def test_malicious_jpeg_payloads_yield_null_not_failure(spark):
         )
     )
     rows = decode_image_features(df, fake=False).collect()
+    assert len(rows) == len(bad)
+    assert all(r["feature"] is None for r in rows)
+
+
+def test_wav_roundtrip_vs_independent_oracle():
+    """The numpy WAV decoder (operators/wav.py) and the stdlib-``wave``
+    reference decoder (oracle_py/wav_ref.py — zero shared code) must
+    reconstruct identical samples AND identical feature doubles across
+    bit depths, channel counts, LIST chunks, and odd data sizes (RIFF
+    pad byte)."""
+    from wiki_search_engine_spark.operators.wav import (
+        decode_wav_pcm, wav_bytes_full, wav_features,
+    )
+    from wiki_search_engine_spark.operators.multimodal import (
+        parse_media_header,
+    )
+    from wiki_search_engine_spark.oracle_py import wav_ref
+
+    rng = np.random.default_rng(7)
+    for t in range(16):
+        channels = 1 + t % 3
+        bits = 8 if t % 2 else 16
+        n = int(rng.integers(1, 200))
+        if bits == 16:
+            pcm = rng.integers(-32768, 32768, size=(n, channels))
+        else:
+            pcm = rng.integers(-128, 128, size=(n, channels))
+        rate = int(rng.choice([8000, 11025, 44100, 48000]))
+        info = b"x" * int(rng.integers(0, 9)) if t % 3 == 0 else None
+        b = wav_bytes_full(pcm, rate, bits=bits, info=info)
+        assert parse_media_header(b) == ("wav", None, None)
+        samples, got_rate, got_bits = decode_wav_pcm(b)
+        assert (got_rate, got_bits) == (rate, bits)
+        assert (samples == pcm).all()
+        assert wav_features(b) == wav_ref.features(b)
+
+
+def test_malformed_wav_payloads_yield_null_not_failure(spark):
+    """Adversarial WAVs: float-PCM format tag, 24-bit depth, data chunk
+    whose declared size runs past the buffer, data not aligned to whole
+    frames, data before fmt, and a sample-count bomb — ValueError from
+    the decoder, NULL features (never a failed job) through the Spark
+    kernel."""
+    import struct
+
+    import pandas as pd
+
+    from wiki_search_engine_spark.operators.multimodal import (
+        decode_audio_features,
+    )
+    from wiki_search_engine_spark.operators.wav import (
+        decode_wav_pcm, wav_bytes_full,
+    )
+
+    good = wav_bytes_full(
+        np.arange(-20, 20).reshape(-1, 2), 8000, bits=16
+    )
+    fi = good.index(b"fmt ") + 8
+
+    float_fmt = bytearray(good)
+    float_fmt[fi : fi + 2] = struct.pack("<H", 3)  # IEEE float tag
+    bits24 = bytearray(good)
+    bits24[fi + 14 : fi + 16] = struct.pack("<H", 24)
+    bits24[fi + 12 : fi + 14] = struct.pack("<H", 6)  # block_align 2ch*3
+    size_lie = bytearray(good)
+    di = good.index(b"data") + 4
+    size_lie[di : di + 4] = struct.pack("<I", 10_000)
+    misaligned = bytearray(good)
+    misaligned[di : di + 4] = struct.pack("<I", 7)  # not whole 4-byte frames
+    data_first = good[:12] + good[good.index(b"data"):] 
+    bomb = bytearray(good)
+    bomb[di : di + 4] = struct.pack("<I", 0xFFFFFFF0)
+
+    bad = [bytes(x) for x in
+           (float_fmt, bits24, size_lie, misaligned, data_first, bomb)]
+    for b in bad:
+        with pytest.raises(ValueError):
+            decode_wav_pcm(b)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"media_id": i, "kind": "audio", "payload": b,
+                 "n_bytes": len(b)}
+                for i, b in enumerate(bad)
+            ]
+        )
+    )
+    rows = decode_audio_features(df).collect()
     assert len(rows) == len(bad)
     assert all(r["feature"] is None for r in rows)

@@ -608,9 +608,12 @@ def synth_payload(i: int, n: int, seed: int = 42) -> bytes:
     JPEG payloads are complete baseline files (seeded RGB through the
     real FDCT/Huffman encoder, grayscale every fifth, restart
     intervals cycling 0/3/6/9) so entropy decode, DRI resync, and both
-    color modes are exercised. Audio/video are tagged opaque seeded
-    bytes (the RAW0 prefix keeps random bytes from colliding with the
-    2-byte JPEG magic)."""
+    color modes are exercised. Audio payloads are complete RIFF/WAVE
+    PCM files (seeded samples, rate/channels/bit-depth cycling per
+    (i//3), LIST chunks on every other file so parsers must walk
+    chunks, odd data sizes exercising RIFF pad bytes). Video payloads
+    remain tagged opaque seeded bytes (the RAW0 prefix keeps random
+    bytes from colliding with the 2-byte JPEG magic)."""
     _doc, kind, fmt, w, h = synth_spec(i, n)
     digest = hashlib.md5(f"{seed}|{i}".encode()).digest()
     if kind == "image" and fmt == "png":
@@ -645,6 +648,22 @@ def synth_payload(i: int, n: int, seed: int = 42) -> bytes:
             gray=(i % 5 == 0),
             restart_interval=(i % 4) * 3,  # 0 (none), 3, 6, 9 MCUs
         )
+    if kind == "audio":
+        from wiki_search_engine_spark.operators.wav import wav_bytes_full
+
+        k = i // 3  # audio-local index: i % 3 == 1 for every audio row
+        sample_rate = (8000, 16000, 22050, 44100)[k % 4]
+        channels = 1 + (k % 2)
+        bits = 8 if k % 5 == 0 else 16
+        n_frames = 40 + i % 37
+        need = n_frames * channels * 2
+        raw = (digest * (need // 16 + 1))[:need]
+        pcm = np.frombuffer(raw, dtype="<i2").astype(np.int32)
+        if bits == 8:
+            pcm = pcm % 256 - 128  # deterministic signed 8-bit domain
+        pcm = pcm.reshape(n_frames, channels)
+        info = f"synth media {i}".encode() if k % 2 == 0 else None
+        return wav_bytes_full(pcm, sample_rate, bits=bits, info=info)
     filler = (digest * ((64 + i % 192) // 16 + 1))[: 64 + i % 192]
     if kind == "image":
         return _BUILDERS[fmt](w, h, filler)
@@ -654,9 +673,10 @@ def synth_payload(i: int, n: int, seed: int = 42) -> bytes:
 def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
     """Deterministic fake media table. Image payloads carry VALID
     PNG/JPEG/GIF headers (rotating by media_id) whose encoded dimensions
-    are the width/height columns; audio/video payloads are opaque seeded
-    bytes. All formulas live in synth_spec/synth_payload so expected
-    values are recomputable without Spark."""
+    are the width/height columns; audio payloads are complete RIFF/WAVE
+    PCM files; video payloads are opaque seeded bytes. All formulas
+    live in synth_spec/synth_payload so expected values are
+    recomputable without Spark."""
 
     def gen(batches):
         for pdf in batches:
@@ -684,8 +704,15 @@ def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
 def parse_media_header(b: bytes) -> tuple[str, int | None, int | None]:
     """(format, width, height) from raw bytes — pure byte-layout
     parsing, no codec: PNG IHDR, GIF logical screen descriptor, JPEG
-    marker walk to a SOF0/1/2/3 frame header. Unrecognized payloads ->
+    marker walk to a SOF0/1/2/3 frame header, RIFF form types (WAVE ->
+    'wav', 'AVI ' -> 'avi'). Unrecognized payloads ->
     ('raw', None, None); a truncated JPEG -> ('jpeg', None, None)."""
+    if len(b) >= 12 and b[:4] == b"RIFF":
+        if b[8:12] == b"WAVE":
+            return "wav", None, None
+        if b[8:12] == b"AVI ":
+            return "avi", None, None
+        return "raw", None, None
     if len(b) >= 24 and b[:8] == PNG_MAGIC and b[12:16] == b"IHDR":
         return (
             "png",
@@ -885,6 +912,48 @@ def decode_image_features(
     return media.select(
         "media_id", "kind", "n_bytes", "payload"
     ).mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+def decode_audio_features(media: DataFrame) -> DataFrame:
+    """Binary audio payload -> 8-double feature vector (rate, channels,
+    frames, bits, integer sum / abs-sum / peak, zero-crossings),
+    Arrow-batched, schema EMBED_SCHEMA.  The decode is the real
+    dependency-free RIFF/WAVE PCM codec (operators/wav.py) — chunk
+    walk, 8/16-bit framing, pad bytes — and the feature definition is
+    exact-integer, so the independent stdlib-``wave`` reference decoder
+    (oracle_py/wav_ref.py) matches bit-for-bit.  Non-WAV and corrupt
+    payloads carry feature = NULL, never a failed job."""
+    from wiki_search_engine_spark.operators.wav import wav_features
+
+    def kernel(batches):
+        for pdf in batches:
+            fmts, md5s, feats = [], [], []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                md5s.append(hashlib.md5(b).hexdigest())
+                fmt, _w, _h = parse_media_header(b)
+                fmts.append(fmt)
+                if fmt != "wav":
+                    feats.append(None)
+                    continue
+                try:
+                    feats.append(wav_features(b))
+                except Exception:
+                    feats.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "format": fmts,
+                    "n_bytes": pdf["n_bytes"],
+                    "payload_md5": md5s,
+                    "feature": feats,
+                }
+            )
+
+    return media.select(
+        "media_id", "kind", "n_bytes", "payload"
+    ).mapInPandas(kernel, schema=EMBED_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_n_bytes: int = 32) -> DataFrame:
