@@ -13,15 +13,18 @@ keep the value-hash comparison stable:
   engine's base analyzer (functions/analyzer.py — lowercase, punctuation ->
   space, whitespace split, drop all-digit tokens longer than 4).
 
-Every entry has a value-level oracle. Three use non-view sources the SQL
+Every entry has a value-level oracle. A few use non-view sources the SQL
 reads directly: ``bm25_stemmed`` scores over a sidecar parquet of
 pure-Python-stemmed tokens (Porter is not SQL-expressible; the scoring
-math stays in SQL), and ``media_features`` / ``media_embed`` compare
-against sidecars of independently computed expected rows (the payloads
-are Spark-side synthesized binaries, not a driver view; media_embed's
-sidecars come from the independent scalar PNG/GIF decoders in
-oracle_py/png_ref.py and oracle_py/gif_ref.py). ``simhash_near_dups`` is fully transliterated to
-SQL (md5-hex -> uint64 via strpos+shifts, bit_count/xor hamming).
+math stays in SQL), and the media entries (``media_features``,
+``media_embed``, ``audio_features``, ``video_frames``) compare against
+sidecars of independently computed expected rows (the payloads are
+Spark-side synthesized binaries, not a driver view; the sidecars come
+from the independent decoders in oracle_py/ — scalar PNG/GIF/JPEG pixel
+decoders, a stdlib-``wave`` audio decoder, and an idx1-index AVI
+parser, none sharing code with the kernels). ``simhash_near_dups`` is
+fully transliterated to SQL (md5-hex -> uint64 via strpos+shifts,
+bit_count/xor hamming).
 """
 
 from __future__ import annotations
@@ -981,6 +984,38 @@ def q_audio_features(spark, sf_dir):
     )
 
 
+def q_video_frames(spark, sf_dir):
+    """REAL video frame sampling: the corpus's video payloads are
+    complete single-stream MJPG AVI files (RIFF container, 00dc JPEG
+    frame chunks, idx1 index) parsed dependency-free in the Arrow
+    kernel (operators/avi.py walks the LIST tree), every 2nd frame
+    decoded through the integer-exact JPEG spec into a 12-double
+    vector (container meta + pixel features), exploded to
+    (media_id, frame_idx, dim, value). Value-checked against a sidecar
+    computed by an INDEPENDENT parser that resolves frames through the
+    idx1 index instead (oracle_py/avi_ref.py + the scalar jpeg_ref
+    decoder — zero shared code); integer-exact decode means the match
+    is bit-exact."""
+    from wiki_search_engine_spark.operators.multimodal import (
+        decode_video_features, synth_media,
+    )
+
+    frames = decode_video_features(synth_media(spark, N_MEDIA), every_n=2)
+    return (
+        frames.filter(F.col("format") == "avi")
+        .select(
+            "media_id", "frame_idx",
+            F.posexplode("feature").alias("dim", "value"),
+        )
+        .select(
+            F.col("media_id").cast("long").alias("media_id"),
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            F.col("dim").cast("long").alias("dim"),
+            "value",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -1175,7 +1210,7 @@ def _media_sidecar() -> str:
     )
 
     here = os.path.dirname(os.path.abspath(__file__))
-    path = os.path.join(here, "oracle_sidecar", "media_expected_v6.parquet")
+    path = os.path.join(here, "oracle_sidecar", "media_expected_v7.parquet")
     if os.path.exists(path):
         return path
     import hashlib
@@ -1192,10 +1227,10 @@ def _media_sidecar() -> str:
         payload = synth_payload(i, N_MEDIA)
         cols["media_id"].append(i)
         cols["kind"].append(kind)
-        # audio rows are real RIFF/WAVE files now, so the header parse
-        # on the Spark side reports 'wav'; video remains opaque 'raw'
+        # audio/video rows are real RIFF files now, so the header
+        # parse on the Spark side reports 'wav' / 'avi'
         cols["format"].append(
-            fmt if kind == "image" else ("wav" if kind == "audio" else "raw")
+            fmt if kind == "image" else ("wav" if kind == "audio" else "avi")
         )
         cols["width"].append(w)
         cols["height"].append(h)
@@ -1302,6 +1337,53 @@ def _audio_sidecar() -> str:
         pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
+                "dim": pa.array(dims, pa.int64()),
+                "value": pa.array(vals, pa.float64()),
+            }
+        ),
+        path,
+    )
+    return path
+
+
+def _video_sidecar() -> str:
+    """Expected (media_id, frame_idx, dim, value) rows for
+    video_frames, computed WITHOUT Spark by the independent idx1-based
+    AVI parser + scalar JPEG decoder (oracle_py/avi_ref.py) over the
+    same deterministic synth payloads, every_n=2 sampling."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wiki_search_engine_spark.operators.multimodal import (
+        synth_payload, synth_spec,
+    )
+    from wiki_search_engine_spark.oracle_py import avi_ref
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(here, "oracle_sidecar", "video_expected_v1.parquet")
+    if os.path.exists(path):
+        return path
+    ids, fidx, dims, vals = [], [], [], []
+    for i in range(N_MEDIA):
+        _doc, kind, _fmt, _w, _h = synth_spec(i, N_MEDIA)
+        if kind != "video":
+            continue
+        for idx, feat in avi_ref.frame_features(
+            synth_payload(i, N_MEDIA), every_n=2
+        ):
+            for d, v in enumerate(feat):
+                ids.append(i)
+                fidx.append(idx)
+                dims.append(d)
+                vals.append(v)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int64()),
                 "dim": pa.array(dims, pa.int64()),
                 "value": pa.array(vals, pa.float64()),
             }
@@ -1485,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_embed": q_media_embed,
         "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
     }
 
 
@@ -1858,6 +1941,11 @@ FROM d WHERE round(dp / (na * nb), 6) >= {NEARDUP_T}""",
         "audio_features": (
             "SELECT media_id::BIGINT AS media_id, dim::BIGINT AS dim, "
             f"value FROM read_parquet('{_audio_sidecar()}')"
+        ),
+        "video_frames": (
+            "SELECT media_id::BIGINT AS media_id, "
+            "frame_idx::BIGINT AS frame_idx, dim::BIGINT AS dim, "
+            f"value FROM read_parquet('{_video_sidecar()}')"
         ),
         "lang_id": _lang_sql(),
         "quality_scores": _QUALITY_SQL,

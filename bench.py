@@ -292,6 +292,8 @@ def main() -> None:
         ("ann_ivf_trained", E.q_ann_ivf_trained),
         ("media_decode", E.q_media_features),
         ("media_embed", E.q_media_embed),
+        ("audio_decode", E.q_audio_features),
+        ("video_frames", E.q_video_frames),
         ("tiered_deleted_bm25", E.q_tiered_deleted_bm25),
         ("quality_scores", E.q_quality_scores),
         ("bm25_docs_table", E.q_bm25_top50_wand),

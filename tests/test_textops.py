@@ -391,7 +391,7 @@ def test_decode_media_meta_matches_encoded(spark):
             assert (r["width"], r["height"]) == (w, h)
             assert r["format"] in ("png", "jpeg", "gif")
         else:
-            assert r["format"] == ("wav" if kind == "audio" else "raw")
+            assert r["format"] == ("wav" if kind == "audio" else "avi")
             assert r["width"] is None and r["height"] is None
 
 
@@ -1130,3 +1130,99 @@ def test_malformed_wav_payloads_yield_null_not_failure(spark):
     rows = decode_audio_features(df).collect()
     assert len(rows) == len(bad)
     assert all(r["feature"] is None for r in rows)
+
+
+def test_avi_roundtrip_vs_independent_oracle():
+    """The LIST-walking AVI parser (operators/avi.py) and the
+    idx1-index-based reference parser (oracle_py/avi_ref.py — zero
+    shared code, structurally different route through the file) must
+    extract identical frame bytes AND identical per-frame feature
+    doubles across geometries, frame counts, grayscale, restart
+    intervals, and sampling strides."""
+    from wiki_search_engine_spark.operators.avi import (
+        avi_bytes_full, avi_frame_features, decode_avi_frames,
+    )
+    from wiki_search_engine_spark.operators.multimodal import (
+        parse_media_header,
+    )
+    from wiki_search_engine_spark.oracle_py import avi_ref
+
+    rng = np.random.default_rng(13)
+    for t in range(8):
+        w, h = 8 + 8 * (t % 4), 8 + 8 * (t % 3)
+        n = 1 + t % 5
+        frames = [
+            rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            for _ in range(n)
+        ]
+        us = [33333, 40000, 66667][t % 3]
+        b = avi_bytes_full(
+            frames, us_per_frame=us, gray=(t % 5 == 0),
+            restart_interval=(t % 3) * 2,
+        )
+        assert parse_media_header(b) == ("avi", None, None)
+        got, gw, gh, gus = decode_avi_frames(b)
+        assert (gw, gh, gus, len(got)) == (w, h, us, n)
+        ref_frames, *_ = avi_ref.frames(b)
+        assert got == ref_frames
+        for stride in (1, 2, 3):
+            assert avi_frame_features(b, stride) == avi_ref.frame_features(
+                b, stride
+            )
+
+
+def test_malformed_avi_payloads_yield_null_not_failure(spark):
+    """Adversarial AVIs: frame-count lie in avih, chunk size past the
+    buffer, a frame-count bomb, a multi-stream claim, a non-MJPG
+    handler, and a truncated movi — ValueError from the decoder, a
+    single NULL-feature row (never a failed job) through the Spark
+    kernel."""
+    import struct
+
+    import pandas as pd
+
+    from wiki_search_engine_spark.operators.avi import (
+        avi_bytes_full, decode_avi_frames,
+    )
+    from wiki_search_engine_spark.operators.multimodal import (
+        decode_video_features,
+    )
+
+    rng = np.random.default_rng(17)
+    good = avi_bytes_full(
+        [rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+         for _ in range(3)],
+    )
+    ah = good.index(b"avih") + 8
+
+    count_lie = bytearray(good)
+    count_lie[ah + 16 : ah + 20] = struct.pack("<I", 7)
+    bomb = bytearray(good)
+    bomb[ah + 16 : ah + 20] = struct.pack("<I", 1 << 20)
+    streams_lie = bytearray(good)
+    streams_lie[ah + 24 : ah + 28] = struct.pack("<I", 2)
+    not_mjpg = bytearray(good)
+    sh = good.index(b"strh") + 8
+    not_mjpg[sh + 4 : sh + 8] = b"H264"
+    size_lie = bytearray(good)
+    mv = good.index(b"00dc") + 4
+    size_lie[mv : mv + 4] = struct.pack("<I", 1 << 24)
+    truncated = good[: good.index(b"movi") + 40]
+
+    bad = [bytes(x) for x in
+           (count_lie, bomb, streams_lie, not_mjpg, size_lie, truncated)]
+    for b in bad:
+        with pytest.raises(ValueError):
+            decode_avi_frames(b)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"media_id": i, "kind": "video", "payload": b,
+                 "n_bytes": len(b)}
+                for i, b in enumerate(bad)
+            ]
+        )
+    )
+    rows = decode_video_features(df).collect()
+    assert len(rows) == len(bad)
+    assert all(r["feature"] is None and r["frame_idx"] is None for r in rows)

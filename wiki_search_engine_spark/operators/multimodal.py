@@ -580,7 +580,6 @@ def jpeg_bytes(w: int, h: int, filler: bytes = b"") -> bytes:
 
 
 IMAGE_FORMATS = ("png", "jpeg", "gif")
-_BUILDERS = {"png": png_bytes, "jpeg": jpeg_bytes, "gif": gif_bytes}
 
 
 def synth_spec(i: int, n: int) -> tuple[int, str, str | None, int | None,
@@ -612,8 +611,8 @@ def synth_payload(i: int, n: int, seed: int = 42) -> bytes:
     PCM files (seeded samples, rate/channels/bit-depth cycling per
     (i//3), LIST chunks on every other file so parsers must walk
     chunks, odd data sizes exercising RIFF pad bytes). Video payloads
-    remain tagged opaque seeded bytes (the RAW0 prefix keeps random
-    bytes from colliding with the 2-byte JPEG magic)."""
+    are complete single-stream MJPG AVIs (2-5 seeded JPEG frames,
+    geometry/fps/grayscale/restart-interval cycling per (i//3))."""
     _doc, kind, fmt, w, h = synth_spec(i, n)
     digest = hashlib.md5(f"{seed}|{i}".encode()).digest()
     if kind == "image" and fmt == "png":
@@ -664,17 +663,32 @@ def synth_payload(i: int, n: int, seed: int = 42) -> bytes:
         pcm = pcm.reshape(n_frames, channels)
         info = f"synth media {i}".encode() if k % 2 == 0 else None
         return wav_bytes_full(pcm, sample_rate, bits=bits, info=info)
-    filler = (digest * ((64 + i % 192) // 16 + 1))[: 64 + i % 192]
-    if kind == "image":
-        return _BUILDERS[fmt](w, h, filler)
-    return b"RAW0" + filler
+    if kind == "video":
+        from wiki_search_engine_spark.operators.avi import avi_bytes_full
+
+        k = i // 3  # video-local index: i % 3 == 2 for every video row
+        vw = 16 + (k % 3) * 8
+        vh = 16 + (k % 2) * 8
+        n_frames = 2 + k % 4
+        need = n_frames * vw * vh * 3
+        raw = (digest * (need // 16 + 1))[:need]
+        frames = list(
+            np.frombuffer(raw, dtype=np.uint8).reshape(n_frames, vh, vw, 3)
+        )
+        return avi_bytes_full(
+            frames,
+            us_per_frame=(33333, 40000, 66667, 100000)[k % 4],
+            gray=(k % 7 == 0),
+            restart_interval=(k % 3) * 2,
+        )
+    raise AssertionError(f"unhandled synth kind {kind}")  # unreachable
 
 
 def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
     """Deterministic fake media table. Image payloads carry VALID
     PNG/JPEG/GIF headers (rotating by media_id) whose encoded dimensions
     are the width/height columns; audio payloads are complete RIFF/WAVE
-    PCM files; video payloads are opaque seeded bytes. All formulas
+    PCM files; video payloads are complete MJPG AVIs. All formulas
     live in synth_spec/synth_payload so expected values are
     recomputable without Spark."""
 
@@ -954,6 +968,66 @@ def decode_audio_features(media: DataFrame) -> DataFrame:
     return media.select(
         "media_id", "kind", "n_bytes", "payload"
     ).mapInPandas(kernel, schema=EMBED_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "media_id long, kind string, format string, n_bytes int, "
+    "frame_idx int, feature array<double>"
+)
+
+
+def decode_video_features(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL frame sampling: binary video payload -> one row per
+    sampled frame (every ``every_n``-th), Arrow-batched, schema
+    FRAME_SCHEMA.  The container decode is the dependency-free
+    AVI/MJPG parser (operators/avi.py); each sampled frame goes through
+    the integer-exact JPEG decode spec into a 12-double vector
+    (container meta [w, h, n_frames, us_per_frame] + rgba_features),
+    so the independent idx1-based reference parser
+    (oracle_py/avi_ref.py) matches bit-for-bit.  Non-AVI and corrupt
+    payloads carry one row with frame_idx/feature NULL — visible, never
+    a failed job."""
+    from wiki_search_engine_spark.operators.avi import avi_frame_features
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for mid, kind, nb, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["n_bytes"], pdf["payload"]
+            ):
+                b = bytes(payload)
+                fmt, _w, _h = parse_media_header(b)
+                base = {
+                    "media_id": mid,
+                    "kind": kind,
+                    "format": fmt,
+                    "n_bytes": nb,
+                }
+                if fmt != "avi":
+                    rows.append({**base, "frame_idx": None, "feature": None})
+                    continue
+                try:
+                    feats = avi_frame_features(b, every_n=every_n)
+                except Exception:
+                    feats = None
+                if feats is None:
+                    rows.append({**base, "frame_idx": None, "feature": None})
+                else:
+                    rows.extend(
+                        {**base, "frame_idx": idx, "feature": f}
+                        for idx, f in feats
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "format", "n_bytes", "frame_idx",
+                    "feature",
+                ],
+            )
+
+    return media.select(
+        "media_id", "kind", "n_bytes", "payload"
+    ).mapInPandas(kernel, schema=FRAME_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_n_bytes: int = 32) -> DataFrame:
