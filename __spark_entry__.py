@@ -1016,6 +1016,66 @@ def q_video_frames(spark, sf_dir):
     )
 
 
+MEDIA_EMBED_DIM, MEDIA_EMBED_SEED = 16, 1234
+
+
+def _media_planes() -> list[list[float]]:
+    from wiki_search_engine_spark.operators.similarity import hyperplanes
+
+    return hyperplanes(8, MEDIA_EMBED_DIM, MEDIA_EMBED_SEED)
+
+
+def _media_query_embedding() -> list[float]:
+    """Query embedding for media_ann_top5, computed driver-side from
+    the synth corpus's media 0 (a PNG): real pixel decode -> the same
+    left-assoc projection chains the Spark/SQL sides use."""
+    from wiki_search_engine_spark.operators.multimodal import (
+        png_pixel_features, synth_payload,
+    )
+
+    feat = png_pixel_features(synth_payload(0, N_MEDIA))
+    out = []
+    for plane in _media_planes():
+        acc = feat[0] * plane[0]
+        for k in range(1, len(plane)):
+            acc = acc + feat[k] * plane[k]
+        out.append(acc)
+    return out
+
+
+def q_media_ann_top5(spark, sf_dir):
+    """End-to-end media similarity search: binary payloads -> REAL
+    pixel decode (all three image codecs) -> deterministic seeded
+    linear projection into a 16-dim embedding (operators/similarity.py
+    project_embedding — the documented stand-in for the learned CNN
+    embed; a real model drops into the same column contract) -> exact
+    cosine top-5 against media 0's embedding. The whole pipeline after
+    the decode kernel is Catalyst codegen (literal-weight product
+    chains + the cosine HOFs); the oracle replays decode via the
+    independent-scalar-decoder sidecar and the projection/cosine as
+    the identical SQL expressions. Top hit must be media 0 itself at
+    cos_sim 1.0."""
+    from wiki_search_engine_spark.operators.multimodal import (
+        decode_image_features, synth_media,
+    )
+    from wiki_search_engine_spark.operators.similarity import (
+        cosine_topk, project_embedding,
+    )
+
+    feats = decode_image_features(
+        synth_media(spark, N_MEDIA), fake=False
+    ).filter(F.col("feature").isNotNull())
+    proj = project_embedding(feats, _media_planes())
+    out = cosine_topk(
+        proj.select(F.col("media_id").alias("vec_id"), "embedding"),
+        _media_query_embedding(),
+        k=5,
+    )
+    return out.select(
+        F.col("vec_id").cast("long").alias("media_id"), "cos_sim"
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -1393,6 +1453,37 @@ def _video_sidecar() -> str:
     return path
 
 
+def _media_ann_sql() -> str:
+    """Full SQL replay of media_ann_top5: features from the
+    independent-decoder sidecar, projection as the same literal-weight
+    left-assoc chains, cosine/round/order as in cosine_topk."""
+    chains = ",\n    ".join(
+        " + ".join(f"v.fv[{k + 1}]*{w!r}" for k, w in enumerate(plane))
+        for plane in _media_planes()
+    )
+    d = MEDIA_EMBED_DIM
+    return f"""
+WITH f AS (SELECT media_id, dim, value
+           FROM read_parquet('{_media_embed_sidecar()}')),
+v AS (SELECT media_id, list(value ORDER BY dim) AS fv
+      FROM f GROUP BY media_id),
+emb AS (SELECT media_id, [{chains}] AS ev FROM v),
+q AS (SELECT ev AS qv FROM emb WHERE media_id = 0),
+d AS (
+  SELECT emb.media_id,
+    (SELECT sum(emb.ev[i] * q.qv[i])
+     FROM generate_series(1, {d}) g(i)) AS dp,
+    sqrt((SELECT sum(emb.ev[i] * emb.ev[i])
+          FROM generate_series(1, {d}) g(i))) AS na,
+    sqrt((SELECT sum(q.qv[i] * q.qv[i])
+          FROM generate_series(1, {d}) g(i))) AS nb
+  FROM emb CROSS JOIN q)
+SELECT media_id::BIGINT AS media_id,
+  round(CASE WHEN na * nb > 0 THEN dp / (na * nb) ELSE 0.0 END, 6)
+    AS cos_sim
+FROM d ORDER BY cos_sim DESC, media_id LIMIT 5"""
+
+
 def _simhash_sql(max_hamming: int) -> str:
     """Full SQL transliteration of operators/dedup.py simhash +
     simhash_near_dups: per-token 64-bit hash = first 8 md5 bytes
@@ -1568,6 +1659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_embed": q_media_embed,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
+        "media_ann_top5": q_media_ann_top5,
     }
 
 
@@ -1947,6 +2039,7 @@ FROM d WHERE round(dp / (na * nb), 6) >= {NEARDUP_T}""",
             "frame_idx::BIGINT AS frame_idx, dim::BIGINT AS dim, "
             f"value FROM read_parquet('{_video_sidecar()}')"
         ),
+        "media_ann_top5": _media_ann_sql(),
         "lang_id": _lang_sql(),
         "quality_scores": _QUALITY_SQL,
         "doc_fingerprint": f"""

@@ -1226,3 +1226,33 @@ def test_malformed_avi_payloads_yield_null_not_failure(spark):
     rows = decode_video_features(df).collect()
     assert len(rows) == len(bad)
     assert all(r["feature"] is None and r["frame_idx"] is None for r in rows)
+
+
+def test_media_projection_embedding_topk(spark):
+    """decode -> project_embedding -> cosine_topk composition: the
+    projection emits literal-weight codegen chains (no UDF) of the
+    configured dimension, and querying with media 0's own embedding
+    returns media 0 first at cos_sim 1.0."""
+    import __spark_entry__ as E
+    from wiki_search_engine_spark.operators.multimodal import (
+        decode_image_features, synth_media,
+    )
+    from wiki_search_engine_spark.operators.similarity import (
+        cosine_topk, project_embedding,
+    )
+
+    feats = decode_image_features(
+        synth_media(spark, 60), fake=False
+    ).filter(F.col("feature").isNotNull())
+    proj = project_embedding(feats, E._media_planes())
+    rows = proj.select("media_id", "embedding").collect()
+    assert all(len(r["embedding"]) == E.MEDIA_EMBED_DIM for r in rows)
+    # no Python row UDF in the plan: the projection is pure expressions
+    plan = proj._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    got = cosine_topk(
+        proj.select(F.col("media_id").alias("vec_id"), "embedding"),
+        E._media_query_embedding(),
+        k=3,
+    ).collect()
+    assert got[0]["vec_id"] == 0 and got[0]["cos_sim"] == 1.0

@@ -74,6 +74,36 @@ def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42):
     ]
 
 
+def project_embedding(
+    df: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "feature",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic linear projection of a short feature vector into a
+    d-dim embedding column — the documented stand-in for the learned
+    CNN embed slot (a real model drops into the same column contract:
+    media -> decode -> embed array -> cosine/LSH/IVF family).
+
+    Catalyst-only and UDF-free: each output dimension is an explicit
+    left-associated product chain over literal plane weights, so the
+    whole projection stays inside whole-stage codegen AND the SQL
+    oracle can replay the identical expression; no shuffle, no
+    higher-order-function lambda touching outer expressions (see the
+    interpreted-lambda re-evaluation trap documented in
+    functions/textstats.py shingles)."""
+    dims = []
+    for plane in planes:
+        expr = None
+        for k, w in enumerate(plane):
+            term = F.element_at(F.col(vec_col), k + 1).cast(
+                "double"
+            ) * F.lit(float(w))
+            expr = term if expr is None else expr + term
+        dims.append(expr)
+    return df.withColumn(out_col, F.array(*dims))
+
+
 def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     """Sign-of-dot-product bucket id in [0, 2^n_planes)."""
     bucket = F.lit(0)
