@@ -132,7 +132,54 @@ def main(argv=None):
     q.add_argument(
         "--path", choices=["wand", "exhaustive", "local"], default="wand"
     )
+    q.add_argument(
+        "--snapshot", default=None,
+        help="time travel: serve a retained named snapshot of a "
+        "pointer-root index instead of the current pointer target "
+        "(single-index only; see the snapshots subcommand)",
+    )
+
+    sn = sub.add_parser("snapshots")
+    sn.add_argument("--index", required=True)
+    sn.add_argument(
+        "--expire-keep-last", type=int, default=None,
+        help="also expire snapshots beyond the newest N (plus the "
+        "current pointer target, which is never removed)",
+    )
     args = p.parse_args(argv)
+
+    if args.cmd == "snapshots":
+        # pure metadata: no SparkSession needed
+        from wiki_search_engine_spark.streaming.ingest import (
+            expire_snapshots, list_snapshots, read_index_pointer,
+            read_snapshot_log,
+        )
+
+        removed = []
+        if args.expire_keep_last is not None:
+            removed = expire_snapshots(
+                args.index, keep_last=args.expire_keep_last
+            )
+        cur = read_index_pointer(args.index)
+        logged = {r["name"]: r for r in read_snapshot_log(args.index)}
+        print(
+            json.dumps(
+                {
+                    "current": cur,
+                    "snapshots": [
+                        {
+                            "name": n,
+                            "batch_id": logged.get(n, {}).get("batch_id"),
+                            "ts": logged.get(n, {}).get("ts"),
+                            "is_current": n == cur,
+                        }
+                        for n in list_snapshots(args.index)
+                    ],
+                    "expired": removed,
+                }
+            )
+        )
+        return 0
 
     from wiki_search_engine_spark.session import get_spark
 
@@ -288,6 +335,11 @@ def main(argv=None):
         )
 
         dirs = [d for d in args.index.split(",") if d]
+        if args.snapshot and len(dirs) > 1:
+            raise SystemExit(
+                "--snapshot is single-index only; time-travel each "
+                "segment root separately"
+            )
         t0 = time.time()
         try:
             if len(dirs) > 1:
@@ -325,7 +377,9 @@ def main(argv=None):
                     key=lambda r: (-r["score"], r["docid"]),
                 )
             else:
-                eng = SearchEngine.load(spark, dirs[0])
+                eng = SearchEngine.load(
+                    spark, dirs[0], snapshot=args.snapshot
+                )
                 rows = eng.search(
                     args.query, k=args.k, mode=args.mode, path=args.path
                 ).collect()

@@ -206,7 +206,8 @@ def test_streaming_index_maintenance(spark, tmp_path):
     from wiki_search_engine_spark.engine import SearchEngine
     from wiki_search_engine_spark.sources.synth import doc_row
     from wiki_search_engine_spark.streaming.ingest import (
-        maintain_index_incremental,
+        list_snapshots, maintain_index_incremental, read_index_pointer,
+        read_snapshot_log,
     )
 
     kw = dict(stem=True, n_buckets=8, bucket_groups=1, salt_bits=2)
@@ -233,7 +234,8 @@ def test_streaming_index_maintenance(spark, tmp_path):
 
     def drain():
         q = maintain_index_incremental(
-            spark, str(stream_dir) + "/*", idx, ckpt, work
+            spark, str(stream_dir) + "/*", idx, ckpt, work,
+            retain_snapshots=2,
         )
         q.awaitTermination(120)
 
@@ -261,6 +263,26 @@ def test_streaming_index_maintenance(spark, tmp_path):
         except Exception:
             continue
         assert got == exp, q
+
+    # retention + time travel: retain_snapshots=2 kept exactly the last
+    # two commits (v_init was expired), the log matches what is on
+    # disk, and loading the older snapshot by name serves the index AS
+    # OF batch 1 (50 docs: 40 base - 10 re-crawled + 10 re-crawls + 10
+    # new) while the pointer serves batch 2's 60
+    snaps = list_snapshots(idx)
+    assert len(snaps) == 2
+    assert snaps[-1] == read_index_pointer(idx)
+    assert [r["name"] for r in read_snapshot_log(idx)] == snaps
+    assert live.n == 60
+    old = SearchEngine.load(spark, idx, snapshot=snaps[0])
+    assert old.n == 50
+    # the travelable snapshot predates batch2's docs entirely
+    q2 = batch2[0]["text"].split()[0]
+    old_hits = {d for d, _ in old.search_local(q2, k=60)}
+    new_docs = {r["url"] for r in batch2}
+    assert not {
+        r["url"] for r in old.lookup_docs(list(old_hits))
+    } & new_docs
 
 
 def test_streaming_segment_maintenance(spark, tmp_path):
@@ -479,3 +501,125 @@ def test_pointer_commit_crash_injection(spark, tmp_path):
     cleanup_index_root(root, keep=read_index_pointer(root))
     servable(30)
     assert not os.path.exists(f"{root}/v_b2.building")
+
+
+def test_snapshot_log_retention_time_travel(spark, tmp_path):
+    """snapshots.log semantics without Spark jobs in the loop: torn
+    tails are skipped, a flip-then-crash (pointer updated, commit never
+    logged) still lists the current snapshot, expire keeps the newest
+    keep_last plus current and compacts the log, and time travel
+    resolves names / rejects what it must (expired name, plain dir)."""
+    import json
+    import os
+
+    import pandas as pd
+    import pytest
+
+    from tests.conftest import SEED
+    from wiki_search_engine_spark.engine import SearchEngine
+    from wiki_search_engine_spark.sources.synth import doc_row
+    from wiki_search_engine_spark.streaming.ingest import (
+        append_snapshot_log, enroll_index_root, expire_snapshots,
+        list_snapshots, read_index_pointer, read_snapshot_log,
+        write_index_pointer,
+    )
+
+    kw = dict(stem=True, n_buckets=4, bucket_groups=1, salt_bits=2)
+    root = str(tmp_path / "root")
+    SearchEngine.build(
+        spark,
+        spark.createDataFrame(
+            pd.DataFrame([doc_row(i, SEED) for i in range(8)])
+        ),
+        root, **kw,
+    )
+    enroll_index_root(root)
+    assert [r["name"] for r in read_snapshot_log(root)] == ["v_init"]
+
+    # fake three more commits by cloning the snapshot (contents don't
+    # matter for the metadata layer under test)
+    import shutil
+
+    for i in range(3):
+        name = f"v_{i:08d}"
+        shutil.copytree(f"{root}/v_init", f"{root}/{name}")
+        write_index_pointer(root, name)
+        append_snapshot_log(root, name, batch_id=i)
+    assert list_snapshots(root) == [
+        "v_init", "v_00000000", "v_00000001", "v_00000002",
+    ]
+
+    # torn final line (crash mid-append) is skipped, not an error
+    with open(f"{root}/snapshots.log", "a") as f:
+        f.write('{"name": "v_torn"')
+    assert [r["name"] for r in read_snapshot_log(root)][-1] == (
+        "v_00000002"
+    )
+
+    # flip-then-crash: pointer names a snapshot the log never recorded
+    shutil.copytree(f"{root}/v_init", f"{root}/v_unlogged")
+    write_index_pointer(root, "v_unlogged")
+    assert list_snapshots(root)[-1] == "v_unlogged"
+
+    # expire: newest keep_last=2 (v_00000002, v_unlogged-as-current)
+    # survive; the log is compacted to surviving on-disk records
+    removed = expire_snapshots(root, keep_last=2)
+    assert sorted(removed) == ["v_00000000", "v_00000001", "v_init"]
+    assert list_snapshots(root) == ["v_00000002", "v_unlogged"]
+    assert not os.path.isdir(f"{root}/v_init")
+    assert all(
+        os.path.isdir(f"{root}/{r['name']}")
+        for r in read_snapshot_log(root)
+    )
+
+    # expire never removes the pointer target, even at keep_last=1
+    expire_snapshots(root, keep_last=1)
+    assert read_index_pointer(root) == "v_unlogged"
+    assert os.path.isdir(f"{root}/v_unlogged")
+
+    # time travel: named load serves, expired/unknown name errors with
+    # the travelable list, plain directories refuse the kwarg
+    eng = SearchEngine.load(spark, root, snapshot="v_unlogged")
+    assert eng.n == 8
+    with pytest.raises(FileNotFoundError, match="v_unlogged"):
+        SearchEngine.load(spark, root, snapshot="v_00000000")
+    plain = str(tmp_path / "plain")
+    SearchEngine.build(
+        spark,
+        spark.createDataFrame(
+            pd.DataFrame([doc_row(i, SEED) for i in range(4)])
+        ),
+        plain, **kw,
+    )
+    with pytest.raises(ValueError, match="snapshot root"):
+        SearchEngine.load(spark, plain, snapshot="v_init")
+
+    # CLI surface: snapshots subcommand lists + expires without Spark
+    import io
+    import sys as _sys
+
+    sys_path_added = "/root/repo/scripts" not in _sys.path
+    if sys_path_added:
+        _sys.path.insert(0, "/root/repo/scripts")
+    try:
+        import run_engine
+
+        buf = io.StringIO()
+        stdout, _sys.stdout = _sys.stdout, buf
+        try:
+            rc = run_engine.main(["snapshots", "--index", root])
+        finally:
+            _sys.stdout = stdout
+        assert rc == 0
+        out = json.loads(buf.getvalue())
+        assert out["current"] == "v_unlogged"
+        assert [s["name"] for s in out["snapshots"]] == list_snapshots(
+            root
+        )
+        assert all(
+            s["is_current"] == (s["name"] == "v_unlogged")
+            for s in out["snapshots"]
+        )
+    finally:
+        if sys_path_added:
+            _sys.path.remove("/root/repo/scripts")

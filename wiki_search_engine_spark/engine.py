@@ -40,7 +40,7 @@ def salt_of(docid: int, salt_bits: int) -> int:
     return (int(docid) & 0xFFFFFFFFFFFFFFFF) >> (63 - salt_bits)
 
 
-def resolve_index_dir(path: str) -> str:
+def resolve_index_dir(path: str, snapshot: str | None = None) -> str:
     """Pointer-root resolution: a path whose directory contains a
     ``current`` file is a SNAPSHOT ROOT — the file names the live
     snapshot subdirectory (streaming/ingest.py flips it atomically on
@@ -49,14 +49,35 @@ def resolve_index_dir(path: str) -> str:
     directory resolves to itself. An engine instance PINS the resolved
     snapshot: it keeps serving that snapshot across later flips until
     reloaded (POSIX keeps open files alive; on object storage, until
-    snapshot GC)."""
+    snapshot GC).
+
+    ``snapshot`` is TIME TRAVEL: resolve to that named snapshot instead
+    of the pointer target (only meaningful on a snapshot root kept with
+    retain_snapshots > 1; the error lists what is still travelable)."""
     import os
 
     p = os.path.join(path, "current")
     if os.path.isfile(p):
+        if snapshot is not None:
+            sp = os.path.join(path, snapshot)
+            if not os.path.isdir(sp):
+                from .streaming.ingest import list_snapshots
+
+                raise FileNotFoundError(
+                    f"snapshot {snapshot!r} not found under {path}; "
+                    f"available: {list_snapshots(path)} (older ones may "
+                    "have been expired — raise retain_snapshots)"
+                )
+            return sp
         with open(p) as f:
             name = f.read().strip()
         return os.path.join(path, name)
+    if snapshot is not None:
+        raise ValueError(
+            f"{path} is a plain index directory, not a snapshot root — "
+            "time travel needs the pointer-file layout "
+            "(streaming.ingest.enroll_index_root)"
+        )
     return path
 
 
@@ -178,6 +199,7 @@ class SearchEngine:
         stem: bool | None = None,
         n_buckets: int | None = None,
         cache_terms: int = 0,
+        snapshot: str | None = None,
     ):
         """``cache_terms`` > 0 enables a bounded LRU cache of hot
         posting lists for the driver-local serving path (search_local):
@@ -191,7 +213,9 @@ class SearchEngine:
         import os
 
         self.spark = spark
-        self.index_dir = index_dir = resolve_index_dir(index_dir)
+        self.index_dir = index_dir = resolve_index_dir(
+            index_dir, snapshot=snapshot
+        )
         meta = {}
         meta_path = f"{index_dir}/meta.json"
         if os.path.exists(meta_path):
@@ -322,8 +346,17 @@ class SearchEngine:
         return cls(spark, index_dir, stem=stem)
 
     @classmethod
-    def load(cls, spark: SparkSession, index_dir: str, stem: bool | None = None):
-        return cls(spark, index_dir, stem=stem)
+    def load(
+        cls,
+        spark: SparkSession,
+        index_dir: str,
+        stem: bool | None = None,
+        snapshot: str | None = None,
+    ):
+        """``snapshot`` time-travels a pointer-root index to a named
+        retained commit (streaming.ingest.maintain_index_incremental's
+        retain_snapshots; see resolve_index_dir)."""
+        return cls(spark, index_dir, stem=stem, snapshot=snapshot)
 
     @classmethod
     def merge(

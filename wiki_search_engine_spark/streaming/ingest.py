@@ -153,6 +153,124 @@ def write_index_pointer(index_dir: str, name: str) -> None:
         os.close(dfd)
 
 
+def append_snapshot_log(
+    index_dir: str, name: str, batch_id: int | None = None
+) -> None:
+    """Record a committed snapshot in ``snapshots.log`` (one JSON line
+    per commit, fsynced append) — the local analogue of an Iceberg
+    snapshot/metadata log. Written AFTER the pointer flip, so every
+    logged snapshot was really current once; a crash between flip and
+    log-append leaves ``current`` naming an unlogged snapshot, which
+    readers handle by always unioning the pointer target in
+    (list_snapshots)."""
+    import json
+    import os
+    import time
+
+    with open(os.path.join(index_dir, "snapshots.log"), "a") as f:
+        f.write(
+            json.dumps(
+                {"name": name, "batch_id": batch_id, "ts": time.time()}
+            )
+            + "\n"
+        )
+        f.flush()
+        os.fsync(f.fileno())
+
+
+def read_snapshot_log(index_dir: str) -> list[dict]:
+    """Commit-ordered snapshot records; a torn final line (crash mid
+    append) is skipped, not an error."""
+    import json
+    import os
+
+    path = os.path.join(index_dir, "snapshots.log")
+    if not os.path.exists(path):
+        return []
+    out = []
+    with open(path) as f:
+        for line in f:
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue  # torn tail from a crash mid-append
+            if isinstance(rec, dict) and "name" in rec:
+                out.append(rec)
+    return out
+
+
+def list_snapshots(index_dir: str) -> list[str]:
+    """Names of the snapshots a reader may load, oldest first: the
+    logged commits still on disk, plus whatever ``current`` points at
+    (which may be missing from the log after a flip-then-crash)."""
+    import os
+
+    seen: dict[str, None] = {}
+    for rec in read_snapshot_log(index_dir):
+        name = rec["name"]
+        if os.path.isdir(os.path.join(index_dir, name)):
+            seen.pop(name, None)  # keep-last commit order on re-commits
+            seen[name] = None
+    cur = read_index_pointer(index_dir)
+    if cur not in seen and os.path.isdir(os.path.join(index_dir, cur)):
+        seen[cur] = None
+    return list(seen)
+
+
+def expire_snapshots(index_dir: str, keep_last: int = 1) -> list[str]:
+    """Retention GC — the local analogue of Iceberg's expire_snapshots:
+    keep the newest ``keep_last`` committed snapshots plus whatever
+    ``current`` points at; remove the rest, stale temporaries
+    (``*.building``, ``current.tmp``), and any ``v_*`` directory that is
+    neither logged nor current (a pre-commit crash leftover). The log is
+    then compacted to the surviving records via tmp + atomic rename.
+    Returns the removed snapshot names.
+
+    Crash-safe in either interleaving: directories are removed BEFORE
+    the log rewrite, and list_snapshots filters records by on-disk
+    existence, so a crash between the two steps just leaves dangling
+    records that the next expire drops; a crash after the rewrite but
+    before a directory unlink leaves an unlogged directory that the
+    next expire removes as unreferenced. Single-writer, like the
+    maintenance loop that calls it."""
+    import os
+    import shutil
+
+    snaps = list_snapshots(index_dir)  # oldest first
+    cur = read_index_pointer(index_dir)
+    keep = set(snaps[-max(int(keep_last), 1):]) | {cur}
+    removed = []
+    for e in os.listdir(index_dir):
+        p = os.path.join(index_dir, e)
+        if e == "current.tmp":
+            os.remove(p)
+        elif e.endswith(".building") and os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+        elif e.startswith("v_") and os.path.isdir(p) and e not in keep:
+            shutil.rmtree(p, ignore_errors=True)
+            removed.append(e)
+    if removed:
+        import json
+
+        path = os.path.join(index_dir, "snapshots.log")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            for rec in read_snapshot_log(index_dir):
+                if rec["name"] in keep and os.path.isdir(
+                    os.path.join(index_dir, rec["name"])
+                ):
+                    f.write(json.dumps(rec) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, path)
+        dfd = os.open(index_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    return removed
+
+
 def enroll_index_root(index_dir: str) -> None:
     """One-time in-place migration of a plain index directory into the
     pointer-root layout (entries move into ``v_init``, pointer written).
@@ -187,6 +305,7 @@ def enroll_index_root(index_dir: str) -> None:
                 os.rename(src, os.path.join(building, e))
         os.rename(building, snap)
     write_index_pointer(index_dir, "v_init")
+    append_snapshot_log(index_dir, "v_init")
 
 
 def cleanup_index_root(index_dir: str, keep: str) -> None:
@@ -214,6 +333,7 @@ def maintain_index_incremental(
     work_dir: str,
     stem: bool = True,
     available_now: bool = True,
+    retain_snapshots: int = 1,
 ):
     """Streaming index MAINTENANCE — the crawler-to-index loop closed:
     each micro-batch of landed pages (new urls and re-crawls alike)
@@ -236,7 +356,20 @@ def maintain_index_incremental(
       4. writes current.tmp and atomically renames it over ``current``
          — THE commit (on object storage this file is the Iceberg-style
          manifest pointer; the rename is the table commit);
-      5. removes non-current snapshots and stale temporaries.
+      5. appends the commit to ``snapshots.log`` (the snapshot history,
+         Iceberg metadata-log analogue) and expires snapshots beyond
+         ``retain_snapshots`` plus stale temporaries.
+
+    TIME TRAVEL: with ``retain_snapshots`` > 1, older committed
+    snapshots stay on disk and loadable —
+    ``SearchEngine.load(spark, root, snapshot="v_00000002")`` serves
+    the index as of that commit (a reader pinning a historical version
+    while the stream keeps folding), and ``list_snapshots`` /
+    ``read_snapshot_log`` enumerate what is travelable. The default of
+    1 keeps the old keep-only-current behavior (minimum disk: each
+    snapshot is a full index, so retention costs retain × index size —
+    at 100 TB keep this small and rely on object-store versioning for
+    deep history).
 
     Readers never see a missing index: the pointer always names a
     complete snapshot and both old and new snapshots exist across the
@@ -273,7 +406,7 @@ def maintain_index_incremental(
         if not batch_df.take(1):
             return
         cur_name = read_index_pointer(index_dir)
-        cleanup_index_root(index_dir, keep=cur_name)
+        expire_snapshots(index_dir, keep_last=retain_snapshots)
         delta_dir = f"{work_dir}/delta_b{batch_id}"
         shutil.rmtree(delta_dir, ignore_errors=True)
         SearchEngine.build(
@@ -296,7 +429,8 @@ def maintain_index_incremental(
         )
         os.rename(building, os.path.join(index_dir, new_name))
         write_index_pointer(index_dir, new_name)
-        cleanup_index_root(index_dir, keep=new_name)
+        append_snapshot_log(index_dir, new_name, batch_id=batch_id)
+        expire_snapshots(index_dir, keep_last=retain_snapshots)
         shutil.rmtree(delta_dir, ignore_errors=True)
 
     writer = (
