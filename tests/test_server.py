@@ -129,3 +129,38 @@ def test_semantics_param_over_http(server, fixture_queries, engine):
         )
     }
     assert and_ids == exp
+
+
+def test_pagination_over_http(server, fixture_queries):
+    """&page=N&resultsPerPage=M replays the reference client's slice
+    (react-app/src/App.js:145-147) server-side: pages partition the
+    full top-k in order, carry totalResults, and page past the end is
+    empty; an unpaged request keeps the reference response shape."""
+    q = urllib.parse.quote(fixture_queries[0])
+    with _get(server, f"/query-stem?query={q}&optionName=bm25&k=10") as r:
+        full = json.loads(r.read())
+    assert "page" not in full and "totalResults" not in full
+
+    pages = []
+    for page in (1, 2, 3, 99):
+        with _get(
+            server,
+            f"/query-stem?query={q}&optionName=bm25&k=10"
+            f"&page={page}&resultsPerPage=4",
+        ) as r:
+            pages.append(json.loads(r.read()))
+    for i, body in enumerate(pages[:3], start=1):
+        assert body["page"] == i and body["resultsPerPage"] == 4
+        assert body["totalResults"]["text"] == len(full["textResult"])
+        start = (i - 1) * 4
+        assert [d["file_id"] for d in body["textResult"]] == [
+            d["file_id"] for d in full["textResult"][start:start + 4]
+        ]
+        assert body["imageResult"] == full["imageResult"][start:start + 4]
+    assert pages[3]["textResult"] == [] and pages[3]["imageResult"] == []
+    # junk page param degrades to the unpaged reference shape, not a 500
+    with _get(
+        server, f"/query-stem?query={q}&k=5&page=xx&resultsPerPage=2"
+    ) as r:
+        body = json.loads(r.read())
+    assert r.status == 200 and "page" not in body

@@ -111,13 +111,24 @@ def assemble_reference_response(
     analyze,
     get_ids,
     lookup_docs,
+    page: int | None = None,
+    per_page: int = 10,
 ) -> dict:
     """The ONE implementation of the reference HTTP response shape
     (queryController.js:11-59), shared by SearchEngine and TieredEngine
     (a second copy of the span/assembly machinery drifted once already).
     ``get_ids(mode) -> [(docid, score), ...]`` supplies scoring;
     ``lookup_docs(docids) -> rows`` supplies hydration; spans and the
-    sysSnapshot follow utils/profiler.js."""
+    sysSnapshot follow utils/profiler.js.
+
+    ``page`` enables SERVER-side pagination — the reference does it in
+    the client (react-app/src/App.js:145-147: startIndex =
+    (currentPage-1)*resultsPerPage, slice, resultsPerPage=10) over the
+    full top-k it downloaded; passing page replays that exact slice
+    over BOTH textResult and imageResult here and adds totalResults /
+    page / resultsPerPage so a pager can render without shipping all k
+    hydrated rows per request. page=None (default) keeps the reference
+    API byte-shape."""
     import time
 
     mode = (option_name or "tfidf").lower()
@@ -179,7 +190,7 @@ def assemble_reference_response(
         {"name": "total_request",
          "duration_ms": round(1000 * (time.time() - t_all), 3)}
     )
-    return {
+    resp = {
         "imageResult": image_result,
         "textResult": text_result,
         "searchTime": round(time.time() - t_all, 3),
@@ -189,6 +200,22 @@ def assemble_reference_response(
         },
         "query_terms": terms,
     }
+    if page is not None:
+        # App.js:145-147 verbatim: slice(start, start+per) on whichever
+        # list the client is viewing — both are sliced consistently so
+        # either view paginates; hydration above already happened over
+        # all k ids, matching what the client-side scheme fetched
+        page = max(1, int(page))
+        per_page = max(1, int(per_page))
+        start = (page - 1) * per_page
+        resp["totalResults"] = {
+            "text": len(text_result), "image": len(image_result),
+        }
+        resp["page"] = page
+        resp["resultsPerPage"] = per_page
+        resp["textResult"] = text_result[start:start + per_page]
+        resp["imageResult"] = image_result[start:start + per_page]
+    return resp
 
 
 class SearchEngine:
@@ -766,6 +793,8 @@ class SearchEngine:
         k: int = 50,
         path: str = "local",
         semantics: str = "or",
+        page: int | None = None,
+        per_page: int = 10,
     ) -> dict:
         """The reference's full HTTP response shape
         (backend/controllers/queryController.js:11-59):
@@ -803,7 +832,8 @@ class SearchEngine:
             )
 
         return assemble_reference_response(
-            query, option_name, self.analyze, get_ids, self.lookup_docs
+            query, option_name, self.analyze, get_ids, self.lookup_docs,
+            page=page, per_page=per_page,
         )
 
     def image_results(

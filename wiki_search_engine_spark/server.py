@@ -11,6 +11,9 @@ same contract over ``SearchEngine.query_response`` with a stdlib
 
 Routes:
     GET /query-stem?query=...&optionName=tfidf|bm25[&k=50]  -> 200 JSON
+      [&semantics=and] conjunctive; [&page=N&resultsPerPage=10]
+      server-side pagination (the reference client's App.js:145-147
+      slice, replayed here so a pager needn't download all k rows)
     GET /query-stem?query=                                   -> 400 JSON
     GET /health                                              -> 200 {"ok"}
     anything else                                            -> 404
@@ -68,12 +71,25 @@ class _Handler(BaseHTTPRequestHandler):
         # top-k cuts (returning nearly ALL docs); an unbounded k lets an
         # unauthenticated request force exhaustive hydration
         k = max(1, min(k, 1000))
+        # &page=N[&resultsPerPage=10] — optional server-side pagination
+        # replaying the reference client's slice (App.js:145-147);
+        # absent page keeps the reference's full-top-k response shape
+        page = None
+        per_page = 10
+        try:
+            if qs.get("page"):
+                page = max(1, int(qs["page"][0]))
+            if qs.get("resultsPerPage"):
+                per_page = max(1, min(int(qs["resultsPerPage"][0]), k))
+        except ValueError:
+            page, per_page = None, 10
         try:
             # &semantics=and — conjunctive retrieval, an extension
             # beyond the reference API (default 'or' is the reference's)
             resp = self.server.engine.query_response(
                 query, option_name=option, k=k,
                 path=self.server.path_mode, semantics=semantics,
+                page=page, per_page=per_page,
             )
         except Exception as e:  # mirror the controller's 500 catch
             self._send(500, {"success": False, "error": str(e)})

@@ -660,6 +660,7 @@ class TieredEngine:
     def query_response(
         self, query: str, option_name: str = "tfidf", k: int = 50,
         path: str = "local", semantics: str = "or",
+        page: int | None = None, per_page: int = 10,
     ) -> dict:
         """The reference HTTP response shape over tiered serving — the
         shared assembler (engine.py assemble_reference_response) with
@@ -692,7 +693,8 @@ class TieredEngine:
             )
 
         return assemble_reference_response(
-            query, option_name, self.analyze, get_ids, self.lookup_docs
+            query, option_name, self.analyze, get_ids, self.lookup_docs,
+            page=page, per_page=per_page,
         )
 
     def lookup_docs(
