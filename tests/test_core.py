@@ -331,11 +331,13 @@ def test_bounded_postings_rows(spark):
 
 
 def test_ner_stopword_bridged_entities():
-    """<= 1 lowercase function word may bridge two capitalized words:
-    'Bank of America' / 'University of California' are single entities
-    (the most common recall gap of the plain capitalized-run rule vs
-    spaCy). The bridge word joins the phrase but is never indexed as a
-    lone component; two bridges in a row do NOT join."""
+    """<= 2 function words (any case) may bridge two capitalized CORE
+    words: 'Bank of America' / 'University of California' / 'Ministry
+    of the Interior' are single entities. Bridges join the phrase but
+    are never indexed as lone components; capitalized stopwords are
+    bridge-class, never core ('The Government announced' forms no
+    entity; 'The White House' -> 'white house'); runs never cross a
+    sentence boundary."""
     from wiki_search_engine_spark.functions.analyzer import ner_tokens
 
     toks = ner_tokens(
@@ -349,6 +351,22 @@ def test_ner_stopword_bridged_entities():
     # bare stopwords / trailing bridge form no entity
     assert ner_tokens("of the and") == []
     assert " ".join(ner_tokens("Alice of")) == "alic"
-    # two function words between caps: not bridged
+    # TWO function words between cores now bridge (r3: 'of the')
+    toks = ner_tokens("the Ministry of the Interior said")
+    assert "ministry of the interior" in toks
+    assert "ministry" in toks and "interior" in toks
     toks = ner_tokens("Alice of the Bobs")
+    assert "alice of the bobs" in toks
+    # three in a row still do not
+    toks = ner_tokens("Alice of the and Bobs")
     assert all(" " not in t for t in toks)
+    # sentence-case stopword is not an entity core
+    assert all(" " not in t for t in ner_tokens("The Government announced"))
+    toks = ner_tokens("The White House confirmed")
+    assert "white house" in toks and "the white house" not in toks
+    # runs stop at sentence boundaries; honorific-style 'Mr.' drops
+    toks = ner_tokens("He visited America. The President spoke")
+    assert all(" " not in t for t in toks)
+    toks = ner_tokens("Mr. John Smith arrived")
+    assert "john smith" in toks
+    assert not any(t.startswith("mr ") for t in toks)

@@ -210,41 +210,69 @@ def ner_tokens(text: str) -> list[str]:
 
     spaCy is a heavyweight model-versioned dependency, so the entity
     detector here is a deterministic surrogate: a maximal run of >= 2
-    capitalized alphabetic words ([A-Z][a-z]+), where at most ONE
-    lowercase function word (STOPWORDS) may BRIDGE two capitalized
-    words — so "Bank of America" and "University of California" are
-    single entities, the most common recall gap of the pure
-    capitalized-run rule vs spaCy (see COVERAGE.md for what still
-    differs). For each entity run we emit the lowercased phrase
-    (bridge word included: 'bank of america') AND each CAPITALIZED
-    component word (reference quirk Q2 — the bridge is a stopword and
-    is never indexed alone); remaining tokens go through the normal
-    stopword/junk/Porter chain, except tokens whose cleaned form is an
-    entity component elsewhere in the doc, which are skipped
-    (inverted_index.py:56-61 semantics)."""
+    capitalized non-stopword CORE words ([A-Z][a-z]+), where up to TWO
+    consecutive function words (STOPWORDS, any case) may BRIDGE two
+    core words — so "Bank of America", "University of California", and
+    "Ministry of the Interior" are single entities. Capitalized
+    stopwords are bridge-class, never core: "The Government announced"
+    forms NO entity (the sentence-case determiner was the most common
+    false positive of the pure capitalized-run rule), while "The White
+    House" yields "white house" — matching spaCy's usual
+    determiner-stripped span. Runs start and end on core words. For
+    each entity run we emit the lowercased phrase (bridges included:
+    'bank of america') AND each CORE component word (reference quirk
+    Q2 — bridges are stopwords and are never indexed alone); remaining
+    tokens go through the normal stopword/junk/Porter chain, except
+    tokens whose cleaned form is an entity component elsewhere in the
+    doc, which are skipped (inverted_index.py:56-61 semantics). See
+    COVERAGE.md P4 for what still differs from spaCy."""
     raw = text.split()
     n = len(raw)
     cores = [STRIP_EDGE_RE.sub("", t) for t in raw]
-    is_ent_word = [bool(ENTITY_CORE_RE.match(c)) for c in cores]
+    is_core = [
+        bool(ENTITY_CORE_RE.match(c)) and c.lower() not in STOPWORDS
+        for c in cores
+    ]
     is_bridge = [
-        c.isalpha() and c.islower() and c in STOPWORDS for c in cores
+        c.isalpha() and c.lower() in STOPWORDS for c in cores
+    ]
+    # an entity never spans a sentence boundary: trailing .!?;: on the
+    # raw token (inside closing quotes/brackets) terminates the run —
+    # "visited America. The President" is two fragments, not one
+    # entity, and "Mr. John Smith" drops the honorific like spaCy does
+    ends_sentence = [
+        bool(s) and s[-1] in ".!?;:"
+        for s in (t.rstrip("'\")]") for t in raw)
     ]
 
-    # maximal runs of entity-shaped words, allowing <= 1 bridge word
-    # between consecutive capitalized words; >= 2 capitalized words
+    # maximal runs of core words, allowing <= 2 consecutive bridge
+    # words between cores; >= 2 core words make an entity
     runs: list[tuple[int, int]] = []
     i = 0
     while i < n:
-        if is_ent_word[i]:
+        if is_core[i]:
             j = i
             while True:
-                if j + 1 < n and is_ent_word[j + 1]:
+                if ends_sentence[j]:
+                    break
+                if j + 1 < n and is_core[j + 1]:
                     j += 1
-                elif (
-                    j + 2 < n and is_bridge[j + 1] and is_ent_word[j + 2]
-                ):
-                    j += 2
-                else:
+                    continue
+                stepped = False
+                for g in (1, 2):
+                    if (
+                        j + g + 1 < n
+                        and all(
+                            is_bridge[j + t]
+                            and not ends_sentence[j + t]
+                            for t in range(1, g + 1)
+                        )
+                        and is_core[j + g + 1]
+                    ):
+                        j += g + 1
+                        stepped = True
+                        break
+                if not stepped:
                     break
             if j > i:
                 runs.append((i, j))
@@ -255,7 +283,7 @@ def ner_tokens(text: str) -> list[str]:
     for a, b in runs:
         in_run.update(range(a, b + 1))
     entity_words = {
-        cores[i].lower() for i in in_run if is_ent_word[i]
+        cores[i].lower() for i in in_run if is_core[i]
     }
 
     out: list[str] = []
@@ -264,7 +292,7 @@ def ner_tokens(text: str) -> list[str]:
             a, b = next(r for r in runs if r[0] <= i <= r[1])
             if i == a:
                 out.append(" ".join(cores[x].lower() for x in range(a, b + 1)))
-            if is_ent_word[i]:
+            if is_core[i]:
                 out.append(cores[i].lower())
             continue
         for tok in base_tokens(t):
