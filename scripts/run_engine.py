@@ -25,6 +25,13 @@ multi-executor cluster):
     spark-submit --py-files /tmp/wse.zip scripts/run_engine.py merge \
         --base /tmp/index --delta /tmp/index_batch2 --out /tmp/index_v2
 
+    # streaming crawl-to-index maintenance: drain landed parquet pages
+    # into the index via atomic snapshot commits (--continuous to keep
+    # following; --retain 3 keeps history for `search --snapshot`)
+    spark-submit --py-files /tmp/wse.zip scripts/run_engine.py maintain \
+        --input /data/landed --index /tmp/index \
+        --checkpoint /tmp/ckpt --work /tmp/work [--retain 3]
+
 Scale defaults: on a 1000-executor cluster raise --buckets (file-pruning
 granularity), --bucket-groups (resume granularity), and --salt-bits
 (docid-range shards per term; bounds the largest encode group and the WAND
@@ -139,6 +146,28 @@ def main(argv=None):
         "(single-index only; see the snapshots subcommand)",
     )
 
+    mt = sub.add_parser("maintain")
+    mt.add_argument(
+        "--input", required=True,
+        help="landed-pages directory (glob ok): new parquet files are "
+        "folded into the index as micro-batches, exactly-once via the "
+        "checkpoint",
+    )
+    mt.add_argument("--index", required=True)
+    mt.add_argument("--checkpoint", required=True)
+    mt.add_argument("--work", required=True)
+    mt.add_argument("--no-stem", action="store_true")
+    mt.add_argument(
+        "--retain", type=int, default=1,
+        help="keep the newest N committed snapshots (N>1 enables time "
+        "travel via search --snapshot; each snapshot is a full index)",
+    )
+    mt.add_argument(
+        "--continuous", action="store_true",
+        help="keep running and folding new files as they land (default "
+        "drains what is present, then exits)",
+    )
+
     sn = sub.add_parser("snapshots")
     sn.add_argument("--index", required=True)
     sn.add_argument(
@@ -251,6 +280,34 @@ def main(argv=None):
         print(
             json.dumps(
                 {"deletes_segment": path, "n_docids": meta["n_docids"]}
+            )
+        )
+    elif args.cmd == "maintain":
+        from wiki_search_engine_spark.engine import SearchEngine
+        from wiki_search_engine_spark.streaming.ingest import (
+            list_snapshots, maintain_index_incremental,
+            read_index_pointer,
+        )
+
+        t0 = time.time()
+        q = maintain_index_incremental(
+            spark, args.input, args.index, args.checkpoint, args.work,
+            stem=not args.no_stem,
+            available_now=not args.continuous,
+            retain_snapshots=args.retain,
+        )
+        q.awaitTermination()
+        eng = SearchEngine.load(spark, args.index)
+        print(
+            json.dumps(
+                {
+                    "index": args.index,
+                    "current": read_index_pointer(args.index),
+                    "snapshots": list_snapshots(args.index),
+                    "N": eng.n,
+                    "avgdl": round(eng.avgdl, 3),
+                    "maintain_sec": round(time.time() - t0, 2),
+                }
             )
         )
     elif args.cmd == "build":

@@ -623,3 +623,68 @@ def test_snapshot_log_retention_time_travel(spark, tmp_path):
     finally:
         if sys_path_added:
             _sys.path.remove("/root/repo/scripts")
+
+
+def test_maintain_cli_end_to_end(spark, tmp_path):
+    """The spark-submit maintenance surface: `run_engine.py maintain`
+    drains landed pages into the index with snapshot commits, reports
+    the pointer + snapshot list, and the folded index serves the new
+    docs (subprocess — the CLI owns and stops its own SparkSession)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    from tests.conftest import SEED
+    from wiki_search_engine_spark.engine import SearchEngine
+    from wiki_search_engine_spark.sources.synth import doc_row
+
+    kw = dict(stem=True, n_buckets=8, bucket_groups=1, salt_bits=2)
+    base_rows = [doc_row(i, SEED) for i in range(20)]
+    new_rows = [doc_row(i, SEED) for i in range(20, 30)]
+    idx = str(tmp_path / "idx")
+    SearchEngine.build(
+        spark, spark.createDataFrame(pd.DataFrame(base_rows)), idx, **kw
+    )
+    landed = tmp_path / "landed"
+    landed.mkdir()
+    spark.createDataFrame(pd.DataFrame(new_rows)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(landed / "b1"))
+
+    # spark-submit ships the package via --py-files; the bare-python
+    # form needs the repo root on the path (scripts/ is sys.path[0])
+    env = dict(
+        os.environ, SPARK_MASTER="local[4]", PYTHONPATH="/root/repo"
+    )
+    proc = subprocess.run(
+        [
+            sys.executable, "scripts/run_engine.py", "maintain",
+            "--input", f"{landed}/*",
+            "--index", idx,
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--work", str(tmp_path / "work"),
+            "--retain", "2",
+        ],
+        capture_output=True, text=True, timeout=420, cwd="/root/repo",
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["N"] == 30
+    assert out["current"] in out["snapshots"]
+    assert len(out["snapshots"]) == 2  # v_init retained for time travel
+
+    live = SearchEngine.load(spark, idx)
+    assert live.n == 30
+    from wiki_search_engine_spark.functions.analyzer import STOPWORDS
+
+    q = next(
+        w for w in new_rows[0]["text"].split()
+        if w.isalpha() and len(w) >= 4 and w.lower() not in STOPWORDS
+    )
+    hits = {d for d, _ in live.search_local(q, k=30)}
+    urls = {r["url"] for r in live.lookup_docs(list(hits))}
+    assert urls & {r["url"] for r in new_rows}
