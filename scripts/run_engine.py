@@ -173,17 +173,34 @@ def main(argv=None):
     sn.add_argument(
         "--expire-keep-last", type=int, default=None,
         help="also expire snapshots beyond the newest N (plus the "
-        "current pointer target, which is never removed)",
+        "current pointer target, which is never removed). Avoid running "
+        "this during an active maintain fold: an in-flight batch's "
+        ".building directory would be swept and that batch would fail "
+        "and re-run from the checkpoint",
     )
     args = p.parse_args(argv)
 
     if args.cmd == "snapshots":
         # pure metadata: no SparkSession needed
+        import os
+
         from wiki_search_engine_spark.streaming.ingest import (
             expire_snapshots, list_snapshots, read_index_pointer,
             read_snapshot_log,
         )
 
+        if not os.path.isfile(os.path.join(args.index, "current")):
+            print(
+                json.dumps(
+                    {
+                        "success": False,
+                        "error": f"{args.index} is not a snapshot root "
+                        "(no 'current' pointer file) — maintain/enroll "
+                        "it first",
+                    }
+                )
+            )
+            return 1
         removed = []
         if args.expire_keep_last is not None:
             removed = expire_snapshots(

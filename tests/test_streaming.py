@@ -688,3 +688,60 @@ def test_maintain_cli_end_to_end(spark, tmp_path):
     hits = {d for d, _ in live.search_local(q, k=30)}
     urls = {r["url"] for r in live.lookup_docs(list(hits))}
     assert urls & {r["url"] for r in new_rows}
+
+
+def test_snapshot_name_collision_after_checkpoint_reset(spark, tmp_path):
+    """retain_snapshots > 1 + a checkpoint reset restarts batch ids at
+    0, so a re-used snapshot name can collide with a RETAINED
+    non-current snapshot. The commit must take a fresh name instead of
+    failing the os.rename onto the existing directory (regression: the
+    old guard only checked against the current pointer target)."""
+    import pandas as pd
+
+    from tests.conftest import SEED
+    from wiki_search_engine_spark.engine import SearchEngine
+    from wiki_search_engine_spark.sources.synth import doc_row
+    from wiki_search_engine_spark.streaming.ingest import (
+        list_snapshots, maintain_index_incremental, read_index_pointer,
+    )
+
+    kw = dict(stem=True, n_buckets=4, bucket_groups=1, salt_bits=2)
+    idx = str(tmp_path / "idx")
+    SearchEngine.build(
+        spark,
+        spark.createDataFrame(
+            pd.DataFrame([doc_row(i, SEED) for i in range(15)])
+        ),
+        idx, **kw,
+    )
+    landed = tmp_path / "landed"
+    landed.mkdir()
+
+    def land(lo, hi, name):
+        spark.createDataFrame(
+            pd.DataFrame([doc_row(i, SEED) for i in range(lo, hi)])
+        ).coalesce(1).write.mode("overwrite").parquet(str(landed / name))
+
+    def drain(ckpt):
+        q = maintain_index_incremental(
+            spark, str(landed) + "/*", idx, str(tmp_path / ckpt),
+            str(tmp_path / "work"), retain_snapshots=3,
+        )
+        q.awaitTermination(120)
+
+    land(15, 25, "b1")
+    drain("ckpt1")
+    land(25, 35, "b2")
+    drain("ckpt1")
+    assert read_index_pointer(idx) == "v_00000001"
+    assert "v_00000000" in list_snapshots(idx)  # retained, NOT current
+
+    # checkpoint reset: the whole landed dir re-folds as batch 0 again
+    land(35, 45, "b3")
+    drain("ckpt2")
+    cur = read_index_pointer(idx)
+    assert cur == "v_00000000r"  # fresh name, not a failed rename
+    snaps = list_snapshots(idx)
+    assert {"v_00000000", "v_00000001", cur} <= set(snaps)
+    live = SearchEngine.load(spark, idx)
+    assert live.n == 45  # re-fold is idempotent (delta wins twice)

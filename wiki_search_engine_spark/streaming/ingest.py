@@ -417,10 +417,15 @@ def maintain_index_incremental(
             analyzer=meta_engine.analyzer,
         )
         new_name = f"v_{batch_id:08d}"
-        while new_name == cur_name:
-            # checkpoint re-run of a batch whose commit already landed:
+        while os.path.exists(os.path.join(index_dir, new_name)):
+            # the name is taken: either a checkpoint re-run of a batch
+            # whose commit already landed (it is ``current``), or — with
+            # retain_snapshots > 1 — a RETAINED older snapshot after a
+            # checkpoint reset restarted batch ids from 0. Either way
             # the re-merge is idempotent (delta wins twice == once) but
-            # needs a fresh snapshot name
+            # os.rename cannot land on an existing directory, so take a
+            # fresh name. (Unreferenced leftovers can't pin names: the
+            # batch-start expire removed anything unlogged+non-current.)
             new_name += "r"
         building = os.path.join(index_dir, new_name + ".building")
         shutil.rmtree(building, ignore_errors=True)
