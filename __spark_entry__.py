@@ -158,6 +158,23 @@ def _live_corpus_bm25_sql(deleted: tuple = ()) -> str:
     )
 
 
+def _base_snapshot_bm25_sql() -> str:
+    """BM25 over the PRE-FOLD corpus (doc_id < 400, original text) —
+    the time-travel oracle: what the retained v_init snapshot must
+    still answer after the re-crawl delta was folded into the live
+    pointer (time_travel_bm25)."""
+    return (
+        _bm25_sql(["table", "scan"], 50, "bm25")
+        .replace("FROM documents", "FROM corpus")
+        .replace(
+            "\nWITH ",
+            "\nWITH corpus AS ("
+            "SELECT doc_id, text FROM documents WHERE doc_id < 400),\n",
+            1,
+        )
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -893,6 +910,93 @@ def q_tiered_deleted_bm25(spark, sf_dir):
         write_deletes_segment(del_dir, docids=list(TIERED_DELETED_IDS))
     eng = TieredEngine(spark, [base_dir, delta_dir, del_dir])
     rows = eng.search_local("table scan mergedelta", k=50, mode="bm25")
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": pd.array([d for d, _ in rows], dtype="int64"),
+                "score": [round(s, 6) for _, s in rows],
+            }
+        )
+    )
+
+
+def _ttravel_root(spark, sf_dir) -> str:
+    """Snapshot root (cached per sf) where v_init = the base index
+    (doc_id < 400) is RETAINED after the re-crawl delta folded in —
+    built by replaying the maintenance loop's exact commit sequence
+    (streaming/ingest.py process_batch steps 2-5: merge into
+    v_*.building, rename, pointer flip, snapshots.log append,
+    expire_snapshots with retain 2)."""
+    import os
+    import shutil
+
+    from wiki_search_engine_spark.plans.build import build_index
+    from wiki_search_engine_spark.plans.merge import merge_indexes
+    from wiki_search_engine_spark.streaming.ingest import (
+        append_snapshot_log, enroll_index_root, expire_snapshots,
+        write_index_pointer,
+    )
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    root = f"/tmp/wse_ttravel{tag}"
+    if (
+        os.path.isfile(f"{root}/current")
+        and open(f"{root}/current").read().strip() == "v_00000000"
+        and os.path.isdir(f"{root}/v_init")
+        and os.path.isdir(f"{root}/v_00000000")
+    ):
+        return root
+    shutil.rmtree(root, ignore_errors=True)
+    docs = _docs(spark, sf_dir)
+
+    def prep(df):
+        return df.select(
+            F.col("doc_id").cast("long").alias("docid"),
+            F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+            "text",
+        )
+
+    base = prep(docs.filter(F.col("doc_id") < 400))
+    delta = prep(docs.filter(F.col("doc_id") >= 300)).withColumn(
+        "text",
+        F.concat(F.col("text"), F.lit(" mergedelta mergedelta")),
+    )
+    build_index(
+        spark, base, root, stem=False, n_buckets=16, bucket_groups=1,
+        salt_bits=2,
+    )
+    enroll_index_root(root)
+    delta_dir = root + "_delta"
+    shutil.rmtree(delta_dir, ignore_errors=True)
+    build_index(
+        spark, delta, delta_dir, stem=False, n_buckets=16,
+        bucket_groups=1, salt_bits=2,
+    )
+    building = f"{root}/v_00000000.building"
+    merge_indexes(spark, f"{root}/v_init", delta_dir, building)
+    os.rename(building, f"{root}/v_00000000")
+    write_index_pointer(root, "v_00000000")
+    append_snapshot_log(root, "v_00000000", batch_id=0)
+    expire_snapshots(root, keep_last=2)
+    shutil.rmtree(delta_dir, ignore_errors=True)
+    return root
+
+
+def q_time_travel_bm25(spark, sf_dir):
+    """TIME TRAVEL over the snapshot-log commit scheme
+    (streaming/ingest.py, engine.resolve_index_dir): the live pointer
+    serves the folded re-crawl, but loading snapshot='v_init' serves
+    BM25 AS OF the pre-fold commit — so the oracle is BM25 over the
+    ORIGINAL base corpus (doc_id < 400, no delta terms), value-checking
+    that retention really preserves a consistent, queryable past index
+    (stats, df, postings all pre-fold)."""
+    import pandas as pd
+
+    from wiki_search_engine_spark.engine import SearchEngine
+
+    root = _ttravel_root(spark, sf_dir)
+    eng = SearchEngine.load(spark, root, snapshot="v_init")
+    rows = eng.search_local("table scan", k=50, mode="bm25")
     return spark.createDataFrame(
         pd.DataFrame(
             {
@@ -1655,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merged_index_bm25": q_merged_index_bm25,
         "tiered_bm25": q_tiered_bm25,
         "tiered_deleted_bm25": q_tiered_deleted_bm25,
+        "time_travel_bm25": q_time_travel_bm25,
         "media_features": q_media_features,
         "media_embed": q_media_embed,
         "audio_features": q_audio_features,
@@ -1731,6 +1836,7 @@ FROM tf JOIN qdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s""",
         "merged_index_bm25": _live_corpus_bm25_sql(),
         "tiered_bm25": _live_corpus_bm25_sql(),
         "tiered_deleted_bm25": _live_corpus_bm25_sql(TIERED_DELETED_IDS),
+        "time_travel_bm25": _base_snapshot_bm25_sql(),
         "search_hydrated": f"""
 WITH ranked AS ({_bm25_sql(Q_MAIN, 10, "bm25")})
 SELECT r.doc_id, r.score, {_SNIPPET_SQL} AS snippet
