@@ -740,6 +740,46 @@ def test_lsh_multitable_union_and_recall(spark):
     assert r4 >= r1  # more tables never lose candidates
 
 
+def test_lsh_materialized_layout(spark, tmp_path):
+    """lsh_write/lsh_read_topk: the partitioned (tbl, bucket) layout is
+    result-identical to the compute-form ann_lsh_multitable_topk at the
+    same params, its physical plan carries tbl+bucket PartitionFilters
+    (partition-pruned probe, not a layout scan), vectors found in
+    several tables dedup to one candidate, and a mismatched query dim
+    is rejected."""
+    from wiki_search_engine_spark.operators.similarity import (
+        ann_lsh_multitable_topk, lsh_read_topk, lsh_write,
+    )
+
+    rng = np.random.default_rng(13)
+    vecs = rng.normal(size=(300, 16)).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+    qv = [float(x) for x in vecs[0]]
+    path = str(tmp_path / "lsh_idx")
+    lsh_write(df, path, n_planes=5, n_tables=4, seed=42)
+
+    got = lsh_read_topk(spark, path, qv, k=10, n_probes=2)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "tbl" in plan and "bucket" in plan
+
+    want = ann_lsh_multitable_topk(
+        df, qv, k=10, n_planes=5, n_tables=4, seed=42, n_probes=2
+    )
+    g = [(r["vec_id"], r["cos_sim"]) for r in got.collect()]
+    w = [(r["vec_id"], r["cos_sim"]) for r in want.collect()]
+    assert g == w and g[0][0] == 0  # identical ranks; self-hit first
+    assert len({i for i, _ in g}) == len(g)  # cross-table dedup
+
+    import pytest as _p
+
+    with _p.raises(ValueError, match="dim"):
+        lsh_read_topk(spark, path, qv + [0.0], k=5)
+
+
 def test_corrupt_png_yields_null_feature_not_job_failure(spark):
     """A malformed PNG payload (valid magic/IHDR, garbage IDAT) must
     produce feature=NULL in decode_image_features(fake=False), never an

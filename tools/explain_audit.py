@@ -270,6 +270,24 @@ def main() -> None:
         must=[r"PartitionFilters: \[[^\]]*cell"],
     )
 
+    # 12. materialized multi-table LSH: probes prune to (tbl, bucket)
+    # directories, never a full scan of the layout
+    from wiki_search_engine_spark.operators.similarity import (
+        lsh_read_topk, lsh_write,
+    )
+
+    lsh_dir = f"{WORK}/lsh"
+    if not os.path.exists(f"{lsh_dir}/_lsh_meta.json"):
+        lsh_write(emb, lsh_dir, n_planes=6, n_tables=3, seed=42, dim=64)
+    check(
+        "lsh_partition_pruning",
+        plan_of(lsh_read_topk(spark, lsh_dir, qv, k=5, n_probes=2)),
+        must=[
+            r"PartitionFilters: \[[^\]]*tbl",
+            r"PartitionFilters: \[[^\]]*bucket",
+        ],
+    )
+
     spark.stop()
     if FAILURES:
         print("\n".join("AUDIT FAIL: " + f for f in FAILURES))

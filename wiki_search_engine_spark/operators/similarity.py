@@ -232,6 +232,106 @@ def ann_lsh_multitable_topk(
     return cosine_topk(df.filter(pred), query_vec, k, id_col, vec_col)
 
 
+def lsh_write(
+    df: DataFrame,
+    path: str,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> None:
+    """Materialize the multi-table LSH index — the 100-TB form of
+    ann_lsh_multitable_topk's scan predicate: one row per (table,
+    vector) with that table's bucket id, written
+    ``partitionBy(tbl, bucket)`` so a query reads ONLY its probed
+    (tbl, bucket) directories (lsh_read_topk; explain-audited like the
+    IVF cells and the postings buckets). Storage is L x the vector
+    table — the standard multi-table LSH trade; bucket assignment is
+    the same codegen lsh_bucket projection as the compute form, all L
+    tables stacked in ONE write job (unionByName of L projections, no
+    shuffle beyond the layout repartition). The plane-family params
+    land in ``_lsh_meta.json`` so a reader can never probe with a
+    mismatched family. ``dim`` skips the one-row dimensionality probe
+    when the caller knows it."""
+    import json
+    import os
+
+    if dim is None:
+        dim = int(df.select(F.size(vec_col)).first()[0])
+    parts = None
+    for t, planes in enumerate(
+        table_planes(dim, n_planes, n_tables, seed)
+    ):
+        p = df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.lit(t).alias("tbl"),
+            lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        )
+        parts = p if parts is None else parts.unionByName(p)
+    (
+        parts.repartition("tbl", "bucket")
+        .write.mode("overwrite")
+        .partitionBy("tbl", "bucket")
+        .parquet(path)
+    )
+    with open(os.path.join(path, "_lsh_meta.json"), "w") as f:
+        json.dump(
+            {
+                "n_planes": n_planes, "n_tables": n_tables,
+                "seed": seed, "dim": dim,
+                "id_col": id_col, "vec_col": vec_col,
+            },
+            f,
+        )
+
+
+def lsh_read_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probes: int = 1,
+) -> DataFrame:
+    """Query a materialized multi-table LSH index: per-table probe
+    buckets from the recorded plane family -> an OR of
+    ``(tbl = t AND bucket IN probes_t)`` partition filters (only those
+    directories are listed/read) -> driver-free dedup of vectors found
+    in several tables -> exact cosine re-rank. Result-identical to
+    ann_lsh_multitable_topk over the raw table at the same params
+    (pytest). The underscore-prefixed meta file is invisible to the
+    parquet reader."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_lsh_meta.json")) as f:
+        meta = json.load(f)
+    if len(query_vec) != meta["dim"]:
+        raise ValueError(
+            f"query dim {len(query_vec)} != index dim {meta['dim']}"
+        )
+    pred = None
+    for t, planes in enumerate(
+        table_planes(
+            meta["dim"], meta["n_planes"], meta["n_tables"], meta["seed"]
+        )
+    ):
+        probes = lsh_probe_buckets(query_vec, planes, n_probes)
+        cond = (F.col("tbl") == t) & F.col("bucket").isin(probes)
+        pred = cond if pred is None else pred | cond
+    cand = (
+        spark.read.parquet(path)
+        .filter(pred)
+        .select(meta["id_col"], meta["vec_col"])
+        .dropDuplicates([meta["id_col"]])
+    )
+    return cosine_topk(
+        cand, query_vec, k, meta["id_col"], meta["vec_col"]
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.95,
