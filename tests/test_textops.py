@@ -780,6 +780,49 @@ def test_lsh_materialized_layout(spark, tmp_path):
         lsh_read_topk(spark, path, qv + [0.0], k=5)
 
 
+def test_lsh_append_equals_bulk_write(spark, tmp_path):
+    """lsh_append: building the layout from a base write plus an
+    appended batch serves results identical to one bulk write over the
+    union — buckets come from the RECORDED plane family, so appended
+    vectors are findable by the same probes."""
+    from wiki_search_engine_spark.operators.similarity import (
+        lsh_append, lsh_read_topk, lsh_write,
+    )
+
+    rng = np.random.default_rng(17)
+    vecs = rng.normal(size=(300, 16)).astype(np.float64)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(300)]
+    df_all = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    df_base = spark.createDataFrame(
+        rows[:200], "vec_id long, embedding array<float>"
+    )
+    df_new = spark.createDataFrame(
+        rows[200:], "vec_id long, embedding array<float>"
+    )
+
+    bulk = str(tmp_path / "bulk")
+    incr = str(tmp_path / "incr")
+    lsh_write(df_all, bulk, n_planes=5, n_tables=3, seed=42)
+    lsh_write(df_base, incr, n_planes=5, n_tables=3, seed=42)
+    lsh_append(df_new, incr)
+
+    for qi in (0, 250):  # one base vector, one appended vector
+        qv = [float(x) for x in vecs[qi]]
+        g = [
+            (r["vec_id"], r["cos_sim"])
+            for r in lsh_read_topk(spark, incr, qv, k=10, n_probes=2)
+            .collect()
+        ]
+        w = [
+            (r["vec_id"], r["cos_sim"])
+            for r in lsh_read_topk(spark, bulk, qv, k=10, n_probes=2)
+            .collect()
+        ]
+        assert g == w and g[0][0] == qi  # self-hit proves findability
+
+
 def test_corrupt_png_yields_null_feature_not_job_failure(spark):
     """A malformed PNG payload (valid magic/IHDR, garbage IDAT) must
     produce feature=NULL in decode_image_features(fake=False), never an

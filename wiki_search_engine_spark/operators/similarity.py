@@ -288,6 +288,45 @@ def lsh_write(
         )
 
 
+def lsh_append(
+    df: DataFrame,
+    path: str,
+) -> None:
+    """Incremental vector ingest into a materialized LSH index: assign
+    the NEW vectors' buckets with the index's RECORDED plane family
+    (never the caller's params — a mismatched family would silently
+    land vectors in unfindable buckets) and append into the existing
+    (tbl, bucket) directories. Append-only parquet is safe here because
+    the layout has no per-file ordering contract — a probe reads whole
+    bucket directories — so continuous embedding ingest costs one small
+    write per batch, never a layout rewrite (the postings analogue is
+    the delta-merge; vectors are simpler: no stats to rescale)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_lsh_meta.json")) as f:
+        meta = json.load(f)
+    parts = None
+    for t, planes in enumerate(
+        table_planes(
+            meta["dim"], meta["n_planes"], meta["n_tables"], meta["seed"]
+        )
+    ):
+        p = df.select(
+            F.col(meta["id_col"]),
+            F.col(meta["vec_col"]),
+            F.lit(t).alias("tbl"),
+            lsh_bucket(F.col(meta["vec_col"]), planes).alias("bucket"),
+        )
+        parts = p if parts is None else parts.unionByName(p)
+    (
+        parts.repartition("tbl", "bucket")
+        .write.mode("append")
+        .partitionBy("tbl", "bucket")
+        .parquet(path)
+    )
+
+
 def lsh_read_topk(
     spark,
     path: str,
