@@ -730,6 +730,57 @@ def q_orders_by_segment(spark, sf_dir):
     )
 
 
+def q_revenue_by_nation(spark, sf_dir):
+    """TPC-H Q5-shaped six-table join — the mixed join-strategy demo:
+    region (5 rows, filtered) and nation (25) and supplier (100) are
+    BROADCAST; customer-orders-lineitem are shuffle joins AQE can
+    re-plan; the local-supplier condition (c_nationkey = s_nationkey)
+    rides the join output. Filters (r_name, the o_orderdate year) push
+    into the scans. At 100 TB this is exactly the plan you want: tiny
+    dims never shuffle, the three big tables hash-partition on their
+    join keys once each."""
+    rd = spark.read
+    region = rd.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nation = rd.parquet(f"{sf_dir}/nation.parquet")
+    supplier = rd.parquet(f"{sf_dir}/supplier.parquet")
+    customer = rd.parquet(f"{sf_dir}/customer.parquet")
+    orders = rd.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    lineitem = rd.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        customer.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation["n_regionkey"] == region["r_regionkey"],
+                )
+            ),
+            customer["c_nationkey"] == F.col("n_nationkey"),
+        )
+        .join(orders, customer["c_custkey"] == orders["o_custkey"])
+        .join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .join(
+            F.broadcast(supplier),
+            (lineitem["l_suppkey"] == supplier["s_suppkey"])
+            & (customer["c_nationkey"] == supplier["s_nationkey"]),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ),
+                2,
+            ).alias("revenue"),
+            F.count("*").cast("long").alias("n_lineitems"),
+        )
+    )
+
+
 # ----- rows-only entries (non-SQL-expressible) -----------------------------
 
 
@@ -1796,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "worker_totals": q_worker_totals,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "orders_by_segment": q_orders_by_segment,
+        "revenue_by_nation": q_revenue_by_nation,
         "bm25_stemmed": q_bm25_stemmed,
         "bm25_batch": q_bm25_batch,
         "merged_index_bm25": q_merged_index_bm25,
@@ -2236,6 +2288,20 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY 1, 2""",
+        "revenue_by_nation": """
+SELECT n_name,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  count(*)::BIGINT AS n_lineitems
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name""",
         "orders_by_segment": """
 SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
        round(sum(o_totalprice), 2) AS total_price
