@@ -451,9 +451,23 @@ def main(argv=None):
                     key=lambda r: (-r["score"], r["docid"]),
                 )
             else:
-                eng = SearchEngine.load(
-                    spark, dirs[0], snapshot=args.snapshot
-                )
+                try:
+                    eng = SearchEngine.load(
+                        spark, dirs[0], snapshot=args.snapshot
+                    )
+                except (FileNotFoundError, ValueError) as e:
+                    if args.snapshot:
+                        # bad --snapshot: clean JSON error (expired
+                        # name, or a plain non-pointer-root index),
+                        # not a traceback
+                        print(
+                            json.dumps(
+                                {"success": False, "error": str(e)}
+                            )
+                        )
+                        spark.stop()
+                        return 1
+                    raise
                 rows = eng.search(
                     args.query, k=args.k, mode=args.mode, path=args.path
                 ).collect()
