@@ -781,6 +781,59 @@ def q_revenue_by_nation(spark, sf_dir):
     )
 
 
+def q_hll_register_sketch(spark, sf_dir):
+    """HyperLogLog distinct-terms sketch over the token stream — the
+    entry output is the REGISTER TABLE itself (<= 4096 (register, rho)
+    rows, integer-exact, register-wise-max mergeable), which is what a
+    100-TB job ships per map task instead of the vocabulary
+    (operators/sketches.py). The estimate derived from it is graded in
+    pytest/bench (error vs exact distinct)."""
+    from wiki_search_engine_spark.operators.sketches import (
+        hll_register_sketch,
+    )
+
+    return hll_register_sketch(
+        _base_tokens_df(spark, sf_dir), "term"
+    ).select(
+        F.col("register").cast("long").alias("register"),
+        F.col("rho").cast("long").alias("rho"),
+    )
+
+
+def q_term_heavy_hitters(spark, sf_dir):
+    """Top-15 heaviest terms by total occurrences via distributed
+    weighted Misra-Gries (mapInPandas per-partition summaries +
+    sketch-sized union — operators/sketches.py). capacity=4096 >> the
+    sf vocab, so the sketch is in its exact regime and the oracle is
+    the exact frequency top-k; the lossy regime's error bound is
+    hypothesis-tested."""
+    from wiki_search_engine_spark.operators.sketches import (
+        mg_heavy_hitters,
+    )
+
+    return mg_heavy_hitters(
+        _base_tokens_df(spark, sf_dir),
+        term_col="term",
+        weight_col="tf",
+        capacity=4096,
+        k=15,
+    )
+
+
+def q_term_prefix_topk(spark, sf_dir):
+    """Autocomplete surface: top-5 terms with prefix 's' ranked by df
+    — the distributed form of SearchEngine.suggest (the serving path
+    reads the term-sorted lexicon with range-pruned pyarrow row
+    groups; pytest asserts both forms agree on a built index)."""
+    return (
+        term_df_salted(_base_tokens_df(spark, sf_dir))
+        .filter(F.col("term").startswith("s"))
+        .select("term", F.col("df").cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(5)
+    )
+
+
 # ----- rows-only entries (non-SQL-expressible) -----------------------------
 
 
@@ -1680,6 +1733,32 @@ SELECT media_id::BIGINT AS media_id,
 FROM d ORDER BY cos_sim DESC, media_id LIMIT 5"""
 
 
+def _hll_sql() -> str:
+    """SQL transliteration of operators/sketches.py
+    hll_register_sketch over the analyzed token stream: 64-bit hash =
+    first 16 md5 hex chars split 3/13 at the hex boundary (12-bit
+    register / 52-bit remainder), rho via binary-string length
+    (integer-exact on both engines: Spark bin(), DuckDB to_base)."""
+    hex3 = "(" + " + ".join(
+        f"((strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1)"
+        f"::BIGINT << {4 * (2 - i)})"
+        for i in range(3)
+    ) + ")"
+    hex13 = "(" + " + ".join(
+        f"((strpos('0123456789abcdef', substr(h, {i + 4}, 1)) - 1)"
+        f"::BIGINT << {4 * (12 - i)})"
+        for i in range(13)
+    ) + ")"
+    return f"""
+WITH {SQL_TOKS},
+h AS (SELECT md5(tok) AS h FROM (SELECT DISTINCT tok FROM toks)),
+bits AS (SELECT {hex3} AS register, {hex13} AS w FROM h)
+SELECT register::BIGINT AS register,
+       max(CASE WHEN w = 0 THEN 53
+                ELSE 53 - length(to_base(w, 2)) END)::BIGINT AS rho
+FROM bits GROUP BY 1"""
+
+
 def _simhash_sql(max_hamming: int) -> str:
     """Full SQL transliteration of operators/dedup.py simhash +
     simhash_near_dups: per-token 64-bit hash = first 8 md5 bytes
@@ -1848,6 +1927,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "orders_by_segment": q_orders_by_segment,
         "revenue_by_nation": q_revenue_by_nation,
+        "hll_register_sketch": q_hll_register_sketch,
+        "term_heavy_hitters": q_term_heavy_hitters,
+        "term_prefix_topk": q_term_prefix_topk,
         "bm25_stemmed": q_bm25_stemmed,
         "bm25_batch": q_bm25_batch,
         "merged_index_bm25": q_merged_index_bm25,
@@ -2307,4 +2389,12 @@ SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
        round(sum(o_totalprice), 2) AS total_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1""",
+        "hll_register_sketch": _hll_sql(),
+        "term_heavy_hitters": f"WITH {SQL_TOKS} "
+        "SELECT tok AS term, count(*)::BIGINT AS est_count FROM toks "
+        "GROUP BY 1 ORDER BY est_count DESC, term LIMIT 15",
+        "term_prefix_topk": f"WITH {SQL_TOKS}, {SQL_TF} "
+        "SELECT term, count(*)::BIGINT AS df FROM tf "
+        "WHERE term LIKE 's%' "
+        "GROUP BY 1 ORDER BY df DESC, term LIMIT 5",
     }

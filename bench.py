@@ -299,11 +299,31 @@ def main() -> None:
         ("bm25_docs_table", E.q_bm25_top50_wand),
         ("tiered_bm25", E.q_tiered_bm25),
         ("events_window", E.q_events_window_agg),
+        ("hll_distinct_terms", E.q_hll_register_sketch),
+        ("mg_heavy_hitters", E.q_term_heavy_hitters),
     ]:
         try:
             q[name] = timed(lambda fn=fn: fn(spark, SF_DIR).collect())
         except Exception:
             q[name] = -1.0
+
+    # exact distinct over the same token stream — the cost the HLL
+    # sketch avoids shipping at scale (here the vocab is small so the
+    # absolute gap is modest; the structural gap is sketch-sized vs
+    # vocabulary-sized shuffle)
+    q["exact_distinct_terms"] = timed(
+        lambda: E._base_tokens_df(spark, SF_DIR)
+        .select("term").distinct().count()
+    )
+
+    # ---- autocomplete serving: lexicon range scan, zero Spark jobs -------
+    lat = []
+    for _ in range(15):
+        t0 = time.time()
+        eng.suggest("s", k=10)
+        eng.suggest("re", k=10)
+        lat.append((time.time() - t0) / 2)
+    q["suggest_p50"] = round(statistics.median(lat), 4)
 
     # ---- MinHash production hash family ----------------------------------
     # xxhash64(lit(seed), shingle) — JVM codegen, no hex digests; md5

@@ -526,3 +526,45 @@ def test_salt_of_matches_unsigned_shift(spark):
         }
         for d in ids:
             assert salt_of(d, bits) == exp[d], (d, bits)
+
+
+def test_suggest_matches_oracle(engine, oracle):
+    """suggest == the lexicon's prefix top-k by (df desc, term asc),
+    for every 1- and 2-char prefix present in the fixture vocab."""
+    lex = [(t, len(p)) for t, p in oracle.postings.items()]
+    prefixes = sorted({t[:1] for t, _ in lex} | {t[:2] for t, _ in lex})
+    for p in prefixes:
+        exp = sorted(
+            [(t, df) for t, df in lex if t.startswith(p)],
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        assert engine.suggest(p, k=10) == exp, p
+
+
+def test_suggest_normalizes_and_rejects_blank(engine):
+    from wiki_search_engine_spark.engine import EmptyQueryError
+    import pytest as _p
+
+    got = engine.suggest("s", k=5)
+    assert engine.suggest("  S!? ", k=5) == got  # case/punct normalized
+    with _p.raises(EmptyQueryError):
+        engine.suggest("   !!!   ")
+    with _p.raises(EmptyQueryError):
+        engine.suggest("")
+
+
+def test_suggest_agrees_with_distributed_form(spark, engine, corpus_df):
+    """The driver range-scan path == the distributed term_df form
+    (q_term_prefix_topk's shape) over the same built index."""
+    from pyspark.sql import functions as F
+
+    lex = spark.read.parquet(f"{engine.index_dir}/term_stats")
+    for p in ("s", "b", "re"):
+        exp = [
+            (r["term"], r["df"])
+            for r in lex.filter(F.col("term").startswith(p))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(7)
+            .collect()
+        ]
+        assert engine.suggest(p, k=7) == exp, p

@@ -164,3 +164,24 @@ def test_pagination_over_http(server, fixture_queries):
     ) as r:
         body = json.loads(r.read())
     assert r.status == 200 and "page" not in body
+
+
+def test_suggest_over_http(server, engine):
+    body = json.loads(_get(server, "/suggest?prefix=s&k=5").read())
+    assert body["success"] is True
+    exp = [{"term": t, "df": df} for t, df in engine.suggest("s", k=5)]
+    assert body["result"] == exp
+    assert len(body["result"]) <= 5
+
+
+def test_suggest_blank_prefix_is_400(server):
+    import urllib.error
+
+    try:
+        _get(server, "/suggest?prefix=%20%21")
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert json.loads(e.read()) == {
+            "success": False, "result": [], "error": "Empty query",
+        }

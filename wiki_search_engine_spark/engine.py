@@ -483,6 +483,50 @@ class SearchEngine:
                 out[term] = int(df)
         return out
 
+    def suggest(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
+        """Autocomplete: top-k index terms starting with ``prefix``,
+        ranked by df desc then term asc — a driver-side RANGE scan of
+        the term_stats lexicon, zero Spark jobs.
+
+        The lexicon is hash-bucketed for point lookups, so a prefix
+        range has members in every bucket directory — but each bucket's
+        files are term-sorted, so pyarrow's footer min/max stats prune
+        each directory to the row groups straddling
+        [prefix, prefix_hi): at a 10^9-term lexicon that is
+        O(n_buckets) row groups read, not a lexicon scan. (An
+        autocomplete-heavy head would additionally materialize a
+        term-sorted top-df projection; this path needs no extra
+        table.) The reference's `word` B-tree serves the same range
+        shape (mongoService.js does point $in; this is the range
+        form). Distributed twin: __spark_entry__ q_term_prefix_topk —
+        pytest asserts the two agree on a built index."""
+        import os
+        import re
+
+        import pyarrow.parquet as pq
+
+        p = re.sub(r"[^a-z0-9]", "", (prefix or "").lower())
+        if not p:
+            raise EmptyQueryError("Empty query")
+        hi = p[:-1] + chr(ord(p[-1]) + 1)
+        matches: list[tuple[int, str]] = []
+        for b in range(self.n_buckets):
+            d = f"{self.index_dir}/term_stats/bucket={b}"
+            if not os.path.isdir(d):
+                continue
+            tbl = pq.read_table(
+                d, columns=["term", "df"],
+                filters=[("term", ">=", p), ("term", "<", hi)],
+            )
+            matches.extend(
+                zip(
+                    (int(x) for x in tbl.column("df").to_pylist()),
+                    tbl.column("term").to_pylist(),
+                )
+            )
+        matches.sort(key=lambda t: (-t[0], t[1]))
+        return [(term, df) for df, term in matches[:k]]
+
     # -- queries -----------------------------------------------------------
     def search_local(
         self, query: str, k: int = 50, mode: str = "bm25",

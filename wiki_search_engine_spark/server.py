@@ -15,6 +15,9 @@ Routes:
       server-side pagination (the reference client's App.js:145-147
       slice, replayed here so a pager needn't download all k rows)
     GET /query-stem?query=                                   -> 400 JSON
+    GET /suggest?prefix=...[&k=10]                            -> 200 JSON
+      autocomplete over the lexicon (SearchEngine.suggest — an
+      extension beyond the reference API; blank prefix -> 400)
     GET /health                                              -> 200 {"ok"}
     anything else                                            -> 404
 
@@ -53,6 +56,9 @@ class _Handler(BaseHTTPRequestHandler):
         parsed = urlparse(self.path)
         if parsed.path == "/health":
             self._send(200, {"ok": True})
+            return
+        if parsed.path == "/suggest":
+            self._do_suggest(parse_qs(parsed.query))
             return
         if parsed.path != "/query-stem":
             self._send(404, {"success": False, "error": "Not found"})
@@ -95,6 +101,40 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(500, {"success": False, "error": str(e)})
             return
         self._send(400 if resp.get("success") is False else 200, resp)
+
+    def _do_suggest(self, qs: dict) -> None:
+        """GET /suggest?prefix=...[&k=10] — autocomplete over the
+        lexicon (SearchEngine.suggest: driver-side term-range scan,
+        zero Spark jobs; an extension beyond the reference API). Blank
+        prefix mirrors the empty-query 400 contract."""
+        from .engine import EmptyQueryError
+
+        prefix = (qs.get("prefix") or [""])[0]
+        try:
+            k = int((qs.get("k") or ["10"])[0])
+        except ValueError:
+            k = 10
+        k = max(1, min(k, 100))
+        try:
+            terms = self.server.engine.suggest(prefix, k=k)
+        except EmptyQueryError:
+            self._send(
+                400,
+                {"success": False, "result": [], "error": "Empty query"},
+            )
+            return
+        except Exception as e:
+            self._send(500, {"success": False, "error": str(e)})
+            return
+        self._send(
+            200,
+            {
+                "success": True,
+                "result": [
+                    {"term": t, "df": df} for t, df in terms
+                ],
+            },
+        )
 
     def log_message(self, fmt, *args):  # silence per-request stderr
         pass
