@@ -834,6 +834,49 @@ def q_term_prefix_topk(spark, sf_dir):
     )
 
 
+def q_phrase_bm25(spark, sf_dir):
+    """Exact-phrase retrieval ("table hash") scored as a BM25
+    pseudo-term (operators/phrase.py): ONE kernel pass emits hit rows
+    only for the phrase's terms with their analyzed positions, then
+    adjacency is a single groupBy(docid, apos - slot) counting distinct
+    slots — no m-way self-join, no token-stream materialization. The
+    oracle replays analyzed positions via generate_subscripts +
+    row_number."""
+    from wiki_search_engine_spark.operators.phrase import phrase_bm25
+
+    corpus = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("docid"), "text"
+    )
+    n, avgdl = _stats_scalars(_base_tokens_df(spark, sf_dir))
+    return phrase_bm25(corpus, "table hash", n, avgdl, k=10).select(
+        F.col("docid").cast("long").alias("doc_id"),
+        F.col("phrase_tf").cast("long").alias("phrase_tf"),
+        "score",
+    )
+
+
+def q_phrase_occurrences(spark, sf_dir):
+    """All exact occurrences of a 3-token phrase — the raw adjacency
+    relation (docid, start) underlying phrase ranking; value-checks the
+    anchor-aggregation formulation against the oracle's positional
+    join."""
+    from wiki_search_engine_spark.operators.phrase import (
+        phrase_occurrences,
+    )
+
+    corpus = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("docid"), "text"
+    )
+    return (
+        phrase_occurrences(corpus, "slow hash batch")
+        .select(
+            F.col("docid").cast("long").alias("doc_id"),
+            F.col("start").cast("long").alias("start"),
+        )
+        .orderBy("doc_id", "start")
+    )
+
+
 # ----- rows-only entries (non-SQL-expressible) -----------------------------
 
 
@@ -1759,6 +1802,64 @@ SELECT register::BIGINT AS register,
 FROM bits GROUP BY 1"""
 
 
+# Analyzed token stream WITH positions: apos = 0-based index among the
+# tokens that survive the junk filter, replayed via generate_subscripts
+# over the cleaned split + row_number over raw position — in lock-step
+# with operators/phrase.py's kernel.
+_SQL_APOS = """
+praw AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(
+           trim(lower(regexp_replace(text, '[^a-zA-Z0-9 \t\n\r]', ' ', 'g'))),
+           '\\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(
+           trim(lower(regexp_replace(text, '[^a-zA-Z0-9 \t\n\r]', ' ', 'g'))),
+           '\\s+'), 1) AS rpos
+  FROM documents),
+atoks AS (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY rpos) - 1 AS apos
+  FROM praw
+  WHERE tok <> ''
+    AND NOT (regexp_matches(tok, '^[0-9]+$') AND length(tok) > 4))"""
+
+
+def _phrase_occ_sql(terms: list[str]) -> str:
+    """CTE chain praw/atoks/slots/hits/occ: exact phrase occurrences
+    (doc_id, start) via the same anchor-grouping the Spark operator
+    uses (slot i at apos ⇒ anchor apos - i; all |terms| distinct slots
+    on one anchor = a match)."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    ilist = ", ".join(str(i) for i in range(len(terms)))
+    return f"""{_SQL_APOS},
+slots AS (SELECT unnest([{tlist}]) AS term, unnest([{ilist}]) AS slot),
+hits AS (
+  SELECT a.doc_id, a.apos - s.slot AS start, s.slot
+  FROM atoks a JOIN slots s ON a.tok = s.term
+  WHERE a.apos - s.slot >= 0),
+occ AS (
+  SELECT doc_id, start FROM hits
+  GROUP BY 1, 2 HAVING count(DISTINCT slot) = {len(terms)})"""
+
+
+def _phrase_bm25_sql(terms: list[str], k: int) -> str:
+    return f"""
+WITH {_phrase_occ_sql(terms)},
+pdl AS (SELECT doc_id, count(*)::BIGINT AS doc_len FROM atoks GROUP BY 1),
+pstats AS (SELECT count(*)::BIGINT AS n, avg(doc_len) AS avgdl FROM pdl),
+ptf AS (SELECT doc_id, count(*)::BIGINT AS phrase_tf FROM occ GROUP BY 1),
+pdf AS (SELECT count(*)::BIGINT AS df FROM ptf)
+SELECT p.doc_id, p.phrase_tf,
+       round(ln((s.n - q.df + 0.5) / (q.df + 0.5) + 1) * p.phrase_tf
+             * {K1 + 1.0}
+             / (p.phrase_tf
+                + {K1} * (1 - {B} + {B} * d.doc_len / s.avgdl)),
+             6) AS score
+FROM ptf p JOIN pdl d USING (doc_id)
+CROSS JOIN pstats s CROSS JOIN pdf q
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
 def _simhash_sql(max_hamming: int) -> str:
     """Full SQL transliteration of operators/dedup.py simhash +
     simhash_near_dups: per-token 64-bit hash = first 8 md5 bytes
@@ -1927,6 +2028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "orders_by_segment": q_orders_by_segment,
         "revenue_by_nation": q_revenue_by_nation,
+        "phrase_bm25": q_phrase_bm25,
+        "phrase_occurrences": q_phrase_occurrences,
         "hll_register_sketch": q_hll_register_sketch,
         "term_heavy_hitters": q_term_heavy_hitters,
         "term_prefix_topk": q_term_prefix_topk,
@@ -2389,6 +2492,10 @@ SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
        round(sum(o_totalprice), 2) AS total_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1""",
+        "phrase_bm25": _phrase_bm25_sql(["table", "hash"], 10),
+        "phrase_occurrences": f"""
+WITH {_phrase_occ_sql(["slow", "hash", "batch"])}
+SELECT doc_id, start::BIGINT AS start FROM occ ORDER BY 1, 2""",
         "hll_register_sketch": _hll_sql(),
         "term_heavy_hitters": f"WITH {SQL_TOKS} "
         "SELECT tok AS term, count(*)::BIGINT AS est_count FROM toks "

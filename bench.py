@@ -301,6 +301,7 @@ def main() -> None:
         ("events_window", E.q_events_window_agg),
         ("hll_distinct_terms", E.q_hll_register_sketch),
         ("mg_heavy_hitters", E.q_term_heavy_hitters),
+        ("phrase_bm25_scan", E.q_phrase_bm25),
     ]:
         try:
             q[name] = timed(lambda fn=fn: fn(spark, SF_DIR).collect())

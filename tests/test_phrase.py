@@ -1,0 +1,189 @@
+"""Phrase matching: adjacency semantics, position arithmetic, analyzer
+interaction, and a property test against a naive pure-Python finder."""
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from wiki_search_engine_spark.functions.analyzer import (
+    base_tokens,
+    full_tokens,
+)
+from wiki_search_engine_spark.operators.phrase import (
+    phrase_bm25,
+    phrase_hits,
+    phrase_occurrences,
+    phrase_slots,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["docid", "text"]).astype(
+            {"docid": "int64"}
+        )
+    )
+
+
+def _naive_occ(text: str, terms: list[str], stem: bool = False):
+    toks = full_tokens(text) if stem else base_tokens(text)
+    m = len(terms)
+    return [
+        i
+        for i in range(len(toks) - m + 1)
+        if toks[i : i + m] == terms
+    ]
+
+
+def test_basic_adjacency(spark):
+    df = _df(
+        spark,
+        [
+            (1, "alpha beta gamma"),
+            (2, "beta alpha beta gamma alpha"),
+            (3, "alpha gamma beta"),  # terms present, never adjacent
+            (4, "alpha beta alpha beta gamma"),
+        ],
+    )
+    got = sorted(
+        (r["docid"], r["start"])
+        for r in phrase_occurrences(df, "beta gamma").collect()
+    )
+    assert got == [(1, 1), (2, 2), (4, 3)]
+
+
+def test_junk_filter_shifts_positions(spark):
+    # '123456' is junk (all digits, len>4) and must NOT occupy a
+    # position: 'alpha [junk] beta' IS an adjacent phrase; '123' (short
+    # number) survives and blocks adjacency
+    df = _df(
+        spark,
+        [(1, "alpha 123456 beta"), (2, "alpha 123 beta")],
+    )
+    got = sorted(
+        (r["docid"], r["start"])
+        for r in phrase_occurrences(df, "alpha beta").collect()
+    )
+    assert got == [(1, 0)]
+
+
+def test_duplicate_phrase_terms(spark):
+    df = _df(
+        spark,
+        [
+            (1, "go stop go stop go"),
+            (2, "go go stop"),
+        ],
+    )
+    got = sorted(
+        (r["docid"], r["start"])
+        for r in phrase_occurrences(df, "go stop go").collect()
+    )
+    assert got == [(1, 0), (1, 2)]
+
+
+def test_single_term_phrase_is_every_occurrence(spark):
+    df = _df(spark, [(1, "x y x"), (2, "y")])
+    got = sorted(
+        (r["docid"], r["start"])
+        for r in phrase_occurrences(df, "x").collect()
+    )
+    assert got == [(1, 0), (1, 2)]
+
+
+def test_punctuation_cleaning_and_case(spark):
+    # cleaning replaces punctuation with spaces and lowercases — the
+    # phrase crosses the punctuation like the analyzer does
+    df = _df(spark, [(1, "Alpha, BETA! gamma?")])
+    got = phrase_occurrences(df, "alpha beta").collect()
+    assert [(r["docid"], r["start"]) for r in got] == [(1, 0)]
+
+
+def test_stemmed_phrase_crosses_stopwords_consistently(spark):
+    # stem=True removes stopwords before positions: 'running the tests'
+    # analyzes to [run, test] — so the phrase 'running tests' matches
+    df = _df(spark, [(1, "He was running the tests quickly")])
+    got = phrase_occurrences(df, "running tests", stem=True).collect()
+    assert [(r["docid"], r["start"]) for r in got] == [(1, 0)]
+
+
+def test_phrase_slots_rejects_vanishing_token():
+    with pytest.raises(ValueError):
+        phrase_slots("the of", stem=True)  # stopwords vanish
+    # base analyzer keeps stopwords
+    assert phrase_slots("the quick") == ["the", "quick"]
+
+
+def test_hits_carry_doc_len_and_only_phrase_terms(spark):
+    df = _df(spark, [(1, "a b c d e a")])
+    rows = phrase_hits(df, "a c").collect()
+    assert {r["doc_len"] for r in rows} == {6}
+    # 'a' fills slot 0 (twice), 'c' slot 1 (once) — no other tokens
+    assert sorted((r["apos"], r["slot"]) for r in rows) == [
+        (0, 0),
+        (2, 1),
+        (5, 0),
+    ]
+
+
+def test_empty_and_null_text(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "alpha beta")],
+        "docid long, text string",
+    )
+    got = phrase_occurrences(df, "alpha beta").collect()
+    assert [(r["docid"], r["start"]) for r in got] == [(3, 0)]
+
+
+def test_bm25_scoring_matches_manual(spark):
+    import math
+
+    df = _df(
+        spark,
+        [
+            (1, "p q p q x"),      # 2 occurrences, dl 5
+            (2, "p q y z"),        # 1 occurrence, dl 4
+            (3, "q p y z"),        # 0 occurrences
+        ],
+    )
+    n, avgdl = 3, (5 + 4 + 4) / 3
+    out = {
+        r["docid"]: (r["phrase_tf"], r["score"])
+        for r in phrase_bm25(df, "p q", n=n, avgdl=avgdl, k=10).collect()
+    }
+    assert set(out) == {1, 2}
+    df_match = 2
+    idf = math.log((n - df_match + 0.5) / (df_match + 0.5) + 1)
+    for docid, tf, dl in ((1, 2, 5), (2, 1, 4)):
+        exp = idf * tf * 2.5 / (tf + 1.5 * (1 - 0.75 + 0.75 * dl / avgdl))
+        assert out[docid][0] == tf
+        assert abs(out[docid][1] - exp) < 1e-6, docid
+
+
+WORDS = ["aa", "bb", "cc", "the", "12345", "dd"]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(WORDS), min_size=0, max_size=12),
+        min_size=1,
+        max_size=6,
+    ),
+    phrase=st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=3
+    ),
+)
+def test_occurrences_match_naive(spark, docs, phrase):
+    rows = [(i + 1, " ".join(words)) for i, words in enumerate(docs)]
+    got = sorted(
+        (r["docid"], r["start"])
+        for r in phrase_occurrences(_df(spark, rows), phrase).collect()
+    )
+    exp = sorted(
+        (docid, s)
+        for docid, text in rows
+        for s in _naive_occ(text, list(phrase))
+    )
+    assert got == exp

@@ -1,0 +1,245 @@
+"""Phrase queries: exact token-adjacency matching over the analyzed
+stream, scored like a pseudo-term under BM25.
+
+The reference engine has no phrase operator (its Mongo ``$in`` retrieval
+is bag-of-words only, backend/services/mongoService.js:18-30) — this is
+the canonical fulltext-index extension a user of any Lucene-class engine
+expects, built Spark-first:
+
+- ``phrase_hits`` — ONE mapInPandas pass over the corpus that emits a
+  row per (document, analyzed-position, phrase-slot) ONLY for tokens
+  that appear in the phrase (the kernel filter is the pushdown: output
+  is O(phrase-term occurrences), never O(tokens)). Positions are
+  0-based indexes into the base-analyzed token stream (post junk
+  filter), so the DuckDB oracle replays them exactly with
+  ``generate_subscripts`` + ``row_number``.
+- ``phrase_occurrences`` — the adjacency check as ONE aggregation, no
+  self-joins: a phrase of m slots matches at anchor ``apos - slot``
+  iff all m distinct slots land on the same (docid, anchor). That is
+  ``groupBy(docid, apos - slot).agg(countDistinct(slot)) = m`` — a
+  single sketch-sized shuffle of the hit rows, against the textbook
+  m-way self-join formulation that would re-scan the corpus m times.
+  Duplicate terms in the phrase ("new york new york") are handled by
+  emitting one row per slot the term fills.
+- ``phrase_bm25`` — phrase-as-pseudo-term ranking: tf = occurrence
+  count per doc, df = matching-doc count, scored with the engine's
+  BM25 (same K1/B and the reference's df form) against the corpus
+  N/avgdl/doc_len.
+
+Scale shape: the hits pass is shuffle-free and its output is tiny
+relative to the corpus; the anchor aggregation and the df aggregation
+are both over hit rows only. At serving time the same adjacency kernel
+runs over the positional index sidecar instead of the corpus (see
+``positions_sidecar`` / engine ``search_phrase``), so a query touches
+only the phrase terms' position lists — this module's corpus form is
+the batch-analytics path and the oracle gate for both.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.analyzer import analyze_query
+
+HITS_SCHEMA = "docid long, apos int, slot int, doc_len int"
+
+
+def _phrase_hits_batches(slots: list[tuple[str, int]], stem: bool):
+    """Kernel factory: (docid, text) Arrow batches -> hit rows.
+
+    Shares the vectorized clean/split/junk (and optional
+    stopword+Porter) pipeline with tokenize_frame — same semantics,
+    property-tested against base_tokens/full_tokens — then assigns each
+    surviving token its 0-based position and keeps only phrase-term
+    rows. doc_len (analyzed token count) rides on every hit row so
+    scoring needs no second corpus pass for matching docs.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.analyzer import (
+            CLEAN_RE,
+            STOPWORDS,
+            porter_stem,
+        )
+
+        for pdf in batches:
+            texts = pdf["text"].fillna("")
+            token_lists = (
+                texts.str.replace(CLEAN_RE, " ", regex=True)
+                .str.lower()
+                .str.split()
+            )
+            lens = token_lists.str.len().fillna(0).astype(np.int64)
+            if lens.sum() == 0:
+                continue
+            flat_docids = np.repeat(
+                pdf["docid"].to_numpy(dtype=np.int64), lens.to_numpy()
+            )
+            flat_terms = pd.Series(
+                np.concatenate([t for t in token_lists if t]),
+                dtype="object",
+            )
+            junk = np.zeros(flat_terms.size, dtype=bool)
+            maybe = (
+                (flat_terms.str.len() > 4)
+                & flat_terms.str.slice(0, 1).isin(tuple("0123456789"))
+            ).to_numpy()
+            if maybe.any():
+                junk[maybe] = (
+                    flat_terms[maybe]
+                    .str.fullmatch("[0-9]+", na=False)
+                    .to_numpy()
+                )
+            keep = ~junk
+            if stem:
+                keep &= ~flat_terms.isin(STOPWORDS).to_numpy()
+            flat_docids = flat_docids[keep]
+            flat_terms = flat_terms[keep]
+            if stem and flat_terms.size:
+                uniq = pd.unique(flat_terms)
+                flat_terms = flat_terms.map(
+                    {t: porter_stem(t) for t in uniq}
+                )
+            if not flat_terms.size:
+                continue
+            # 0-based position within each doc's analyzed stream: docs
+            # are contiguous runs (one text row per doc), so positions
+            # restart at every docid change point
+            starts = np.flatnonzero(
+                np.r_[True, flat_docids[1:] != flat_docids[:-1]]
+            )
+            run_lens = np.diff(np.r_[starts, flat_docids.size])
+            apos = np.arange(flat_docids.size) - np.repeat(
+                starts, run_lens
+            )
+            doc_len = np.repeat(run_lens, run_lens)
+            out = []
+            terms_np = flat_terms.to_numpy()
+            for term, slot in slots:
+                mask = terms_np == term
+                if not mask.any():
+                    continue
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "docid": flat_docids[mask],
+                            "apos": apos[mask].astype("int32"),
+                            "slot": np.full(
+                                int(mask.sum()), slot, dtype="int32"
+                            ),
+                            "doc_len": doc_len[mask].astype("int32"),
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return fn
+
+
+def phrase_slots(phrase: str | list[str], stem: bool = False) -> list[str]:
+    """Analyze a phrase into its ordered slot terms (duplicates kept —
+    unlike analyze_query, slot order IS the query)."""
+    if isinstance(phrase, str):
+        toks = phrase.split()
+    else:
+        toks = list(phrase)
+    out: list[str] = []
+    for t in toks:
+        a = analyze_query(t, stem=stem)
+        if len(a) != 1:
+            raise ValueError(
+                f"phrase token {t!r} analyzes to {a} — each phrase "
+                "position must survive as exactly one term"
+            )
+        out.append(a[0])
+    return out
+
+
+def phrase_hits(
+    corpus: DataFrame, phrase: str | list[str], stem: bool = False
+) -> DataFrame:
+    """(docid, text) -> (docid, apos, slot, doc_len) hit rows for the
+    phrase's terms only. Shuffle-free; output is O(occurrences of the
+    phrase's terms), not O(tokens)."""
+    terms = phrase_slots(phrase, stem=stem)
+    slots = [(t, i) for i, t in enumerate(terms)]
+    return corpus.select("docid", "text").mapInPandas(
+        _phrase_hits_batches(slots, stem), schema=HITS_SCHEMA
+    )
+
+
+def phrase_occurrences(
+    corpus: DataFrame, phrase: str | list[str], stem: bool = False
+) -> DataFrame:
+    """(docid, start, doc_len) — one row per exact phrase occurrence.
+
+    Adjacency as a single aggregation: slot i must sit at anchor+i, so
+    grouping hits by (docid, apos - slot) and requiring all m distinct
+    slots is exactly the m-token adjacency test. One shuffle, sized by
+    hit rows."""
+    terms = phrase_slots(phrase, stem=stem)
+    m = len(terms)
+    hits = phrase_hits(corpus, terms, stem=stem)
+    return (
+        hits.withColumn("start", F.col("apos") - F.col("slot"))
+        .filter(F.col("start") >= 0)
+        .groupBy("docid", "start")
+        .agg(
+            F.countDistinct("slot").alias("nslots"),
+            F.first("doc_len").alias("doc_len"),
+        )
+        .filter(F.col("nslots") == m)
+        .select("docid", "start", "doc_len")
+    )
+
+
+def phrase_bm25(
+    corpus: DataFrame,
+    phrase: str | list[str],
+    n: int,
+    avgdl: float,
+    k: int = 50,
+    k1: float = 1.5,
+    b: float = 0.75,
+    stem: bool = False,
+) -> DataFrame:
+    """Top-k docs for an exact phrase, scored as a pseudo-term:
+    tf = per-doc occurrence count, df = matching-doc count (the
+    reference's df form: Robertson idf with +1), corpus N/avgdl passed
+    in (at serving time they come from the stats singleton — never a
+    corpus scan). Output (docid, phrase_tf, score) rounded like every
+    scored entry."""
+    occ = phrase_occurrences(corpus, phrase, stem=stem)
+    per_doc = occ.groupBy("docid").agg(
+        F.count("*").alias("phrase_tf"),
+        F.first("doc_len").alias("doc_len"),
+    )
+    # df is a scalar over the (small) matching-doc relation; window
+    # over an empty partitioning would funnel rows to one task at
+    # scale, so cross-join the 1-row aggregate instead
+    dfv = per_doc.agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("phrase_tf") + k1 * (
+        1.0 - b + b * F.col("doc_len") / F.lit(float(avgdl))
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(dfv))
+        .select(
+            "docid",
+            F.col("phrase_tf").cast("long").alias("phrase_tf"),
+            F.round(
+                idf * F.col("phrase_tf") * (k1 + 1.0) / denom, 6
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(k)
+    )
