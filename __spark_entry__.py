@@ -877,6 +877,65 @@ def q_phrase_occurrences(spark, sf_dir):
     )
 
 
+def _pos_index_dir(spark, sf_dir) -> str:
+    """A positions-enabled index over the documents table (pre-keyed
+    docid = doc_id, base analyzer), cached per sf like _tiered_dirs."""
+    import json
+    import os
+
+    from wiki_search_engine_spark.plans.build import build_index
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    d = f"/tmp/wse_positions{tag}"
+    marker = f"{d}/manifest.json"
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if json.load(f).get("all", {}).get("status") == "done":
+                return d
+    build_index(
+        spark,
+        _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("docid"),
+            F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+            "text",
+        ),
+        d,
+        stem=False,
+        n_buckets=16,
+        bucket_groups=1,
+        salt_bits=2,
+        positions=True,
+    )
+    return d
+
+
+def q_indexed_phrase_bm25(spark, sf_dir):
+    """The SERVING form of phrase_bm25: exact-phrase top-10 from the
+    positional sidecar (operators/positions.py) — reads only the two
+    phrase terms' bucket directories with an In(term) pushdown, never
+    the corpus — scored with the index's stats singleton. Same oracle
+    as phrase_bm25, so the sidecar encode/decode, bucket routing, and
+    anchor aggregation are all value-checked end-to-end."""
+    import pyarrow.parquet as pq
+
+    from wiki_search_engine_spark.operators.phrase import (
+        indexed_phrase_occurrences, rank_occurrences,
+    )
+
+    d = _pos_index_dir(spark, sf_dir)
+    stats = pq.read_table(f"{d}/stats").to_pandas().iloc[0]
+    occ = indexed_phrase_occurrences(
+        spark, d, "table hash", stem=False, n_buckets=16
+    )
+    return rank_occurrences(
+        occ, n=int(stats["N"]), avgdl=float(stats["avgdl"]), k=10
+    ).select(
+        F.col("docid").cast("long").alias("doc_id"),
+        F.col("phrase_tf").cast("long").alias("phrase_tf"),
+        "score",
+    )
+
+
 # ----- rows-only entries (non-SQL-expressible) -----------------------------
 
 
@@ -2030,6 +2089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "phrase_bm25": q_phrase_bm25,
         "phrase_occurrences": q_phrase_occurrences,
+        "indexed_phrase_bm25": q_indexed_phrase_bm25,
         "hll_register_sketch": q_hll_register_sketch,
         "term_heavy_hitters": q_term_heavy_hitters,
         "term_prefix_topk": q_term_prefix_topk,
@@ -2493,6 +2553,7 @@ SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1""",
         "phrase_bm25": _phrase_bm25_sql(["table", "hash"], 10),
+        "indexed_phrase_bm25": _phrase_bm25_sql(["table", "hash"], 10),
         "phrase_occurrences": f"""
 WITH {_phrase_occ_sql(["slow", "hash", "batch"])}
 SELECT doc_id, start::BIGINT AS start FROM occ ORDER BY 1, 2""",

@@ -317,6 +317,26 @@ def main() -> None:
         .select("term").distinct().count()
     )
 
+    # ---- positional sidecar: incremental build cost + phrase serving -----
+    # resume=True re-enters the finished build and runs ONLY the
+    # positions stage, so this line isolates the sidecar's cost on the
+    # same corpus the headline build indexed
+    from wiki_search_engine_spark.plans.build import build_index
+
+    t0 = time.time()
+    build_index(
+        spark, corpus, index_dir, stem=True, n_buckets=64,
+        bucket_groups=1, salt_bits=3, resume=True, positions=True,
+    )
+    q["positions_sidecar_build"] = round(time.time() - t0, 3)
+    phrase_q = f"{words[3]} {words[50]}"
+    lat = []
+    for _ in range(15):
+        t0 = time.time()
+        eng.search_phrase(phrase_q, k=10)
+        lat.append(time.time() - t0)
+    q["phrase_local_p50"] = round(statistics.median(lat), 4)
+
     # ---- autocomplete serving: lexicon range scan, zero Spark jobs -------
     lat = []
     for _ in range(15):

@@ -63,6 +63,11 @@ def main(argv=None):
     b.add_argument("--buckets", type=int, default=64)
     b.add_argument("--bucket-groups", type=int, default=4)
     b.add_argument("--salt-bits", type=int, default=3)
+    b.add_argument(
+        "--positions", action="store_true",
+        help="also write the positional sidecar (exact phrase queries "
+        "via search --phrase, no corpus re-scan)",
+    )
 
     m = sub.add_parser("merge")
     m.add_argument("--base", required=True)
@@ -138,6 +143,12 @@ def main(argv=None):
     q.add_argument("--mode", choices=["bm25", "tfidf"], default="bm25")
     q.add_argument(
         "--path", choices=["wand", "exhaustive", "local"], default="wand"
+    )
+    q.add_argument(
+        "--phrase", action="store_true",
+        help="exact-phrase search over the positional sidecar "
+        "(single-index, built with --positions); results carry "
+        "phrase_tf",
     )
     q.add_argument(
         "--snapshot", default=None,
@@ -341,6 +352,7 @@ def main(argv=None):
             n_buckets=args.buckets,
             bucket_groups=args.bucket_groups,
             salt_bits=args.salt_bits,
+            positions=args.positions,
         )
         sec = time.time() - t0
         print(
@@ -414,6 +426,55 @@ def main(argv=None):
                 "--snapshot is single-index only; time-travel each "
                 "segment root separately"
             )
+        if args.phrase and len(dirs) > 1:
+            raise SystemExit(
+                "--phrase is single-index only (positional sidecars "
+                "are per-index; compact the segments first)"
+            )
+        if args.phrase:
+            t0 = time.time()
+            try:
+                eng = SearchEngine.load(
+                    spark, dirs[0], snapshot=args.snapshot
+                )
+                hits = eng.search_phrase(args.query, k=args.k)
+            except EmptyQueryError:
+                print(
+                    json.dumps({"success": False, "error": "Empty query"})
+                )
+                spark.stop()
+                return 1
+            except (FileNotFoundError, ValueError) as e:
+                # missing sidecar, bad --snapshot, or a phrase token
+                # that does not analyze to exactly one term
+                print(json.dumps({"success": False, "error": str(e)}))
+                spark.stop()
+                return 1
+            dmap = {
+                r["docid"]: r
+                for r in eng.lookup_docs([d for d, _s, _tf in hits])
+            }
+            print(
+                json.dumps(
+                    {
+                        "query": args.query,
+                        "phrase": True,
+                        "search_sec": round(time.time() - t0, 3),
+                        "results": [
+                            {
+                                "docid": d,
+                                "url": dmap[d]["url"],
+                                "score": round(s, 6),
+                                "phrase_tf": tf,
+                                "snippet": dmap[d]["snippet"],
+                            }
+                            for d, s, tf in hits
+                        ],
+                    }
+                )
+            )
+            spark.stop()
+            return 0
         t0 = time.time()
         try:
             if len(dirs) > 1:

@@ -1,0 +1,272 @@
+"""Positional sidecar: codec roundtrip, row-cap splitting, indexed ==
+corpus-scan phrase identity, and the engine serving path."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from wiki_search_engine_spark.functions.analyzer import full_tokens
+from wiki_search_engine_spark.operators.phrase import (
+    indexed_phrase_occurrences,
+    phrase_occurrences,
+)
+from wiki_search_engine_spark.operators.positions import (
+    build_positions,
+    decode_positions_row,
+    positions_flat,
+)
+
+N_BUCKETS = 16
+SALT_BITS = 2
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, corpus_df, tmp_path_factory):
+    """An index built WITH the positional sidecar (porter analyzer,
+    the engine default)."""
+    from wiki_search_engine_spark.engine import SearchEngine
+
+    d = str(tmp_path_factory.mktemp("pos_index"))
+    eng = SearchEngine.build(
+        spark, corpus_df, d, stem=True,
+        n_buckets=N_BUCKETS, bucket_groups=2, salt_bits=SALT_BITS,
+        positions=True,
+    )
+    return eng
+
+
+@pytest.fixture(scope="module")
+def keyed_corpus(spark, corpus_df):
+    from wiki_search_engine_spark.operators.tokenize import with_docid
+
+    return with_docid(corpus_df, "url").select("docid", "text")
+
+
+@pytest.fixture(scope="module")
+def fixture_phrases(corpus_rows):
+    """Phrases guaranteed present: adjacent analyzed-token pairs and
+    triples lifted from fixture docs."""
+    out = []
+    for r in corpus_rows[:6]:
+        toks = full_tokens(r["text"])
+        if len(toks) >= 3:
+            out.append(" ".join(toks[0:2]))
+            out.append(" ".join(toks[1:4]))
+    return sorted(set(out))[:6]
+
+
+def _flat_rows(df):
+    return sorted(
+        (r["term"], r["docid"], int(r["apos"]), int(r["doc_len"]))
+        for r in df.collect()
+    )
+
+
+def _decode_all(rows):
+    out = []
+    for row in rows:
+        d = row.asDict()
+        docids, doclens, offsets, pos = decode_positions_row(d)
+        for i, (doc, dl) in enumerate(zip(docids, doclens)):
+            for p in pos[offsets[i]:offsets[i + 1]]:
+                out.append((d["term"], int(doc), int(p), int(dl)))
+    return sorted(out)
+
+
+def test_roundtrip_flat_to_rows(spark, keyed_corpus):
+    flat = positions_flat(keyed_corpus, stem=True)
+    packed = build_positions(
+        flat, salt_bits=SALT_BITS, n_buckets=N_BUCKETS
+    )
+    assert _decode_all(packed.collect()) == _flat_rows(flat)
+
+
+def test_row_cap_splits_on_doc_bounds(spark, keyed_corpus):
+    flat = positions_flat(keyed_corpus, stem=True)
+    packed = build_positions(
+        flat, salt_bits=SALT_BITS, n_buckets=N_BUCKETS,
+        max_positions_per_row=64,
+    ).collect()
+    # the cap forces splits: some (term, salt) spans several rows
+    key_counts = pd.Series(
+        [(r["term"], r["salt"]) for r in packed]
+    ).value_counts()
+    assert key_counts.max() > 1
+    # each row stays within cap + one doc's slack and decodes standalone
+    for r in packed:
+        d = r.asDict()
+        _doc, _dl, offsets, pos = decode_positions_row(d)
+        assert offsets[-1] == len(pos)
+    assert _decode_all(packed) == _flat_rows(flat)
+
+
+def test_positions_match_tokens_table(spark, pos_index):
+    """The sidecar's (term, docid) universe and per-doc counts equal
+    the postings' tf — same analyzed stream, two layouts."""
+    eng = pos_index
+    toks = (
+        spark.read.parquet(f"{eng.index_dir}/tokens")
+        .select("term", "docid", "tf")
+        .collect()
+    )
+    exp = {(r["term"], r["docid"]): r["tf"] for r in toks}
+    got = {}
+    rows = spark.read.parquet(f"{eng.index_dir}/positions").collect()
+    for row in rows:
+        d = row.asDict()
+        docids, _dl, offsets, _pos = decode_positions_row(d)
+        for i, doc in enumerate(docids):
+            key = (d["term"], int(doc))
+            got[key] = got.get(key, 0) + int(
+                offsets[i + 1] - offsets[i]
+            )
+    assert got == exp
+
+
+def test_indexed_equals_corpus_scan(
+    spark, pos_index, keyed_corpus, fixture_phrases
+):
+    for phrase in fixture_phrases:
+        exp = sorted(
+            (r["docid"], r["start"])
+            for r in phrase_occurrences(
+                keyed_corpus, phrase, stem=True
+            ).collect()
+        )
+        got = sorted(
+            (r["docid"], r["start"])
+            for r in indexed_phrase_occurrences(
+                spark, pos_index.index_dir, phrase, stem=True,
+                n_buckets=N_BUCKETS,
+            ).collect()
+        )
+        assert got == exp and exp, phrase
+
+
+def test_engine_search_phrase_matches_operator(
+    spark, pos_index, keyed_corpus, fixture_phrases
+):
+    from wiki_search_engine_spark.operators.phrase import (
+        phrase_bm25,
+    )
+
+    eng = pos_index
+    for phrase in fixture_phrases[:3]:
+        exp = [
+            (r["docid"], r["score"], r["phrase_tf"])
+            for r in phrase_bm25(
+                keyed_corpus, phrase, n=eng.n, avgdl=eng.avgdl,
+                k=10, stem=True,
+            ).collect()
+        ]
+        got = [
+            (d, round(s, 6), tf)
+            for d, s, tf in eng.search_phrase(phrase, k=10)
+        ]
+        assert got == exp, phrase
+
+
+def test_search_phrase_absent_term_and_empty(pos_index):
+    from wiki_search_engine_spark.engine import EmptyQueryError
+
+    assert pos_index.search_phrase("zzznotaword table") == []
+    with pytest.raises(EmptyQueryError):
+        pos_index.search_phrase("   ")
+
+
+def test_search_phrase_requires_sidecar(engine):
+    with pytest.raises(FileNotFoundError, match="positions"):
+        engine.search_phrase("anything here")
+
+
+def test_phrase_over_http(spark, pos_index, fixture_phrases):
+    import json
+    import urllib.parse
+    import urllib.request
+
+    from wiki_search_engine_spark.server import start_server
+
+    srv = start_server(pos_index, port=0, path_mode="local")
+    try:
+        port = srv.server_address[1]
+        q = urllib.parse.quote(fixture_phrases[0])
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/query-stem?query={q}&phrase=true",
+            timeout=60,
+        ) as r:
+            body = json.loads(r.read())
+        assert r.status == 200 and body["textResult"]
+        exp = [str(d) for d, _s, _tf in pos_index.search_phrase(
+            fixture_phrases[0], k=50
+        )]
+        assert [d["file_id"] for d in body["textResult"]] == exp
+    finally:
+        srv.shutdown()
+
+
+def test_phrase_http_400_without_sidecar(spark, engine):
+    import json
+    import urllib.error
+    import urllib.request
+
+    from wiki_search_engine_spark.server import start_server
+
+    srv = start_server(engine, port=0, path_mode="local")
+    try:
+        port = srv.server_address[1]
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/query-stem"
+                "?query=alpha%20beta&phrase=true",
+                timeout=60,
+            )
+        assert ei.value.code == 400
+        body = json.loads(ei.value.read())
+        assert body["success"] is False and "positions" in body["error"]
+    finally:
+        srv.shutdown()
+
+
+def test_merge_refuses_positions_sidecar(spark, pos_index, tmp_path):
+    from wiki_search_engine_spark.plans.merge import (
+        delete_docs, merge_indexes,
+    )
+
+    d = pos_index.index_dir
+    with pytest.raises(NotImplementedError, match="positions"):
+        merge_indexes(spark, d, d, str(tmp_path / "m"))
+    with pytest.raises(NotImplementedError, match="positions"):
+        delete_docs(spark, d, str(tmp_path / "del"), docids=[1])
+
+
+def test_delete_drop_positions_writes_sidecarless_index(
+    spark, pos_index, tmp_path
+):
+    import json
+    import os
+
+    from wiki_search_engine_spark.plans.merge import delete_docs
+
+    out = str(tmp_path / "del_ok")
+    some_doc = int(
+        spark.read.parquet(
+            f"{pos_index.index_dir}/doc_stats"
+        ).limit(1).collect()[0]["docid"]
+    )
+    delete_docs(
+        spark, pos_index.index_dir, out, docids=[some_doc],
+        drop_positions=True,
+    )
+    assert not os.path.isdir(f"{out}/positions")
+    with open(f"{out}/meta.json") as f:
+        assert json.load(f)["positions"] is False
+
+
+def test_build_rejects_ner_positions(spark, corpus_df, tmp_path):
+    from wiki_search_engine_spark.plans.build import build_index
+
+    with pytest.raises(ValueError, match="NER"):
+        build_index(
+            spark, corpus_df, str(tmp_path / "x"),
+            analyzer="ner", positions=True,
+        )

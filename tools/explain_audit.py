@@ -57,11 +57,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     index_dir = f"{WORK}/index"
-    if not os.path.exists(f"{index_dir}/manifest.json"):
+    if not os.path.exists(f"{index_dir}/manifest.json") or not (
+        os.path.isdir(f"{index_dir}/positions")
+    ):
         shutil.rmtree(index_dir, ignore_errors=True)
         eng = SearchEngine.build(
             spark, synth_corpus(spark, 500, partitions=8), index_dir,
             stem=True, n_buckets=16, bucket_groups=1, salt_bits=2,
+            positions=True,
         )
     else:
         eng = SearchEngine.load(spark, index_dir)
@@ -286,6 +289,27 @@ def main() -> None:
             r"PartitionFilters: \[[^\]]*tbl",
             r"PartitionFilters: \[[^\]]*bucket",
         ],
+    )
+
+    # 13. positional sidecar phrase read: the scan touches ONLY the
+    # phrase terms' positions/bucket=N directories (path-level pruning)
+    # with the term In(...) predicate pushed to the parquet footer —
+    # never the postings table or the corpus
+    from wiki_search_engine_spark.operators.phrase import (
+        indexed_phrase_occurrences,
+    )
+
+    pplan = plan_of(
+        indexed_phrase_occurrences(
+            spark, index_dir, f"{words[3]} {words[50]}", stem=True,
+            n_buckets=16,
+        )
+    )
+    check(
+        "positions_phrase_pushdown",
+        pplan,
+        must=[r"PushedFilters: \[In\(term", r"positions/bucket="],
+        must_not=[r"/postings", r"Scan parquet[^\n]*corpus"],
     )
 
     spark.stop()

@@ -528,6 +528,135 @@ class SearchEngine:
         return [(term, df) for df, term in matches[:k]]
 
     # -- queries -----------------------------------------------------------
+    def search_phrase(
+        self, phrase: str, k: int = 50
+    ) -> list[tuple[int, float, int]]:
+        """Exact-phrase top-k on the DRIVER from the positional sidecar
+        (build with positions=True): one pyarrow read per phrase-term
+        bucket directory (term In pushdown over term-sorted row
+        groups), NumPy adjacency per candidate doc, BM25 pseudo-term
+        scoring against the stats singleton — zero Spark jobs, zero
+        corpus access. Returns [(docid, score, phrase_tf)] by
+        (score desc, docid asc); [] when any phrase term is absent.
+        Rank/value identity with the corpus-scan operator
+        (operators/phrase.py) is pytest-enforced."""
+        import os
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from .operators.phrase import phrase_slots
+        from .operators.positions import decode_positions_row
+        from .operators.postings import term_bucket
+
+        if not (phrase or "").strip():
+            raise EmptyQueryError("Empty query")
+        if not os.path.isdir(f"{self.index_dir}/positions"):
+            raise FileNotFoundError(
+                f"{self.index_dir}/positions missing — phrase search "
+                "needs the positional sidecar; rebuild with "
+                "positions=True (build --positions)"
+            )
+        terms = phrase_slots(phrase, stem=self.stem)
+        m = len(terms)
+        # per term -> docid -> ascending positions (+ doc_len)
+        slots: dict[str, list[int]] = {}
+        for i, t in enumerate(terms):
+            slots.setdefault(t, []).append(i)
+        per_term: dict[str, tuple] = {}
+        by_bucket: dict[int, list[str]] = {}
+        for t in slots:
+            by_bucket.setdefault(
+                term_bucket(t, self.n_buckets), []
+            ).append(t)
+        for b, ts in by_bucket.items():
+            d = f"{self.index_dir}/positions/bucket={b}"
+            if not os.path.isdir(d):
+                continue
+            tbl = pq.read_table(d, filters=[("term", "in", ts)])
+            for row in tbl.to_pylist():
+                docids, doclens, offsets, pos = decode_positions_row(row)
+                prev = per_term.get(row["term"])
+                if prev is None:
+                    per_term[row["term"]] = (
+                        [docids], [doclens], [offsets], [pos]
+                    )
+                else:
+                    for lst, arr in zip(
+                        prev, (docids, doclens, offsets, pos)
+                    ):
+                        lst.append(arr)
+        if len(per_term) < len(slots):
+            return []  # a phrase term absent from the index
+        # merge each term's row shards into docid-sorted lookups
+        lookup: dict[str, tuple] = {}
+        for t, (ds, ls, offs, ps) in per_term.items():
+            docids = np.concatenate(ds)
+            doclens = np.concatenate(ls)
+            counts = np.concatenate([np.diff(o) for o in offs])
+            pos = np.concatenate(ps)
+            order = np.argsort(docids, kind="stable")
+            # re-gather the variable-length position runs in doc order
+            starts = np.r_[np.int64(0), np.cumsum(counts)]
+            gather = np.concatenate(
+                [np.arange(starts[i], starts[i] + counts[i])
+                 for i in order]
+            ) if order.size else np.zeros(0, dtype=np.int64)
+            counts = counts[order]
+            new_starts = np.r_[np.int64(0), np.cumsum(counts)]
+            lookup[t] = (
+                docids[order], doclens[order], new_starts, pos[gather]
+            )
+        # candidate docs: intersect, smallest posting list first
+        ordered = sorted(lookup, key=lambda t: lookup[t][0].size)
+        cand = lookup[ordered[0]][0]
+        for t in ordered[1:]:
+            cand = cand[np.isin(cand, lookup[t][0], assume_unique=True)]
+            if cand.size == 0:
+                return []
+        results: list[tuple[int, float, int]] = []
+        t0 = terms[0]
+        d0, dl0, off0, pos0 = lookup[t0]
+        idx0 = np.searchsorted(d0, cand)
+        for ci, doc in enumerate(cand):
+            i0 = idx0[ci]
+            starts = pos0[off0[i0]:off0[i0 + 1]]
+            for slot in range(1, m):
+                ti = terms[slot]
+                di, _dli, offi, posi = lookup[ti]
+                j = np.searchsorted(di, doc)
+                starts = starts[
+                    np.isin(
+                        starts + slot, posi[offi[j]:offi[j + 1]],
+                        assume_unique=True,
+                    )
+                ]
+                if starts.size == 0:
+                    break
+            if starts.size:
+                results.append(
+                    (int(doc), int(dl0[i0]), int(starts.size))
+                )
+        if not results:
+            return []
+        import math
+
+        from . import B, K1
+
+        dfm = len(results)
+        idf = math.log((self.n - dfm + 0.5) / (dfm + 0.5) + 1.0)
+        scored = [
+            (
+                docid,
+                idf * tf * (K1 + 1.0)
+                / (tf + K1 * (1.0 - B + B * dl / self.avgdl)),
+                tf,
+            )
+            for docid, dl, tf in results
+        ]
+        scored.sort(key=lambda r: (-r[1], r[0]))
+        return scored[:k]
+
     def search_local(
         self, query: str, k: int = 50, mode: str = "bm25",
         semantics: str = "or",
@@ -839,6 +968,7 @@ class SearchEngine:
         semantics: str = "or",
         page: int | None = None,
         per_page: int = 10,
+        phrase: bool = False,
     ) -> dict:
         """The reference's full HTTP response shape
         (backend/controllers/queryController.js:11-59):
@@ -863,6 +993,14 @@ class SearchEngine:
         """
 
         def get_ids(mode):
+            if phrase:
+                # exact-phrase extension: BM25 pseudo-term ranks from
+                # the positional sidecar, reference response shape
+                return [
+                    (d, s) for d, s, _tf in self.search_phrase(
+                        query, k=k
+                    )
+                ]
             if path != "local":
                 return [
                     (r["docid"], r["score"])

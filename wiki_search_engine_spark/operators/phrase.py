@@ -175,18 +175,13 @@ def phrase_hits(
     )
 
 
-def phrase_occurrences(
-    corpus: DataFrame, phrase: str | list[str], stem: bool = False
-) -> DataFrame:
-    """(docid, start, doc_len) — one row per exact phrase occurrence.
-
-    Adjacency as a single aggregation: slot i must sit at anchor+i, so
-    grouping hits by (docid, apos - slot) and requiring all m distinct
-    slots is exactly the m-token adjacency test. One shuffle, sized by
-    hit rows."""
-    terms = phrase_slots(phrase, stem=stem)
-    m = len(terms)
-    hits = phrase_hits(corpus, terms, stem=stem)
+def occurrences_from_hits(hits: DataFrame, m: int) -> DataFrame:
+    """(docid, apos, slot, doc_len) hit rows -> (docid, start, doc_len)
+    exact occurrences. The anchor aggregation: slot i must sit at
+    anchor+i, so grouping hits by (docid, apos - slot) and requiring
+    all m distinct slots is exactly the m-token adjacency test — one
+    hit-row-sized shuffle. Shared by the corpus-scan path and the
+    positional-index path (operators/positions.py positions_hits_df)."""
     return (
         hits.withColumn("start", F.col("apos") - F.col("slot"))
         .filter(F.col("start") >= 0)
@@ -198,6 +193,38 @@ def phrase_occurrences(
         .filter(F.col("nslots") == m)
         .select("docid", "start", "doc_len")
     )
+
+
+def phrase_occurrences(
+    corpus: DataFrame, phrase: str | list[str], stem: bool = False
+) -> DataFrame:
+    """(docid, start, doc_len) — one row per exact phrase occurrence,
+    from a corpus scan (the batch-analytics form; serving uses the
+    positional index via indexed_phrase_occurrences)."""
+    terms = phrase_slots(phrase, stem=stem)
+    return occurrences_from_hits(
+        phrase_hits(corpus, terms, stem=stem), len(terms)
+    )
+
+
+def indexed_phrase_occurrences(
+    spark,
+    index_dir: str,
+    phrase: str | list[str],
+    stem: bool = False,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exact phrase occurrences from the positional index sidecar —
+    reads ONLY the phrase terms' bucket directories (In-pruned row
+    groups), never the corpus. Same output contract as
+    phrase_occurrences; rank/value identity is pytest-enforced."""
+    from .positions import positions_hits_df
+
+    terms = phrase_slots(phrase, stem=stem)
+    hits = positions_hits_df(
+        spark, index_dir, terms, n_buckets=n_buckets
+    )
+    return occurrences_from_hits(hits, len(terms))
 
 
 def phrase_bm25(
@@ -217,6 +244,20 @@ def phrase_bm25(
     corpus scan). Output (docid, phrase_tf, score) rounded like every
     scored entry."""
     occ = phrase_occurrences(corpus, phrase, stem=stem)
+    return rank_occurrences(occ, n, avgdl, k=k, k1=k1, b=b)
+
+
+def rank_occurrences(
+    occ: DataFrame,
+    n: int,
+    avgdl: float,
+    k: int = 50,
+    k1: float = 1.5,
+    b: float = 0.75,
+) -> DataFrame:
+    """(docid, start, doc_len) occurrences -> top-k
+    (docid, phrase_tf, score): the pseudo-term BM25 shared by the
+    corpus-scan and positional-index phrase paths."""
     per_doc = occ.groupBy("docid").agg(
         F.count("*").alias("phrase_tf"),
         F.first("doc_len").alias("doc_len"),

@@ -1,0 +1,401 @@
+"""Positional index sidecar: per-(term, doc) position lists, packed
+varbyte rows in the same bucket/salt layout as the postings table.
+
+The postings table stores (docid, tf, doc_len) per term — enough for
+BM25 but not for phrase adjacency. This sidecar is the Lucene ``.pos``
+analogue, built Spark-first:
+
+- the positions pass emits FLAT (docid, term, apos, doc_len, bucket)
+  rows — one per surviving token. That is |tokens| rows where the
+  postings build ships |distinct (doc, term)|: the honest, unavoidable
+  cost of a positional index (every position must reach its shard in
+  some form), and why it is an opt-in build flag (``positions=True``).
+- one shuffle (bucket, salt), identical partitioning to build_postings,
+  then a mapInArrow encoder packs each (term, salt) group into rows of
+  ``POSITIONS_SCHEMA``: docids delta+varbyte, per-doc position counts,
+  doc lengths, and positions delta-encoded WITHIN each doc (first
+  absolute). Encoding is flat-vectorized across all groups of a batch
+  (one varbyte pass per stream, per-row byte-ranges sliced from shared
+  offsets) — the same no-per-row-Python rule as the postings encoder.
+- rows cap at MAX_POSITIONS_PER_ROW positions, split ONLY on document
+  boundaries (each row is self-decoding: its first docid and each
+  doc's first position are absolute), so a stopword-scale term never
+  becomes a multi-GB parquet cell.
+
+Layout: parquet partitionBy(bucket); within a bucket file rows are
+term-sorted, so a query term's rows are found by one directory prune
+(driver-computable md5 bucket) + row-group min/max pruning + an
+``In(term)`` filter — the exact read pattern the postings serving
+paths already use.
+
+The reference has no positional structure at all (its Mongo schema
+stores tf-only postings, mongodb_scripts/insertIndex.py:62-68);
+queries over it are bag-of-words. This sidecar is what a fulltext
+index at 100 TB needs for the phrase queries of operators/phrase.py
+without re-scanning the corpus per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType, IntegerType, LongType, StringType, StructField,
+    StructType,
+)
+
+from .postings import (
+    DEFAULT_BUCKETS,
+    iter_group_complete_tables,
+    new_group_mask_arrow,
+    term_bucket,
+    term_bucket_col,
+)
+
+POSITIONS_SCHEMA = StructType(
+    [
+        StructField("term", StringType()),
+        StructField("salt", IntegerType()),
+        StructField("bucket", IntegerType()),
+        StructField("n_docs", LongType()),
+        StructField("docids_bytes", BinaryType()),
+        StructField("counts_bytes", BinaryType()),
+        StructField("doclens_bytes", BinaryType()),
+        StructField("pos_bytes", BinaryType()),
+    ]
+)
+
+# Positions per output row. Splits happen at document boundaries so a
+# row always decodes standalone. 2^22 positions ~ 4-8 MB varbyte.
+MAX_POSITIONS_PER_ROW = 1 << 22
+
+FLAT_SCHEMA = "docid long, term string, apos int, doc_len int"
+
+
+def positions_flat(
+    corpus: DataFrame, stem: bool = False
+) -> DataFrame:
+    """(docid, text) -> one row per surviving token:
+    (docid, term, apos, doc_len). Same analyzed stream (and positions)
+    as operators/phrase.py — the shared vectorized pipeline."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(batches):
+        from ..functions.analyzer import CLEAN_RE, STOPWORDS, porter_stem
+
+        for pdf in batches:
+            texts = pdf["text"].fillna("")
+            token_lists = (
+                texts.str.replace(CLEAN_RE, " ", regex=True)
+                .str.lower()
+                .str.split()
+            )
+            lens = token_lists.str.len().fillna(0).astype(np.int64)
+            if lens.sum() == 0:
+                continue
+            flat_docids = np.repeat(
+                pdf["docid"].to_numpy(dtype=np.int64), lens.to_numpy()
+            )
+            flat_terms = pd.Series(
+                np.concatenate([t for t in token_lists if t]),
+                dtype="object",
+            )
+            junk = np.zeros(flat_terms.size, dtype=bool)
+            maybe = (
+                (flat_terms.str.len() > 4)
+                & flat_terms.str.slice(0, 1).isin(tuple("0123456789"))
+            ).to_numpy()
+            if maybe.any():
+                junk[maybe] = (
+                    flat_terms[maybe]
+                    .str.fullmatch("[0-9]+", na=False)
+                    .to_numpy()
+                )
+            keep = ~junk
+            if stem:
+                keep &= ~flat_terms.isin(STOPWORDS).to_numpy()
+            flat_docids = flat_docids[keep]
+            flat_terms = flat_terms[keep]
+            if not flat_terms.size:
+                continue
+            if stem:
+                uniq = pd.unique(flat_terms)
+                flat_terms = flat_terms.map(
+                    {t: porter_stem(t) for t in uniq}
+                )
+            starts = np.flatnonzero(
+                np.r_[True, flat_docids[1:] != flat_docids[:-1]]
+            )
+            run_lens = np.diff(np.r_[starts, flat_docids.size])
+            apos = np.arange(flat_docids.size) - np.repeat(
+                starts, run_lens
+            )
+            yield pd.DataFrame(
+                {
+                    "docid": flat_docids,
+                    "term": flat_terms.to_numpy(),
+                    "apos": apos.astype("int32"),
+                    "doc_len": np.repeat(run_lens, run_lens).astype(
+                        "int32"
+                    ),
+                }
+            )
+
+    return corpus.select("docid", "text").mapInPandas(
+        fn, schema=FLAT_SCHEMA
+    )
+
+
+def _split_rows_at_doc_bounds(
+    group_start: "np.ndarray",
+    doc_start: "np.ndarray",
+    cap: int,
+) -> "np.ndarray":
+    """Row-start mask: group starts plus extra starts injected at doc
+    boundaries whenever a row would exceed ``cap`` positions. Python
+    loops only over the (rare) oversized groups."""
+    import numpy as np
+
+    starts = np.flatnonzero(group_start)
+    ends = np.r_[starts[1:], group_start.size]
+    sizes = ends - starts
+    out = group_start.copy()
+    for s, e in zip(starts[sizes > cap], ends[sizes > cap]):
+        ds = np.flatnonzero(doc_start[s:e]) + s
+        d_ends = np.r_[ds[1:], e]
+        acc = 0
+        for d0, d1 in zip(ds, d_ends):
+            c = d1 - d0
+            if acc and acc + c > cap:
+                out[d0] = True
+                acc = 0
+            acc += c
+    return out
+
+
+def _encode_positions_table(
+    tbl, cap: int = MAX_POSITIONS_PER_ROW
+):
+    """One sorted Arrow table (bucket, term, salt, docid, apos order,
+    groups complete) -> POSITIONS_SCHEMA RecordBatch, flat-vectorized:
+    four varbyte passes over the whole batch, per-row slices taken from
+    shared offset arrays. Only one term string per output row is
+    materialized into Python."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .codec import varbyte_encode_with_offsets
+
+    term_col = tbl.column("term")
+    if isinstance(term_col, pa.ChunkedArray):
+        term_col = term_col.combine_chunks()
+    docid = tbl.column("docid").to_numpy()
+    apos = tbl.column("apos").to_numpy().astype(np.int64)
+    dl = tbl.column("doc_len").to_numpy()
+    salt = tbl.column("salt").to_numpy()
+    bucket = tbl.column("bucket").to_numpy()
+    n = len(tbl)
+
+    g_mask = new_group_mask_arrow(tbl)
+    doc_start = g_mask | np.r_[False, docid[1:] != docid[:-1]]
+    row_start = _split_rows_at_doc_bounds(g_mask, doc_start, cap)
+    # row starts are always doc starts (splits are injected at doc
+    # boundaries, and a group start begins a new doc run)
+    doc_start = doc_start | row_start
+
+    # per-token position deltas: absolute at each doc start
+    prev_apos = np.r_[np.int64(0), apos[:-1]]
+    pdelta = np.where(doc_start, apos, apos - prev_apos)
+
+    ds_idx = np.flatnonzero(doc_start)
+    ds_docid = docid[ds_idx]
+    ds_is_row_start = row_start[ds_idx]
+    prev_ds_docid = np.r_[np.int64(0), ds_docid[:-1]]
+    ddelta = np.where(
+        ds_is_row_start, ds_docid, ds_docid - prev_ds_docid
+    )
+    counts = np.diff(np.r_[ds_idx, n])
+    doclens = dl[ds_idx].astype(np.int64)
+
+    pos_buf, pos_off = varbyte_encode_with_offsets(pdelta)
+    d_buf, d_off = varbyte_encode_with_offsets(ddelta)
+    c_buf, c_off = varbyte_encode_with_offsets(counts)
+    l_buf, l_off = varbyte_encode_with_offsets(doclens)
+    pos_buf = memoryview(pos_buf)
+    d_buf = memoryview(d_buf)
+    c_buf = memoryview(c_buf)
+    l_buf = memoryview(l_buf)
+
+    r_idx = np.flatnonzero(row_start)
+    r_tok_end = np.r_[r_idx[1:], n]
+    r_ds = np.searchsorted(ds_idx, r_idx)
+    r_ds_end = np.r_[r_ds[1:], ds_idx.size]
+
+    terms = term_col.take(pa.array(r_idx)).to_pylist()
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(terms, pa.string()),
+            pa.array(salt[r_idx].astype(np.int32), pa.int32()),
+            pa.array(bucket[r_idx].astype(np.int32), pa.int32()),
+            pa.array((r_ds_end - r_ds).astype(np.int64), pa.int64()),
+            pa.array(
+                [
+                    bytes(d_buf[d_off[a]:d_off[b]])
+                    for a, b in zip(r_ds, r_ds_end)
+                ],
+                pa.binary(),
+            ),
+            pa.array(
+                [
+                    bytes(c_buf[c_off[a]:c_off[b]])
+                    for a, b in zip(r_ds, r_ds_end)
+                ],
+                pa.binary(),
+            ),
+            pa.array(
+                [
+                    bytes(l_buf[l_off[a]:l_off[b]])
+                    for a, b in zip(r_ds, r_ds_end)
+                ],
+                pa.binary(),
+            ),
+            pa.array(
+                [
+                    bytes(pos_buf[pos_off[a]:pos_off[b]])
+                    for a, b in zip(r_idx, r_tok_end)
+                ],
+                pa.binary(),
+            ),
+        ],
+        names=[
+            "term", "salt", "bucket", "n_docs", "docids_bytes",
+            "counts_bytes", "doclens_bytes", "pos_bytes",
+        ],
+    )
+
+
+def build_positions(
+    flat: DataFrame,
+    salt_bits: int = 3,
+    n_buckets: int = DEFAULT_BUCKETS,
+    num_partitions: int | None = None,
+    max_positions_per_row: int = MAX_POSITIONS_PER_ROW,
+) -> DataFrame:
+    """flat (docid, term, apos, doc_len) -> packed POSITIONS_SCHEMA
+    rows. Exactly ONE shuffle, same (bucket, salt) partitioning and
+    (bucket, term, salt, docid) ordering contract as build_postings —
+    a phrase query's terms land in the same prunable layout as their
+    postings."""
+    shift = 63 - salt_bits
+    if num_partitions is None:
+        num_partitions = (
+            flat.sparkSession.sparkContext.defaultParallelism
+        )
+    num_partitions = min(num_partitions, n_buckets << salt_bits)
+    salted = (
+        flat.withColumn(
+            "salt",
+            F.shiftrightunsigned(F.col("docid"), shift).cast("int"),
+        )
+        .withColumn("bucket", term_bucket_col(F.col("term"), n_buckets))
+        .repartition(num_partitions, "bucket", "salt")
+        .sortWithinPartitions("bucket", "term", "salt", "docid", "apos")
+    )
+
+    def encode_stream(batches):
+        for tbl in iter_group_complete_tables(batches):
+            yield _encode_positions_table(
+                tbl, cap=max_positions_per_row
+            )
+
+    return salted.mapInArrow(encode_stream, schema=POSITIONS_SCHEMA)
+
+
+def decode_positions_row(row) -> tuple:
+    """One POSITIONS_SCHEMA row -> (docids int64[n_docs],
+    doclens int64[n_docs], offsets int64[n_docs+1], pos int64[total]):
+    ``pos[offsets[i]:offsets[i+1]]`` are doc i's ascending absolute
+    positions."""
+    import numpy as np
+
+    from .codec import varbyte_decode
+
+    ddelta = varbyte_decode(bytes(row["docids_bytes"])).astype(np.int64)
+    counts = varbyte_decode(bytes(row["counts_bytes"])).astype(np.int64)
+    doclens = varbyte_decode(bytes(row["doclens_bytes"])).astype(
+        np.int64
+    )
+    pdelta = varbyte_decode(bytes(row["pos_bytes"])).astype(np.int64)
+    docids = np.cumsum(ddelta)
+    offsets = np.r_[np.int64(0), np.cumsum(counts)]
+    cs = np.cumsum(pdelta)
+    if counts.size:
+        starts = offsets[:-1]
+        base = cs[starts] - pdelta[starts]
+        pos = cs - np.repeat(base, counts)
+    else:
+        pos = cs
+    return docids, doclens, offsets, pos
+
+
+def positions_hits_df(
+    spark,
+    index_dir: str,
+    terms: list[str],
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Distributed read of the sidecar for a phrase: (docid, apos,
+    slot, doc_len) hit rows — the same shape operators/phrase.py's
+    corpus kernel emits, but from the index (touches only the phrase
+    terms' bucket directories + In-pruned row groups, never the
+    corpus). Feed to phrase.occurrences_from_hits / phrase ranking."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    slots: dict[str, list[int]] = {}
+    for i, t in enumerate(terms):
+        slots.setdefault(t, []).append(i)
+    buckets = sorted(
+        {term_bucket(t, n_buckets) for t in slots}
+    )
+    paths = [
+        p
+        for b in buckets
+        if os.path.isdir(p := f"{index_dir}/positions/bucket={b}")
+    ]
+    if not paths:
+        return spark.createDataFrame(
+            [], "docid long, apos int, slot int, doc_len int"
+        )
+    rows = spark.read.parquet(*paths).filter(
+        F.col("term").isin(list(slots))
+    )
+
+    def explode(batches):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                docids, doclens, offsets, pos = decode_positions_row(row)
+                counts = np.diff(offsets)
+                flat_doc = np.repeat(docids, counts)
+                flat_dl = np.repeat(doclens, counts)
+                for slot in slots[row["term"]]:
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "docid": flat_doc,
+                                "apos": pos.astype("int32"),
+                                "slot": np.int32(slot),
+                                "doc_len": flat_dl.astype("int32"),
+                            }
+                        )
+                    )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return rows.mapInPandas(
+        explode, schema="docid long, apos int, slot int, doc_len int"
+    )

@@ -133,13 +133,26 @@ def build_index(
     salt_bits: int = 3,
     resume: bool = False,
     analyzer: str | None = None,
+    positions: bool = False,
 ) -> Manifest:
     """Build the full index under ``index_dir``; returns the manifest.
 
     ``analyzer``: None -> 'porter' if stem else 'base'; or 'ner' for the
-    entity dual-indexing plug (functions/analyzer.py ner_tokens)."""
+    entity dual-indexing plug (functions/analyzer.py ner_tokens).
+
+    ``positions=True`` additionally writes the positional sidecar
+    (``positions/`` — operators/positions.py) that serves exact phrase
+    queries without corpus re-scans. Opt-in: the positions pass ships
+    |tokens| rows where the postings build ships |distinct (doc,term)|."""
     if analyzer is None:
         analyzer = "porter" if stem else "base"
+    if positions and analyzer == "ner":
+        raise ValueError(
+            "positions sidecar is not defined for the NER dual-index "
+            "analyzer (entity phrases and component words share "
+            "positions ambiguously); build with analyzer='base' or "
+            "'porter'"
+        )
     manifest = Manifest(f"{index_dir}/manifest.json")
     if not resume:
         manifest.entries = {}
@@ -153,7 +166,7 @@ def build_index(
 
         for sub in (
             "tokens", "postings", "term_stats", "docs", "doc_stats",
-            "stats",
+            "stats", "positions",
         ):
             shutil.rmtree(f"{index_dir}/{sub}", ignore_errors=True)
 
@@ -170,6 +183,7 @@ def build_index(
                 "salt_bits": salt_bits,
                 "stem": stem,
                 "analyzer": analyzer,
+                "positions": positions,
                 "format_version": FORMAT_VERSION,
             },
             f,
@@ -187,7 +201,7 @@ def build_index(
     try:
         return _build_stages(
             spark, corpus, index_dir, manifest, stem, n_buckets,
-            bucket_groups, salt_bits, analyzer,
+            bucket_groups, salt_bits, analyzer, positions=positions,
         )
     finally:
         for k, v in saved_conf.items():
@@ -197,7 +211,7 @@ def build_index(
 
 def _build_stages(
     spark, corpus, index_dir, manifest, stem, n_buckets, bucket_groups,
-    salt_bits, analyzer=None,
+    salt_bits, analyzer=None, positions=False,
 ) -> Manifest:
     # scan-split tuning: corpus files (if file-backed) drive the tokenize
     # stage's parallelism
@@ -454,6 +468,36 @@ def _build_stages(
             wall_ms=int(1000 * (time.time() - t0)),
         )
     write_term_stats(spark, index_dir, n_buckets, manifest)
+
+    # --- stage: positional sidecar (opt-in) -------------------------------
+    if positions and not manifest.is_done("positions"):
+        t0 = time.time()
+        from ..operators.positions import (
+            build_positions, positions_flat,
+        )
+
+        flat = positions_flat(
+            corpus.select("docid", "text"),
+            stem=(analyzer == "porter"),
+        )
+        (
+            build_positions(
+                flat, salt_bits=salt_bits, n_buckets=n_buckets
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(f"{index_dir}/positions")
+        )
+        rows, nbytes, _files = _parquet_lineage(
+            f"{index_dir}/positions"
+        )
+        manifest.mark(
+            "positions",
+            rows_out=rows,
+            bytes_out=nbytes,
+            wall_ms=int(1000 * (time.time() - t0)),
+        )
 
     manifest.mark("all", status="done")
     return manifest

@@ -51,6 +51,24 @@ _META_COMPAT_KEYS = ("n_buckets", "salt_bits", "stem", "analyzer",
                      "format_version")
 
 
+def _guard_positions_sidecar(
+    dirs: tuple, drop_positions: bool, op: str
+) -> None:
+    """Incremental merge/delete do not fold positional sidecars yet;
+    silently dropping one would serve stale phrase results from the
+    output. Refuse unless the caller opts into dropping it (the output
+    is then a valid positions-less index, meta positions=False)."""
+    present = [d for d in dirs if os.path.isdir(f"{d}/positions")]
+    if present and not drop_positions:
+        raise NotImplementedError(
+            f"{op}: positional sidecar present at {present} — position "
+            "lists are not folded by the incremental path yet; pass "
+            "drop_positions=True to write the output without a sidecar "
+            "(rebuild with positions=True to restore phrase search), "
+            "or rebuild instead of merging"
+        )
+
+
 def _read_meta(index_dir: str) -> dict:
     with open(f"{index_dir}/meta.json") as f:
         return json.load(f)
@@ -104,10 +122,17 @@ def merge_indexes(
     resume: bool = False,
     bucket_groups: int = 1,
     docid_broadcast_limit: int = DOCID_BROADCAST_LIMIT,
+    drop_positions: bool = False,
 ) -> Manifest:
     """Merge ``delta_dir``'s index into ``base_dir``'s, writing a full
     index at ``out_dir``. Both inputs must share layout config
     (n_buckets / salt_bits / analyzer — checked against meta.json).
+
+    Positional sidecars (positions=True builds) are NOT folded by the
+    incremental merge yet: an input carrying ``positions/`` raises
+    unless ``drop_positions=True``, in which case the merged index is
+    written WITHOUT a sidecar (meta records positions=False) — refusing
+    loudly beats silently serving stale phrase results.
 
     ``bucket_groups`` splits the postings rewrite into resumable units
     (same scheme as the build): each group filters both inputs to its
@@ -124,13 +149,16 @@ def merge_indexes(
             f"(base={meta_b}, delta={meta_d})"
         )
     n_buckets = int(meta_b["n_buckets"])
+    _guard_positions_sidecar(
+        (base_dir, delta_dir), drop_positions, "merge_indexes"
+    )
 
     manifest = Manifest(f"{out_dir}/manifest.json")
     if not resume:
         manifest.entries = {}
     os.makedirs(out_dir, exist_ok=True)
     with open(f"{out_dir}/meta.json", "w") as f:
-        json.dump(meta_b, f)
+        json.dump({**meta_b, "positions": False}, f)
 
     # the delta's corpus universe = its docs side table (includes docs
     # whose new version has zero indexed terms — their stale base
@@ -282,6 +310,7 @@ def delete_docs(
     docids: list[int] | None = None,
     resume: bool = False,
     docid_broadcast_limit: int = DOCID_BROADCAST_LIMIT,
+    drop_positions: bool = False,
 ) -> Manifest:
     """Purge documents from an index without rebuilding it — the
     right-to-be-forgotten / takedown operation a persistent web index
@@ -312,12 +341,15 @@ def delete_docs(
 
     meta_b = _read_meta(base_dir)
     n_buckets = int(meta_b["n_buckets"])
+    _guard_positions_sidecar(
+        (base_dir,), drop_positions, "delete_docs"
+    )
     manifest = Manifest(f"{out_dir}/manifest.json")
     if not resume:
         manifest.entries = {}
     os.makedirs(out_dir, exist_ok=True)
     with open(f"{out_dir}/meta.json", "w") as f:
-        json.dump(meta_b, f)
+        json.dump({**meta_b, "positions": False}, f)
 
     updated_df = _docid_df(spark, updated)
     big_delete = updated.size > docid_broadcast_limit

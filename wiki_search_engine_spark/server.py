@@ -15,6 +15,9 @@ Routes:
       server-side pagination (the reference client's App.js:145-147
       slice, replayed here so a pager needn't download all k rows)
     GET /query-stem?query=                                   -> 400 JSON
+    GET /query-stem?query=...&phrase=true                     -> 200 JSON
+      exact-phrase ranking from the positional sidecar (400 when the
+      index was built without positions=True or serving is tiered)
     GET /suggest?prefix=...[&k=10]                            -> 200 JSON
       autocomplete over the lexicon (SearchEngine.suggest — an
       extension beyond the reference API; blank prefix -> 400)
@@ -89,14 +92,37 @@ class _Handler(BaseHTTPRequestHandler):
                 per_page = max(1, min(int(qs["resultsPerPage"][0]), k))
         except ValueError:
             page, per_page = None, 10
+        # &phrase=true — exact-phrase extension over the positional
+        # sidecar (single-index engines built with positions=True)
+        phrase = (qs.get("phrase") or ["false"])[0].lower() in (
+            "1", "true", "yes",
+        )
+        kwargs = {}
+        if phrase:
+            if not hasattr(self.server.engine, "search_phrase"):
+                self._send(
+                    400,
+                    {
+                        "success": False, "result": [],
+                        "error": "phrase search is single-index only",
+                    },
+                )
+                return
+            kwargs["phrase"] = True
         try:
             # &semantics=and — conjunctive retrieval, an extension
             # beyond the reference API (default 'or' is the reference's)
             resp = self.server.engine.query_response(
                 query, option_name=option, k=k,
                 path=self.server.path_mode, semantics=semantics,
-                page=page, per_page=per_page,
+                page=page, per_page=per_page, **kwargs,
             )
+        except FileNotFoundError as e:
+            # phrase over an index without the sidecar: client error
+            self._send(
+                400, {"success": False, "result": [], "error": str(e)}
+            )
+            return
         except Exception as e:  # mirror the controller's 500 catch
             self._send(500, {"success": False, "error": str(e)})
             return
