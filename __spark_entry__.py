@@ -834,6 +834,24 @@ def q_term_prefix_topk(spark, sf_dir):
     )
 
 
+def q_fuzzy_term_match(spark, sf_dir):
+    """Spell correction, distributed reference form
+    (operators/fuzzy.py fuzzy_scan): one JVM levenshtein pass over the
+    lexicon ranking corrections of the misspelling 'tabel' by
+    (distance asc, df desc, term asc). The serving path is the
+    materialized SymSpell deletion-neighborhood lookup
+    (spell_lookup — zero Spark jobs), pytest-proven equivalent to
+    this scan."""
+    from wiki_search_engine_spark.operators.fuzzy import fuzzy_scan
+
+    lex = term_df_salted(_base_tokens_df(spark, sf_dir))
+    return fuzzy_scan(lex, "srt", max_dist=3, k=10).select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
 def q_phrase_bm25(spark, sf_dir):
     """Exact-phrase retrieval ("table hash") scored as a BM25
     pseudo-term (operators/phrase.py): ONE kernel pass emits hit rows
@@ -2087,6 +2105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "orders_by_segment": q_orders_by_segment,
         "revenue_by_nation": q_revenue_by_nation,
+        "fuzzy_term_match": q_fuzzy_term_match,
         "phrase_bm25": q_phrase_bm25,
         "phrase_occurrences": q_phrase_occurrences,
         "indexed_phrase_bm25": q_indexed_phrase_bm25,
@@ -2552,6 +2571,12 @@ SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
        round(sum(o_totalprice), 2) AS total_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1""",
+        "fuzzy_term_match": f"""
+WITH {SQL_TOKS}, {SQL_TF},
+lex AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
+SELECT term, df, levenshtein(term, 'srt')::BIGINT AS dist
+FROM lex WHERE levenshtein(term, 'srt') <= 3
+ORDER BY dist, df DESC, term LIMIT 10""",
         "phrase_bm25": _phrase_bm25_sql(["table", "hash"], 10),
         "indexed_phrase_bm25": _phrase_bm25_sql(["table", "hash"], 10),
         "phrase_occurrences": f"""

@@ -346,6 +346,27 @@ def main() -> None:
         lat.append((time.time() - t0) / 2)
     q["suggest_p50"] = round(statistics.median(lat), 4)
 
+    # ---- spell correction: SymSpell layout build + zero-job lookup -------
+    t0 = time.time()
+    eng.build_spellindex(max_dist=2)
+    q["spellindex_build"] = round(time.time() - t0, 3)
+    lat = []
+    for _ in range(15):
+        t0 = time.time()
+        eng.correct(words[3][:-1] + "x", k=10)   # planted misspelling
+        eng.correct(words[50] + "q", k=10)
+        lat.append((time.time() - t0) / 2)
+    q["correct_p50"] = round(statistics.median(lat), 4)
+    # the distributed scan form (entry fuzzy_term_match) for contrast
+    lex_df = spark.read.parquet(f"{index_dir}/term_stats")
+    from wiki_search_engine_spark.operators.fuzzy import fuzzy_scan
+
+    q["fuzzy_scan"] = timed(
+        lambda: fuzzy_scan(
+            lex_df, words[3][:-1] + "x", max_dist=2, k=10
+        ).collect()
+    )
+
     # ---- MinHash production hash family ----------------------------------
     # xxhash64(lit(seed), shingle) — JVM codegen, no hex digests; md5
     # stays the oracle-exact default (minhash_lsh above). The gap is the

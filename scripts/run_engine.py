@@ -179,6 +179,10 @@ def main(argv=None):
         "drains what is present, then exits)",
     )
 
+    sp = sub.add_parser("spellindex")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--max-dist", type=int, default=2)
+
     sn = sub.add_parser("snapshots")
     sn.add_argument("--index", required=True)
     sn.add_argument(
@@ -335,6 +339,21 @@ def main(argv=None):
                     "N": eng.n,
                     "avgdl": round(eng.avgdl, 3),
                     "maintain_sec": round(time.time() - t0, 2),
+                }
+            )
+        )
+    elif args.cmd == "spellindex":
+        from wiki_search_engine_spark.engine import SearchEngine
+
+        t0 = time.time()
+        eng = SearchEngine.load(spark, args.index)
+        eng.build_spellindex(max_dist=args.max_dist)
+        print(
+            json.dumps(
+                {
+                    "spell": f"{eng.index_dir}/spell",
+                    "max_dist": args.max_dist,
+                    "spellindex_sec": round(time.time() - t0, 2),
                 }
             )
         )

@@ -527,6 +527,48 @@ class SearchEngine:
         )
         return [(term, df) for df, term in matches[:k]]
 
+    def build_spellindex(self, max_dist: int = 2) -> None:
+        """Materialize the SymSpell deletion-neighborhood layout
+        (operators/fuzzy.py) under ``index_dir/spell`` from the
+        lexicon — one lexicon-sized Spark job; afterwards corrections
+        serve driver-side with zero Spark jobs (``correct``)."""
+        from .operators.fuzzy import spellindex_write
+
+        spellindex_write(
+            self.spark.read.parquet(f"{self.index_dir}/term_stats"),
+            f"{self.index_dir}/spell",
+            max_dist=max_dist,
+        )
+        self._datasets.pop("spell", None)
+
+    def correct(
+        self, term: str, k: int = 10
+    ) -> list[tuple[str, int, int]]:
+        """Spell-correct one term against the lexicon:
+        [(term, dist, df)] by (distance asc, df desc, term asc) — a
+        driver-side SymSpell candidate lookup + DP-levenshtein verify
+        (operators/fuzzy.py spell_lookup), zero Spark jobs.
+        Equivalence with the distributed levenshtein scan is
+        pytest-enforced."""
+        import os
+        import re
+
+        from .operators.fuzzy import spell_lookup
+
+        t = re.sub(r"[^a-z0-9]", "", (term or "").lower())
+        if not t:
+            raise EmptyQueryError("Empty query")
+        if not os.path.isdir(f"{self.index_dir}/spell"):
+            raise FileNotFoundError(
+                f"{self.index_dir}/spell missing — corrections need "
+                "the materialized deletion-neighborhood index; run "
+                "engine.build_spellindex() (CLI: spellindex)"
+            )
+        return spell_lookup(
+            f"{self.index_dir}/spell", t, k=k,
+            dataset=self._side_dataset("spell"),
+        )
+
     def _side_dataset(self, name: str):
         """Cached pyarrow dataset over a bucket-partitioned side table
         (term_stats / positions). Discovery (file listing) happens once

@@ -21,6 +21,9 @@ Routes:
     GET /suggest?prefix=...[&k=10]                            -> 200 JSON
       autocomplete over the lexicon (SearchEngine.suggest — an
       extension beyond the reference API; blank prefix -> 400)
+    GET /correct?term=...[&k=10]                              -> 200 JSON
+      spell correction (SearchEngine.correct over the SymSpell
+      layout; blank term or missing spell layout -> 400)
     GET /health                                              -> 200 {"ok"}
     anything else                                            -> 404
 
@@ -62,6 +65,9 @@ class _Handler(BaseHTTPRequestHandler):
             return
         if parsed.path == "/suggest":
             self._do_suggest(parse_qs(parsed.query))
+            return
+        if parsed.path == "/correct":
+            self._do_correct(parse_qs(parsed.query))
             return
         if parsed.path != "/query-stem":
             self._send(404, {"success": False, "error": "Not found"})
@@ -158,6 +164,47 @@ class _Handler(BaseHTTPRequestHandler):
                 "success": True,
                 "result": [
                     {"term": t, "df": df} for t, df in terms
+                ],
+            },
+        )
+
+    def _do_correct(self, qs: dict) -> None:
+        """GET /correct?term=...[&k=10] — spell correction over the
+        lexicon (SearchEngine.correct: SymSpell candidate lookup +
+        verify, zero Spark jobs; an extension beyond the reference
+        API). Blank term -> the 400 empty-query contract; an index
+        without the spell layout -> 400 with the remedy."""
+        from .engine import EmptyQueryError
+
+        term = (qs.get("term") or [""])[0]
+        try:
+            k = int((qs.get("k") or ["10"])[0])
+        except ValueError:
+            k = 10
+        k = max(1, min(k, 100))
+        try:
+            hits = self.server.engine.correct(term, k=k)
+        except EmptyQueryError:
+            self._send(
+                400,
+                {"success": False, "result": [], "error": "Empty query"},
+            )
+            return
+        except (FileNotFoundError, AttributeError) as e:
+            self._send(
+                400, {"success": False, "result": [], "error": str(e)}
+            )
+            return
+        except Exception as e:
+            self._send(500, {"success": False, "error": str(e)})
+            return
+        self._send(
+            200,
+            {
+                "success": True,
+                "result": [
+                    {"term": t, "dist": d, "df": df}
+                    for t, d, df in hits
                 ],
             },
         )
