@@ -672,29 +672,47 @@ class SearchEngine:
             cand = cand[np.isin(cand, lookup[t][0], assume_unique=True)]
             if cand.size == 0:
                 return []
-        results: list[tuple[int, float, int]] = []
-        t0 = terms[0]
-        d0, dl0, off0, pos0 = lookup[t0]
-        idx0 = np.searchsorted(d0, cand)
-        for ci, doc in enumerate(cand):
-            i0 = idx0[ci]
-            starts = pos0[off0[i0]:off0[i0 + 1]]
-            for slot in range(1, m):
-                ti = terms[slot]
-                di, _dli, offi, posi = lookup[ti]
-                j = np.searchsorted(di, doc)
-                starts = starts[
-                    np.isin(
-                        starts + slot, posi[offi[j]:offi[j + 1]],
-                        assume_unique=True,
-                    )
+        # vectorized adjacency over ALL candidate docs at once (the
+        # driver analogue of the anchor aggregation): for slot i map
+        # every (doc, pos) hit to key = candidate_index * M + (pos - i)
+        # — keys are unique within a slot — and intersect the m sorted
+        # key sets; surviving keys ARE the phrase starts. No per-doc
+        # Python loop: a head-term phrase over 10^5 candidate docs is
+        # m intersections of int64 arrays.
+        M = np.int64(1) << np.int64(32)  # positions are int32
+        valid = None
+        for slot in range(m):
+            di, _dli, offi, posi = lookup[terms[slot]]
+            counts = np.diff(offi)
+            in_cand = np.isin(di, cand, assume_unique=True)
+            cidx_doc = np.searchsorted(cand, di)
+            keep = np.repeat(in_cand, counts)
+            anchors = posi - np.int64(slot)
+            keys = (
+                np.repeat(cidx_doc.astype(np.int64), counts) * M
+                + anchors
+            )[keep & (anchors >= 0)]
+            keys.sort()
+            if valid is None:
+                valid = keys
+            else:
+                valid = valid[
+                    np.isin(valid, keys, assume_unique=True)
                 ]
-                if starts.size == 0:
-                    break
-            if starts.size:
-                results.append(
-                    (int(doc), int(dl0[i0]), int(starts.size))
-                )
+            if valid.size == 0:
+                return []
+        tf_per_cand = np.bincount(
+            (valid // M).astype(np.int64), minlength=cand.size
+        )
+        hit = tf_per_cand > 0
+        d0, dl0, off0, _pos0 = lookup[terms[0]]
+        dls = dl0[np.searchsorted(d0, cand)]
+        results = [
+            (int(doc), int(dl), int(tf))
+            for doc, dl, tf in zip(
+                cand[hit], dls[hit], tf_per_cand[hit]
+            )
+        ]
         if not results:
             return []
         import math
