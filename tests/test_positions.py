@@ -14,6 +14,7 @@ from wiki_search_engine_spark.operators.positions import (
     build_positions,
     decode_positions_row,
     positions_flat,
+    positions_packed,
 )
 
 N_BUCKETS = 16
@@ -74,17 +75,41 @@ def _decode_all(rows):
 
 
 def test_roundtrip_flat_to_rows(spark, keyed_corpus):
+    """packed kernel -> sidecar rows -> decode == the token-per-row
+    ground truth (positions_flat is the independent reference form)."""
     flat = positions_flat(keyed_corpus, stem=True)
     packed = build_positions(
-        flat, salt_bits=SALT_BITS, n_buckets=N_BUCKETS
+        positions_packed(keyed_corpus, stem=True),
+        salt_bits=SALT_BITS, n_buckets=N_BUCKETS,
     )
     assert _decode_all(packed.collect()) == _flat_rows(flat)
+
+
+def test_packed_kernel_matches_flat(spark, keyed_corpus):
+    """The shuffle-side pre-pack (positions_packed) carries exactly
+    the flat stream's per-(doc, term) position lists."""
+    import numpy as np
+
+    from wiki_search_engine_spark.operators.codec import varbyte_decode
+
+    flat = {}
+    for r in positions_flat(keyed_corpus, stem=True).collect():
+        flat.setdefault((r["docid"], r["term"]), []).append(
+            int(r["apos"])
+        )
+    got = {}
+    for r in positions_packed(keyed_corpus, stem=True).collect():
+        deltas = varbyte_decode(bytes(r["pos_blob"])).astype(np.int64)
+        got[(r["docid"], r["term"])] = list(np.cumsum(deltas))
+        assert int(r["npos"]) == len(deltas)
+    assert got == {k: sorted(v) for k, v in flat.items()}
 
 
 def test_row_cap_splits_on_doc_bounds(spark, keyed_corpus):
     flat = positions_flat(keyed_corpus, stem=True)
     packed = build_positions(
-        flat, salt_bits=SALT_BITS, n_buckets=N_BUCKETS,
+        positions_packed(keyed_corpus, stem=True),
+        salt_bits=SALT_BITS, n_buckets=N_BUCKETS,
         max_positions_per_row=64,
     ).collect()
     # the cap forces splits: some (term, salt) spans several rows

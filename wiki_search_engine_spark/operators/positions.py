@@ -5,18 +5,23 @@ The postings table stores (docid, tf, doc_len) per term — enough for
 BM25 but not for phrase adjacency. This sidecar is the Lucene ``.pos``
 analogue, built Spark-first:
 
-- the positions pass emits FLAT (docid, term, apos, doc_len, bucket)
-  rows — one per surviving token. That is |tokens| rows where the
-  postings build ships |distinct (doc, term)|: the honest, unavoidable
-  cost of a positional index (every position must reach its shard in
-  some form), and why it is an opt-in build flag (``positions=True``).
+- the positions pass (``positions_packed``) emits one row per
+  (doc, term) whose payload is the doc's position list ALREADY
+  delta+varbyte encoded in the scan kernel — so the one shuffle ships
+  |distinct (doc, term)| rows of ~1-byte-per-position blobs, the same
+  row count as the postings build, NOT |tokens| rows. (The first,
+  token-per-row formulation measured 0.54 scaling efficiency
+  local[8]->local[32] on the dev box: the shuffle's per-token row
+  overhead saturated the memory bus. Pre-packing moves those bytes
+  into the compute-dominated kernel, which scales.)
 - one shuffle (bucket, salt), identical partitioning to build_postings,
   then a mapInArrow encoder packs each (term, salt) group into rows of
   ``POSITIONS_SCHEMA``: docids delta+varbyte, per-doc position counts,
-  doc lengths, and positions delta-encoded WITHIN each doc (first
-  absolute). Encoding is flat-vectorized across all groups of a batch
-  (one varbyte pass per stream, per-row byte-ranges sliced from shared
-  offsets) — the same no-per-row-Python rule as the postings encoder.
+  doc lengths, and the docs' pre-encoded position blobs concatenated
+  by zero-copy slices of the Arrow binary buffer (per-doc deltas are
+  row-local by construction: each doc's first position is absolute).
+  One varbyte pass per metadata stream, no per-row Python on the
+  token dimension — the same rule as the postings encoder.
 - rows cap at MAX_POSITIONS_PER_ROW positions, split ONLY on document
   boundaries (each row is self-decoding: its first docid and each
   doc's first position are absolute), so a stopword-scale term never
@@ -147,41 +152,148 @@ def positions_flat(
     )
 
 
-def _split_rows_at_doc_bounds(
+PACKED_SCHEMA = (
+    "docid long, term string, doc_len int, npos int, pos_blob binary"
+)
+
+
+def positions_packed(
+    corpus: DataFrame, stem: bool = False
+) -> DataFrame:
+    """(docid, text) -> one row per (doc, term):
+    (docid, term, doc_len, npos, pos_blob) where pos_blob is the doc's
+    ascending positions delta+varbyte encoded (first absolute) — the
+    exact byte run the sidecar row stores, produced in the scan kernel
+    so the shuffle never sees per-token rows. Same analyzed stream as
+    positions_flat (pytest roundtrip identity)."""
+    import numpy as np
+    import pandas as pd
+
+    from .codec import varbyte_encode_with_offsets
+
+    def fn(batches):
+        from ..functions.analyzer import CLEAN_RE, STOPWORDS, porter_stem
+
+        for pdf in batches:
+            texts = pdf["text"].fillna("")
+            token_lists = (
+                texts.str.replace(CLEAN_RE, " ", regex=True)
+                .str.lower()
+                .str.split()
+            )
+            lens = token_lists.str.len().fillna(0).astype(np.int64)
+            if lens.sum() == 0:
+                continue
+            flat_docids = np.repeat(
+                pdf["docid"].to_numpy(dtype=np.int64), lens.to_numpy()
+            )
+            flat_terms = pd.Series(
+                np.concatenate([t for t in token_lists if t]),
+                dtype="object",
+            )
+            junk = np.zeros(flat_terms.size, dtype=bool)
+            maybe = (
+                (flat_terms.str.len() > 4)
+                & flat_terms.str.slice(0, 1).isin(tuple("0123456789"))
+            ).to_numpy()
+            if maybe.any():
+                junk[maybe] = (
+                    flat_terms[maybe]
+                    .str.fullmatch("[0-9]+", na=False)
+                    .to_numpy()
+                )
+            keep = ~junk
+            if stem:
+                keep &= ~flat_terms.isin(STOPWORDS).to_numpy()
+            flat_docids = flat_docids[keep]
+            flat_terms = flat_terms[keep]
+            if not flat_terms.size:
+                continue
+            if stem:
+                uniq = pd.unique(flat_terms)
+                flat_terms = flat_terms.map(
+                    {t: porter_stem(t) for t in uniq}
+                )
+            starts = np.flatnonzero(
+                np.r_[True, flat_docids[1:] != flat_docids[:-1]]
+            )
+            run_lens = np.diff(np.r_[starts, flat_docids.size])
+            apos = np.arange(flat_docids.size) - np.repeat(
+                starts, run_lens
+            )
+            doc_len = np.repeat(run_lens, run_lens)
+            # stable sort to (doc, term) groups; apos stays ascending
+            codes, uniques = pd.factorize(flat_terms, sort=False)
+            order = np.lexsort((apos, codes, flat_docids))
+            d_s = flat_docids[order]
+            c_s = codes[order]
+            p_s = apos[order]
+            dl_s = doc_len[order]
+            g_start = np.r_[
+                True, (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
+            ]
+            prev = np.r_[np.int64(0), p_s[:-1]]
+            pdelta = np.where(g_start, p_s, p_s - prev)
+            buf, off = varbyte_encode_with_offsets(pdelta)
+            buf = memoryview(buf)
+            gs = np.flatnonzero(g_start)
+            ge = np.r_[gs[1:], d_s.size]
+            yield pd.DataFrame(
+                {
+                    "docid": d_s[gs],
+                    "term": uniques.take(c_s[gs]),
+                    "doc_len": dl_s[gs].astype("int32"),
+                    "npos": (ge - gs).astype("int32"),
+                    "pos_blob": [
+                        bytes(buf[off[a]:off[b]])
+                        for a, b in zip(gs, ge)
+                    ],
+                }
+            )
+
+    return corpus.select("docid", "text").mapInPandas(
+        fn, schema=PACKED_SCHEMA
+    )
+
+
+def _split_rows_by_weight(
     group_start: "np.ndarray",
-    doc_start: "np.ndarray",
+    weights: "np.ndarray",
     cap: int,
 ) -> "np.ndarray":
-    """Row-start mask: group starts plus extra starts injected at doc
-    boundaries whenever a row would exceed ``cap`` positions. Python
-    loops only over the (rare) oversized groups."""
+    """Row-start mask: group starts plus extra starts injected at
+    input-row (= document) boundaries whenever a row would exceed
+    ``cap`` total positions. Python loops only over the (rare)
+    oversized groups."""
     import numpy as np
 
     starts = np.flatnonzero(group_start)
     ends = np.r_[starts[1:], group_start.size]
-    sizes = ends - starts
     out = group_start.copy()
-    for s, e in zip(starts[sizes > cap], ends[sizes > cap]):
-        ds = np.flatnonzero(doc_start[s:e]) + s
-        d_ends = np.r_[ds[1:], e]
+    csum = np.cumsum(weights)
+    totals = csum[ends - 1] - csum[starts] + weights[starts]
+    for s, e in zip(starts[totals > cap], ends[totals > cap]):
         acc = 0
-        for d0, d1 in zip(ds, d_ends):
-            c = d1 - d0
-            if acc and acc + c > cap:
-                out[d0] = True
+        for i in range(s, e):
+            w = int(weights[i])
+            if acc and acc + w > cap:
+                out[i] = True
                 acc = 0
-            acc += c
+            acc += w
     return out
 
 
 def _encode_positions_table(
     tbl, cap: int = MAX_POSITIONS_PER_ROW
 ):
-    """One sorted Arrow table (bucket, term, salt, docid, apos order,
-    groups complete) -> POSITIONS_SCHEMA RecordBatch, flat-vectorized:
-    four varbyte passes over the whole batch, per-row slices taken from
-    shared offset arrays. Only one term string per output row is
-    materialized into Python."""
+    """One sorted Arrow table of PACKED rows ((bucket, term, salt,
+    docid) order, one row per (doc, term), groups complete) ->
+    POSITIONS_SCHEMA RecordBatch. Metadata (docid deltas, counts, doc
+    lens) is one varbyte pass each; the position payload is
+    concatenated by ZERO-COPY slices of the Arrow binary buffer —
+    per-doc blobs are row-local by construction (each doc's first
+    position absolute), so concatenation in docid order IS the row
+    format. Only one term string per output row reaches Python."""
     import numpy as np
     import pyarrow as pa
 
@@ -190,47 +302,38 @@ def _encode_positions_table(
     term_col = tbl.column("term")
     if isinstance(term_col, pa.ChunkedArray):
         term_col = term_col.combine_chunks()
+    blob_col = tbl.column("pos_blob")
+    if isinstance(blob_col, pa.ChunkedArray):
+        blob_col = blob_col.combine_chunks()
     docid = tbl.column("docid").to_numpy()
-    apos = tbl.column("apos").to_numpy().astype(np.int64)
-    dl = tbl.column("doc_len").to_numpy()
+    npos = tbl.column("npos").to_numpy().astype(np.int64)
+    dl = tbl.column("doc_len").to_numpy().astype(np.int64)
     salt = tbl.column("salt").to_numpy()
     bucket = tbl.column("bucket").to_numpy()
     n = len(tbl)
 
     g_mask = new_group_mask_arrow(tbl)
-    doc_start = g_mask | np.r_[False, docid[1:] != docid[:-1]]
-    row_start = _split_rows_at_doc_bounds(g_mask, doc_start, cap)
-    # row starts are always doc starts (splits are injected at doc
-    # boundaries, and a group start begins a new doc run)
-    doc_start = doc_start | row_start
+    row_start = _split_rows_by_weight(g_mask, npos, cap)
 
-    # per-token position deltas: absolute at each doc start
-    prev_apos = np.r_[np.int64(0), apos[:-1]]
-    pdelta = np.where(doc_start, apos, apos - prev_apos)
+    prev_docid = np.r_[np.int64(0), docid[:-1]]
+    ddelta = np.where(row_start, docid, docid - prev_docid)
 
-    ds_idx = np.flatnonzero(doc_start)
-    ds_docid = docid[ds_idx]
-    ds_is_row_start = row_start[ds_idx]
-    prev_ds_docid = np.r_[np.int64(0), ds_docid[:-1]]
-    ddelta = np.where(
-        ds_is_row_start, ds_docid, ds_docid - prev_ds_docid
-    )
-    counts = np.diff(np.r_[ds_idx, n])
-    doclens = dl[ds_idx].astype(np.int64)
-
-    pos_buf, pos_off = varbyte_encode_with_offsets(pdelta)
     d_buf, d_off = varbyte_encode_with_offsets(ddelta)
-    c_buf, c_off = varbyte_encode_with_offsets(counts)
-    l_buf, l_off = varbyte_encode_with_offsets(doclens)
-    pos_buf = memoryview(pos_buf)
+    c_buf, c_off = varbyte_encode_with_offsets(npos)
+    l_buf, l_off = varbyte_encode_with_offsets(dl)
     d_buf = memoryview(d_buf)
     c_buf = memoryview(c_buf)
     l_buf = memoryview(l_buf)
 
+    # zero-copy payload concatenation: the binary column's values are
+    # contiguous in its data buffer, so a doc range's concatenated
+    # blobs = data[valoff[s]:valoff[e]]
+    valoff = np.frombuffer(blob_col.buffers()[1], dtype=np.int32)
+    blob_data = memoryview(blob_col.buffers()[2])
+    base = blob_col.offset
+
     r_idx = np.flatnonzero(row_start)
-    r_tok_end = np.r_[r_idx[1:], n]
-    r_ds = np.searchsorted(ds_idx, r_idx)
-    r_ds_end = np.r_[r_ds[1:], ds_idx.size]
+    r_end = np.r_[r_idx[1:], n]
 
     terms = term_col.take(pa.array(r_idx)).to_pylist()
     return pa.RecordBatch.from_arrays(
@@ -238,32 +341,36 @@ def _encode_positions_table(
             pa.array(terms, pa.string()),
             pa.array(salt[r_idx].astype(np.int32), pa.int32()),
             pa.array(bucket[r_idx].astype(np.int32), pa.int32()),
-            pa.array((r_ds_end - r_ds).astype(np.int64), pa.int64()),
+            pa.array((r_end - r_idx).astype(np.int64), pa.int64()),
             pa.array(
                 [
                     bytes(d_buf[d_off[a]:d_off[b]])
-                    for a, b in zip(r_ds, r_ds_end)
+                    for a, b in zip(r_idx, r_end)
                 ],
                 pa.binary(),
             ),
             pa.array(
                 [
                     bytes(c_buf[c_off[a]:c_off[b]])
-                    for a, b in zip(r_ds, r_ds_end)
+                    for a, b in zip(r_idx, r_end)
                 ],
                 pa.binary(),
             ),
             pa.array(
                 [
                     bytes(l_buf[l_off[a]:l_off[b]])
-                    for a, b in zip(r_ds, r_ds_end)
+                    for a, b in zip(r_idx, r_end)
                 ],
                 pa.binary(),
             ),
             pa.array(
                 [
-                    bytes(pos_buf[pos_off[a]:pos_off[b]])
-                    for a, b in zip(r_idx, r_tok_end)
+                    bytes(
+                        blob_data[
+                            valoff[base + a]:valoff[base + b]
+                        ]
+                    )
+                    for a, b in zip(r_idx, r_end)
                 ],
                 pa.binary(),
             ),
@@ -276,31 +383,32 @@ def _encode_positions_table(
 
 
 def build_positions(
-    flat: DataFrame,
+    packed: DataFrame,
     salt_bits: int = 3,
     n_buckets: int = DEFAULT_BUCKETS,
     num_partitions: int | None = None,
     max_positions_per_row: int = MAX_POSITIONS_PER_ROW,
 ) -> DataFrame:
-    """flat (docid, term, apos, doc_len) -> packed POSITIONS_SCHEMA
-    rows. Exactly ONE shuffle, same (bucket, salt) partitioning and
-    (bucket, term, salt, docid) ordering contract as build_postings —
-    a phrase query's terms land in the same prunable layout as their
-    postings."""
+    """packed (docid, term, doc_len, npos, pos_blob) — one row per
+    (doc, term), from ``positions_packed`` — -> POSITIONS_SCHEMA rows.
+    Exactly ONE shuffle of postings-sized rows, same (bucket, salt)
+    partitioning and (bucket, term, salt, docid) ordering contract as
+    build_postings — a phrase query's terms land in the same prunable
+    layout as their postings."""
     shift = 63 - salt_bits
     if num_partitions is None:
         num_partitions = (
-            flat.sparkSession.sparkContext.defaultParallelism
+            packed.sparkSession.sparkContext.defaultParallelism
         )
     num_partitions = min(num_partitions, n_buckets << salt_bits)
     salted = (
-        flat.withColumn(
+        packed.withColumn(
             "salt",
             F.shiftrightunsigned(F.col("docid"), shift).cast("int"),
         )
         .withColumn("bucket", term_bucket_col(F.col("term"), n_buckets))
         .repartition(num_partitions, "bucket", "salt")
-        .sortWithinPartitions("bucket", "term", "salt", "docid", "apos")
+        .sortWithinPartitions("bucket", "term", "salt", "docid")
     )
 
     def encode_stream(batches):

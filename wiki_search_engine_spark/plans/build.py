@@ -473,16 +473,16 @@ def _build_stages(
     if positions and not manifest.is_done("positions"):
         t0 = time.time()
         from ..operators.positions import (
-            build_positions, positions_flat,
+            build_positions, positions_packed,
         )
 
-        flat = positions_flat(
+        packed = positions_packed(
             corpus.select("docid", "text"),
             stem=(analyzer == "porter"),
         )
         (
             build_positions(
-                flat, salt_bits=salt_bits, n_buckets=n_buckets
+                packed, salt_bits=salt_bits, n_buckets=n_buckets
             )
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
