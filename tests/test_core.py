@@ -164,6 +164,27 @@ def test_ner_entity_words_skipped_in_stem_pass():
     assert "return" in toks
 
 
+def test_ner_date_time_runs_are_not_entities():
+    """The deterministic slice of spaCy's type filter: a capitalized
+    run whose every core is a DATE/TIME word forms NO entity (the
+    reference indexes only PERSON/ORG/GPE spans); the words still
+    index through the normal Porter chain. Mixed runs survive."""
+    from wiki_search_engine_spark.functions.analyzer import ner_tokens
+    from wiki_search_engine_spark.functions.porter import porter_stem
+
+    toks = ner_tokens("They met on Monday Morning to plan")
+    assert "monday morning" not in toks
+    assert porter_stem("monday") in toks
+    assert porter_stem("morning") in toks
+
+    toks2 = ner_tokens("Monday Night Football drew a crowd")
+    assert "monday night football" in toks2
+
+    # date word BRIDGED inside a real entity keeps the entity
+    toks3 = ner_tokens("The September Institute opened")
+    assert "september institute" in toks3
+
+
 def test_extract_links_filters():
     from wiki_search_engine_spark.functions.extraction import extract_links
 

@@ -200,6 +200,21 @@ def tokenize_frame(docids, texts, stem: bool, analyzer: str | None = None):
 ENTITY_CORE_RE = re.compile(r"^[A-Z][a-z]+$")
 STRIP_EDGE_RE = re.compile(r"^[^A-Za-z0-9]+|[^A-Za-z0-9]+$")
 
+# Capitalized-but-not-an-entity vocabulary: date/time words that spaCy
+# types DATE/TIME — types the reference's filter REJECTS
+# (Indexer/inverted_index.py keeps only PERSON/ORG/GPE-style spans).
+# A run whose cores are ALL such words ("Monday Morning", "New Year's
+# Eve" minus "New") is no entity; mixed runs survive ("Monday Night
+# Football" has a non-date core). This is the deterministic slice of
+# spaCy's type filter — see COVERAGE.md P4 for what still differs.
+NON_ENTITY_CORES = frozenset(
+    """january february march april may june july august september
+    october november december monday tuesday wednesday thursday friday
+    saturday sunday morning afternoon evening night noon midnight
+    today tomorrow yesterday week month year spring summer autumn
+    winter""".split()
+)
+
 
 def ner_tokens(text: str) -> list[str]:
     """Entity-aware dual-indexing analyzer (the reference's INTENDED
@@ -223,6 +238,9 @@ def ner_tokens(text: str) -> list[str]:
     'bank of america') AND each CORE component word (reference quirk
     Q2 — bridges are stopwords and are never indexed alone); remaining
     tokens go through the normal stopword/junk/Porter chain, except
+    runs whose every core is a date/time word (NON_ENTITY_CORES) —
+    the deterministic slice of spaCy's PERSON/ORG/GPE type filter:
+    'Monday Morning' is no entity, 'Monday Night Football' is. Other
     tokens whose cleaned form is an entity component elsewhere in the
     doc, which are skipped (inverted_index.py:56-61 semantics). See
     COVERAGE.md P4 for what still differs from spaCy."""
@@ -274,7 +292,11 @@ def ner_tokens(text: str) -> list[str]:
                         break
                 if not stepped:
                     break
-            if j > i:
+            if j > i and not all(
+                cores[x].lower() in NON_ENTITY_CORES
+                for x in range(i, j + 1)
+                if is_core[x]
+            ):
                 runs.append((i, j))
             i = j + 1
         else:
