@@ -152,6 +152,70 @@ def test_correct_requires_spell_layout(spark, corpus_df, tmp_path):
         eng.correct("tabel")
 
 
+def test_fuzzy_search_corrects_zero_df_terms(
+    spell_engine, fixture_queries
+):
+    """Did-you-mean: a typo'd query scores identically to the intended
+    query once fuzzy=True swaps the zero-df term."""
+    q = fixture_queries[1]              # "w3 w50", both present
+    w1, w2 = q.split()
+    typo = f"{w1[:-1]}x {w2}"           # one-char substitution on w1
+    exact = spell_engine.search_local(q, k=10)
+    assert spell_engine.search_local(typo, k=10, fuzzy=True) == exact
+    # without fuzzy the typo'd term contributes nothing
+    assert spell_engine.search_local(typo, k=10) != exact
+    # present terms are never touched
+    assert spell_engine.search_local(q, k=10, fuzzy=True) == exact
+    terms, corr = spell_engine.fuzzy_terms(
+        spell_engine.analyze(typo)
+    )
+    assert corr and list(corr.values())[0] == spell_engine.analyze(w1)[0]
+
+
+def test_fuzzy_query_response_carries_corrections(
+    spell_engine, fixture_queries
+):
+    q = fixture_queries[1]
+    w1, w2 = q.split()
+    typo = f"{w1[:-1]}x {w2}"
+    resp = spell_engine.query_response(
+        typo, option_name="bm25", k=5, fuzzy=True
+    )
+    exact = spell_engine.query_response(q, option_name="bm25", k=5)
+    assert "corrections" in resp
+    assert [d["file_id"] for d in resp["textResult"]] == [
+        d["file_id"] for d in exact["textResult"]
+    ]
+    # nothing corrected -> the reference shape holds (no extra field)
+    assert "corrections" not in spell_engine.query_response(
+        q, option_name="bm25", k=5, fuzzy=True
+    )
+
+
+def test_fuzzy_over_http(spell_engine, fixture_queries):
+    import json
+    import urllib.parse
+    import urllib.request
+
+    from wiki_search_engine_spark.server import start_server
+
+    w1, w2 = fixture_queries[1].split()
+    srv = start_server(spell_engine, port=0, path_mode="local")
+    try:
+        port = srv.server_address[1]
+        typo = urllib.parse.quote(f"{w1[:-1]}x {w2}")
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/query-stem?query={typo}"
+            "&optionName=bm25&fuzzy=true",
+            timeout=60,
+        ) as r:
+            body = json.loads(r.read())
+        assert body["corrections"]
+        assert body["textResult"]
+    finally:
+        srv.shutdown()
+
+
 def test_correct_over_http(spell_engine):
     import json
     import urllib.error

@@ -527,6 +527,29 @@ class SearchEngine:
         )
         return [(term, df) for df, term in matches[:k]]
 
+    def fuzzy_terms(
+        self, terms: list[str]
+    ) -> tuple[list[str], dict[str, str]]:
+        """Did-you-mean expansion: analyzed terms absent from the
+        lexicon (df == 0) are replaced by their best spell correction
+        (``correct`` — the SymSpell layout must be built). Present
+        terms are never touched. Returns (deduped corrected terms,
+        {original: replacement})."""
+        dfm = self.term_df(terms)
+        out: list[str] = []
+        corr: dict[str, str] = {}
+        for t in terms:
+            if dfm.get(t, 0) > 0:
+                out.append(t)
+                continue
+            cand = self.correct(t, k=1)
+            if cand:
+                corr[t] = cand[0][0]
+                out.append(cand[0][0])
+            else:
+                out.append(t)
+        return list(dict.fromkeys(out)), corr
+
     def build_spellindex(self, max_dist: int = 2) -> None:
         """Materialize the SymSpell deletion-neighborhood layout
         (operators/fuzzy.py) under ``index_dir/spell`` from the
@@ -735,7 +758,7 @@ class SearchEngine:
 
     def search_local(
         self, query: str, k: int = 50, mode: str = "bm25",
-        semantics: str = "or",
+        semantics: str = "or", fuzzy: bool = False,
     ) -> list[tuple[int, float]]:
         """Serve a query entirely on the DRIVER: pyarrow reads of the
         terms' bucket directories (row-group pruned on the term-sorted
@@ -756,6 +779,11 @@ class SearchEngine:
         terms = self.analyze(query)
         if not terms:
             return []
+        if fuzzy:
+            # did-you-mean: zero-df terms swap to their best spell
+            # correction before retrieval (fuzzy_terms; needs the
+            # SymSpell layout)
+            terms, _ = self.fuzzy_terms(terms)
         if not os.path.isdir(f"{self.index_dir}/term_stats"):
             raise FileNotFoundError(
                 f"{self.index_dir}/term_stats missing — the local serving "
@@ -1045,6 +1073,7 @@ class SearchEngine:
         page: int | None = None,
         per_page: int = 10,
         phrase: bool = False,
+        fuzzy: bool = False,
     ) -> dict:
         """The reference's full HTTP response shape
         (backend/controllers/queryController.js:11-59):
@@ -1086,13 +1115,24 @@ class SearchEngine:
                     ).collect()
                 ]
             return self.search_local(
-                query, k=k, mode=mode, semantics=semantics
+                query, k=k, mode=mode, semantics=semantics, fuzzy=fuzzy,
             )
 
-        return assemble_reference_response(
+        if fuzzy and path != "local":
+            raise ValueError(
+                "fuzzy (did-you-mean) is served by the local path"
+            )
+        resp = assemble_reference_response(
             query, option_name, self.analyze, get_ids, self.lookup_docs,
             page=page, per_page=per_page,
         )
+        if fuzzy and resp.get("success") is not False:
+            # surface what was corrected (extension field; absent when
+            # nothing needed correcting, so the reference shape holds)
+            _t, corr = self.fuzzy_terms(self.analyze(query))
+            if corr:
+                resp["corrections"] = corr
+        return resp
 
     def image_results(
         self, query: str, k: int = 50, mode: str = "bm25",

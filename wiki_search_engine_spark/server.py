@@ -24,6 +24,11 @@ Routes:
     GET /correct?term=...[&k=10]                              -> 200 JSON
       spell correction (SearchEngine.correct over the SymSpell
       layout; blank term or missing spell layout -> 400)
+    GET /query-stem?query=...&fuzzy=true                      -> 200 JSON
+      did-you-mean: zero-df query terms swap to their best
+      correction before retrieval; the response carries a
+      "corrections" {original: replacement} map when anything
+      changed (400 when the spell layout is missing)
     GET /health                                              -> 200 {"ok"}
     anything else                                            -> 404
 
@@ -103,7 +108,24 @@ class _Handler(BaseHTTPRequestHandler):
         phrase = (qs.get("phrase") or ["false"])[0].lower() in (
             "1", "true", "yes",
         )
+        # &fuzzy=true — did-you-mean: zero-df terms corrected via the
+        # SymSpell layout before retrieval; response carries a
+        # "corrections" map when anything was swapped
+        fuzzy = (qs.get("fuzzy") or ["false"])[0].lower() in (
+            "1", "true", "yes",
+        )
         kwargs = {}
+        if fuzzy:
+            if not hasattr(self.server.engine, "fuzzy_terms"):
+                self._send(
+                    400,
+                    {
+                        "success": False, "result": [],
+                        "error": "fuzzy search is single-index only",
+                    },
+                )
+                return
+            kwargs["fuzzy"] = True
         if phrase:
             if not hasattr(self.server.engine, "search_phrase"):
                 self._send(
