@@ -895,6 +895,27 @@ def q_phrase_occurrences(spark, sf_dir):
     )
 
 
+def q_mixed_phrase_bm25(spark, sf_dir):
+    """Mixed query semantics (operators/phrase.py mixed_bm25): docs
+    must contain the quoted phrase "table hash" (conjunctive filter,
+    scored as a BM25 pseudo-term), and the bag term 'fast' adds its
+    ordinary contribution without expanding the candidate set — the
+    '"exact phrase" plus keywords' query every search engine serves.
+    Driver twin: SearchEngine.search_mixed (quotes auto-route on
+    /query-stem when the index has the positional sidecar)."""
+    from wiki_search_engine_spark.operators.phrase import mixed_bm25
+
+    corpus = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("docid"), "text"
+    )
+    n, avgdl = _stats_scalars(_base_tokens_df(spark, sf_dir))
+    return mixed_bm25(
+        corpus, ["fast"], ["table hash"], n, avgdl, k=10
+    ).select(
+        F.col("docid").cast("long").alias("doc_id"), "score"
+    )
+
+
 def _pos_index_dir(spark, sf_dir) -> str:
     """A positions-enabled index over the documents table (pre-keyed
     docid = doc_id, base analyzer), cached per sf like _tiered_dirs."""
@@ -1937,6 +1958,45 @@ CROSS JOIN pstats s CROSS JOIN pdf q
 ORDER BY score DESC, doc_id LIMIT {k}"""
 
 
+def _mixed_sql(
+    phrase_terms: list[str], bag_terms: list[str], k: int
+) -> str:
+    """Mixed-query oracle: phrase pseudo-term BM25 (conjunctive
+    filter) + bag-term contributions LEFT-joined on the phrase docs —
+    mirrors operators/phrase.py mixed_bm25."""
+    blist = ", ".join(f"'{t}'" for t in bag_terms)
+    return f"""
+WITH {_phrase_occ_sql(phrase_terms)},
+pdl AS (SELECT doc_id, count(*)::BIGINT AS doc_len FROM atoks GROUP BY 1),
+pstats AS (SELECT count(*)::BIGINT AS n, avg(doc_len) AS avgdl FROM pdl),
+ptf AS (SELECT doc_id, count(*)::BIGINT AS phrase_tf FROM occ GROUP BY 1),
+pdf AS (SELECT count(*)::BIGINT AS df FROM ptf),
+ph AS (
+  SELECT p.doc_id,
+         ln((s.n - q.df + 0.5) / (q.df + 0.5) + 1) * p.phrase_tf
+         * {K1 + 1.0}
+         / (p.phrase_tf
+            + {K1} * (1 - {B} + {B} * d.doc_len / s.avgdl)) AS pscore
+  FROM ptf p JOIN pdl d USING (doc_id)
+  CROSS JOIN pstats s CROSS JOIN pdf q),
+btf AS (
+  SELECT doc_id, tok AS term, count(*)::BIGINT AS tf FROM atoks
+  WHERE tok IN ({blist}) GROUP BY 1, 2),
+bdf AS (
+  SELECT term, count(*)::BIGINT AS df FROM btf GROUP BY 1),
+bag AS (
+  SELECT t.doc_id,
+         sum(ln((s.n - b.df + 0.5) / (b.df + 0.5) + 1) * t.tf
+             * {K1 + 1.0}
+             / (t.tf + {K1} * (1 - {B} + {B} * d.doc_len / s.avgdl))
+         ) AS bscore
+  FROM btf t JOIN bdf b USING (term) JOIN pdl d USING (doc_id)
+  CROSS JOIN pstats s GROUP BY 1)
+SELECT p.doc_id, round(p.pscore + coalesce(g.bscore, 0), 6) AS score
+FROM ph p LEFT JOIN bag g USING (doc_id)
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
 def _simhash_sql(max_hamming: int) -> str:
     """Full SQL transliteration of operators/dedup.py simhash +
     simhash_near_dups: per-token 64-bit hash = first 8 md5 bytes
@@ -2109,6 +2169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_bm25": q_phrase_bm25,
         "phrase_occurrences": q_phrase_occurrences,
         "indexed_phrase_bm25": q_indexed_phrase_bm25,
+        "mixed_phrase_bm25": q_mixed_phrase_bm25,
         "hll_register_sketch": q_hll_register_sketch,
         "term_heavy_hitters": q_term_heavy_hitters,
         "term_prefix_topk": q_term_prefix_topk,
@@ -2579,6 +2640,7 @@ FROM lex WHERE levenshtein(term, 'srt') <= 3
 ORDER BY dist, df DESC, term LIMIT 10""",
         "phrase_bm25": _phrase_bm25_sql(["table", "hash"], 10),
         "indexed_phrase_bm25": _phrase_bm25_sql(["table", "hash"], 10),
+        "mixed_phrase_bm25": _mixed_sql(["table", "hash"], ["fast"], 10),
         "phrase_occurrences": f"""
 WITH {_phrase_occ_sql(["slow", "hash", "batch"])}
 SELECT doc_id, start::BIGINT AS start FROM occ ORDER BY 1, 2""",

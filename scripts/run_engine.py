@@ -548,9 +548,35 @@ def main(argv=None):
                         spark.stop()
                         return 1
                     raise
-                rows = eng.search(
-                    args.query, k=args.k, mode=args.mode, path=args.path
-                ).collect()
+                import os as _os
+
+                if '"' in args.query and _os.path.isdir(
+                    f"{eng.index_dir}/positions"
+                ):
+                    # quoted spans = mixed phrase semantics (driver
+                    # path; mirrors the HTTP auto-routing)
+                    ids = eng.search_mixed(
+                        args.query, k=args.k, mode=args.mode
+                    )
+                    smap = dict(ids)
+                    rows = sorted(
+                        (
+                            {
+                                "docid": r["docid"], "url": r["url"],
+                                "score": smap[r["docid"]],
+                                "snippet": r["snippet"],
+                            }
+                            for r in eng.lookup_docs(
+                                [d for d, _ in ids]
+                            )
+                        ),
+                        key=lambda r: (-r["score"], r["docid"]),
+                    )
+                else:
+                    rows = eng.search(
+                        args.query, k=args.k, mode=args.mode,
+                        path=args.path,
+                    ).collect()
         except EmptyQueryError:
             # mirror the reference's HTTP 400 body
             # (backend/controllers/queryController.js:21-25)

@@ -161,6 +161,55 @@ def test_bm25_scoring_matches_manual(spark):
         assert abs(out[docid][1] - exp) < 1e-6, docid
 
 
+def test_parse_query():
+    from wiki_search_engine_spark.operators.phrase import parse_query
+
+    assert parse_query('fast "table hash"') == ("fast", ["table hash"])
+    bag, ph = parse_query('"a b" x "c d" y')
+    assert bag.split() == ["x", "y"] and ph == ["a b", "c d"]
+    assert parse_query("no quotes") == ("no quotes", [])
+    assert parse_query('"only phrase"') == ("", ["only phrase"])
+    # unbalanced quote: literal, analyzer strips it downstream
+    assert parse_query('broken "quote') == ('broken "quote', [])
+    bag2, ph2 = parse_query('empty "" span')
+    assert bag2.split() == ["empty", "span"] and ph2 == []
+
+
+def test_mixed_bm25_semantics(spark):
+    """Phrase filters, bag boosts: docs without the phrase never
+    appear regardless of bag weight; bag-less docs still rank."""
+    import math
+
+    from wiki_search_engine_spark.operators.phrase import mixed_bm25
+
+    df = _df(
+        spark,
+        [
+            (1, "p q x"),          # phrase + bag
+            (2, "p q y"),          # phrase only
+            (3, "x x x x q p"),    # bag-heavy, phrase reversed -> out
+        ],
+    )
+    n, avgdl = 3, (3 + 3 + 6) / 3
+    out = {
+        r["docid"]: r["score"]
+        for r in mixed_bm25(
+            df, ["x"], ["p q"], n=n, avgdl=avgdl, k=10
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    # doc1 = phrase pseudo-term + bag contribution; doc2 phrase only
+    pdf, bdf = 2, 2
+    pidf = math.log((n - pdf + 0.5) / (pdf + 0.5) + 1)
+    bidf = math.log((n - bdf + 0.5) / (bdf + 0.5) + 1)
+
+    def bm(tf, dl, idf):
+        return idf * tf * 2.5 / (tf + 1.5 * (1 - 0.75 + 0.75 * dl / avgdl))
+
+    assert abs(out[2] - bm(1, 3, pidf)) < 1e-6
+    assert abs(out[1] - (bm(1, 3, pidf) + bm(1, 3, bidf))) < 1e-6
+
+
 WORDS = ["aa", "bb", "cc", "the", "12345", "dd"]
 
 

@@ -191,6 +191,79 @@ def test_engine_search_phrase_matches_operator(
         assert got == exp, phrase
 
 
+def test_engine_search_mixed_matches_operator(
+    spark, pos_index, keyed_corpus, fixture_phrases
+):
+    from wiki_search_engine_spark.functions.analyzer import full_tokens
+    from wiki_search_engine_spark.operators.phrase import mixed_bm25
+
+    eng = pos_index
+    phrase = fixture_phrases[0]
+    # a bag term present in the corpus but outside the phrase
+    bag_raw = next(
+        t
+        for r in keyed_corpus.limit(3).collect()
+        for t in (r["text"] or "").split()
+        if full_tokens(t) and full_tokens(t)[0] not in phrase.split()
+    )
+    bag_term = full_tokens(bag_raw)[0]
+    exp = [
+        (r["docid"], r["score"])
+        for r in mixed_bm25(
+            keyed_corpus, [bag_term], [phrase], n=eng.n,
+            avgdl=eng.avgdl, k=10, stem=True,
+        ).collect()
+    ]
+    got = [
+        (d, round(s, 6))
+        for d, s in eng.search_mixed(f'{bag_raw} "{phrase}"', k=10)
+    ]
+    assert got == exp
+    # quote-free delegates to search_local
+    assert eng.search_mixed(bag_raw, k=5) == eng.search_local(
+        bag_raw, k=5
+    )
+
+
+def test_mixed_routes_over_http(spark, pos_index, fixture_phrases):
+    import json
+    import urllib.parse
+    import urllib.request
+
+    from wiki_search_engine_spark.server import start_server
+
+    srv = start_server(pos_index, port=0, path_mode="local")
+    try:
+        port = srv.server_address[1]
+        q = urllib.parse.quote(f'"{fixture_phrases[0]}"')
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/query-stem?query={q}"
+            "&optionName=bm25",
+            timeout=60,
+        ) as r:
+            body = json.loads(r.read())
+        exp = [
+            str(d)
+            for d, _s in pos_index.search_mixed(
+                f'"{fixture_phrases[0]}"', k=50
+            )
+        ]
+        assert [d["file_id"] for d in body["textResult"]] == exp
+    finally:
+        srv.shutdown()
+
+
+def test_quoted_query_without_sidecar_keeps_legacy_bag(engine):
+    """No positional sidecar -> quotes are stripped by the analyzer
+    and the query serves as bag-of-words (no new failure mode on old
+    indexes)."""
+    resp = engine.query_response('"anything here"', option_name="bm25")
+    legacy = engine.query_response("anything here", option_name="bm25")
+    assert [d["file_id"] for d in resp["textResult"]] == [
+        d["file_id"] for d in legacy["textResult"]
+    ]
+
+
 def test_search_phrase_absent_term_and_empty(pos_index):
     from wiki_search_engine_spark.engine import EmptyQueryError
 

@@ -622,6 +622,36 @@ class SearchEngine:
         by (score desc, docid asc); [] when any phrase term is absent.
         Rank/value identity with the corpus-scan operator
         (operators/phrase.py) is pytest-enforced."""
+        import math
+
+        from . import B, K1
+
+        m = self._phrase_matches(phrase)
+        if m is None:
+            return []
+        docs, dls, tfs = m
+        dfm = int(docs.size)
+        idf = math.log((self.n - dfm + 0.5) / (dfm + 0.5) + 1.0)
+        scored = [
+            (
+                int(doc),
+                idf * tf * (K1 + 1.0)
+                / (tf + K1 * (1.0 - B + B * dl / self.avgdl)),
+                int(tf),
+            )
+            for doc, dl, tf in zip(
+                docs.tolist(), dls.tolist(), tfs.tolist()
+            )
+        ]
+        scored.sort(key=lambda r: (-r[1], r[0]))
+        return scored[:k]
+
+    def _phrase_matches(self, phrase: str):
+        """Shared phrase machinery (search_phrase / search_mixed):
+        sidecar read + vectorized adjacency -> (docids, doc_lens,
+        phrase_tfs) NumPy arrays in docid order for the docs containing
+        the exact phrase; None when a phrase term is absent or nothing
+        matches."""
         import os
 
         import numpy as np
@@ -668,7 +698,7 @@ class SearchEngine:
                 ):
                     lst.append(arr)
         if len(per_term) < len(slots):
-            return []  # a phrase term absent from the index
+            return None  # a phrase term absent from the index
         # merge each term's row shards into docid-sorted lookups
         lookup: dict[str, tuple] = {}
         for t, (ds, ls, offs, ps) in per_term.items():
@@ -694,7 +724,7 @@ class SearchEngine:
         for t in ordered[1:]:
             cand = cand[np.isin(cand, lookup[t][0], assume_unique=True)]
             if cand.size == 0:
-                return []
+                return None
         # vectorized adjacency over ALL candidate docs at once (the
         # driver analogue of the anchor aggregation): for slot i map
         # every (doc, pos) hit to key = candidate_index * M + (pos - i)
@@ -723,38 +753,120 @@ class SearchEngine:
                     np.isin(valid, keys, assume_unique=True)
                 ]
             if valid.size == 0:
-                return []
+                return None
         tf_per_cand = np.bincount(
             (valid // M).astype(np.int64), minlength=cand.size
         )
         hit = tf_per_cand > 0
+        if not hit.any():
+            return None
         d0, dl0, off0, _pos0 = lookup[terms[0]]
         dls = dl0[np.searchsorted(d0, cand)]
-        results = [
-            (int(doc), int(dl), int(tf))
-            for doc, dl, tf in zip(
-                cand[hit], dls[hit], tf_per_cand[hit]
-            )
-        ]
-        if not results:
-            return []
+        return cand[hit], dls[hit], tf_per_cand[hit]
+
+    def search_mixed(
+        self, query: str, k: int = 50, mode: str = "bm25",
+    ) -> list[tuple[int, float]]:
+        """Mixed quoted-phrase query on the DRIVER: every
+        double-quoted span is an exact-phrase REQUIREMENT (conjunctive
+        filter, scored as a pseudo-term via the positional sidecar);
+        the remaining bag terms add their ordinary contributions (OR,
+        never expanding the candidate set). A quote-free query
+        delegates to search_local. Zero Spark jobs; rank/value
+        identity with operators/phrase.py mixed_bm25 is
+        pytest-enforced."""
         import math
 
-        from . import B, K1
+        import numpy as np
 
-        dfm = len(results)
-        idf = math.log((self.n - dfm + 0.5) / (dfm + 0.5) + 1.0)
-        scored = [
-            (
-                docid,
-                idf * tf * (K1 + 1.0)
-                / (tf + K1 * (1.0 - B + B * dl / self.avgdl)),
-                tf,
+        from . import B, K1
+        from .operators.codec import decode_posting_list
+        from .operators.phrase import parse_query
+        from .oracle_py.oracle import bm25_idf, tfidf_idf
+
+        bag_text, phrases = parse_query(query)
+        if not phrases:
+            return self.search_local(query, k=k, mode=mode)
+        cand = dls = None
+        pscore = None
+        for p in phrases:
+            m = self._phrase_matches(p)
+            if m is None:
+                return []
+            docs, pdls, ptfs = m
+            dfm = int(docs.size)
+            idf = (
+                math.log((self.n - dfm + 0.5) / (dfm + 0.5) + 1.0)
+                if mode == "bm25"
+                else math.log(self.n / dfm)
             )
-            for docid, dl, tf in results
-        ]
-        scored.sort(key=lambda r: (-r[1], r[0]))
-        return scored[:k]
+            tfd = ptfs.astype(np.float64)
+            if mode == "bm25":
+                ps = idf * tfd * (K1 + 1.0) / (
+                    tfd
+                    + K1
+                    * (1.0 - B + B * pdls.astype(np.float64) / self.avgdl)
+                )
+            else:
+                ps = tfd * idf
+            if cand is None:
+                cand, dls, pscore = docs, pdls, ps
+            else:
+                keep = np.isin(cand, docs, assume_unique=True)
+                cand, dls, pscore = cand[keep], dls[keep], pscore[keep]
+                if cand.size == 0:
+                    return []
+                pscore = pscore + ps[
+                    np.isin(docs, cand, assume_unique=True)
+                ]
+        bag_terms = self.analyze(bag_text) if bag_text else []
+        if bag_terms:
+            lists = self._cached_term_lists(bag_terms)
+            for t in dict.fromkeys(bag_terms):
+                df, salted = lists.get(t, (0, []))
+                if df <= 0:
+                    continue
+                parts = [
+                    decode_posting_list(
+                        [
+                            b if isinstance(b, dict) else b.asDict()
+                            for b in blocks
+                        ]
+                    )
+                    for _salt, blocks in salted
+                ]
+                d = np.concatenate([p[0] for p in parts])
+                tf = np.concatenate([p[1] for p in parts])
+                dl = np.concatenate([p[2] for p in parts])
+                order = np.argsort(d)
+                d, tf, dl = d[order], tf[order], dl[order]
+                pos = np.searchsorted(d, cand)
+                pos = np.minimum(pos, max(d.size - 1, 0))
+                sel = (d.size > 0) & (d[pos] == cand)
+                if not sel.any():
+                    continue
+                idf = (
+                    bm25_idf(self.n, int(df))
+                    if mode == "bm25"
+                    else tfidf_idf(self.n, int(df))
+                )
+                tfd = tf[pos[sel]].astype(np.float64)
+                if mode == "bm25":
+                    contrib = idf * tfd * (K1 + 1.0) / (
+                        tfd
+                        + K1
+                        * (
+                            1.0 - B
+                            + B * dl[pos[sel]].astype(np.float64)
+                            / self.avgdl
+                        )
+                    )
+                else:
+                    contrib = tfd * idf
+                pscore = pscore.copy()
+                pscore[sel] += contrib
+        idx = np.lexsort((cand, -pscore))[: min(k, cand.size)]
+        return [(int(cand[i]), float(pscore[i])) for i in idx]
 
     def search_local(
         self, query: str, k: int = 50, mode: str = "bm25",
@@ -1097,6 +1209,16 @@ class SearchEngine:
           reference.
         """
 
+        import os as _os
+
+        # quoted spans auto-route to mixed phrase semantics WHEN the
+        # positional sidecar exists; without it quotes keep the legacy
+        # behavior (the analyzer strips them -> bag-of-words), so
+        # existing indexes never start erroring on quoted input
+        mixed = '"' in (query or "") and _os.path.isdir(
+            f"{self.index_dir}/positions"
+        )
+
         def get_ids(mode):
             if phrase:
                 # exact-phrase extension: BM25 pseudo-term ranks from
@@ -1106,6 +1228,8 @@ class SearchEngine:
                         query, k=k
                     )
                 ]
+            if mixed:
+                return self.search_mixed(query, k=k, mode=mode)
             if path != "local":
                 return [
                     (r["docid"], r["score"])

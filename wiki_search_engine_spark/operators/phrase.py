@@ -37,6 +37,7 @@ the batch-analytics path and the oracle gate for both.
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 import pandas as pd
@@ -225,6 +226,122 @@ def indexed_phrase_occurrences(
         spark, index_dir, terms, n_buckets=n_buckets
     )
     return occurrences_from_hits(hits, len(terms))
+
+
+QUOTE_RE = re.compile(r'"([^"]*)"')
+
+
+def parse_query(query: str) -> tuple[str, list[str]]:
+    """Split a raw query into (bag text, quoted phrases): every
+    double-quoted span becomes an exact-phrase requirement, the rest
+    stays bag-of-words. An unbalanced trailing quote is treated as
+    literal text (the analyzer strips it). Empty quoted spans are
+    dropped."""
+    phrases = [
+        p.strip() for p in QUOTE_RE.findall(query or "") if p.strip()
+    ]
+    bag = QUOTE_RE.sub(" ", query or "").strip()
+    return bag, phrases
+
+
+def mixed_bm25(
+    corpus: DataFrame,
+    bag_terms: list[str],
+    phrases: list[str | list[str]],
+    n: int,
+    avgdl: float,
+    k: int = 50,
+    k1: float = 1.5,
+    b: float = 0.75,
+    stem: bool = False,
+) -> DataFrame:
+    """Mixed query semantics: a document must contain EVERY quoted
+    phrase (conjunctive filter); its score is the sum of each phrase's
+    pseudo-term BM25 (tf = occurrences, df = that phrase's matching
+    docs) plus the bag terms' ordinary BM25 contributions (OR
+    semantics, zero when none present). Output (docid, score).
+
+    Plan shape: one hit-kernel pass + anchor aggregation per phrase
+    (each output is tiny), inner-joined across phrases (docs matching
+    all), with the bag contribution LEFT-joined on top — bag terms
+    never expand the candidate set, so every join is phrase-doc-sized.
+    """
+    mdocs = None
+    for p in phrases:
+        occ = phrase_occurrences(corpus, p, stem=stem)
+        per = occ.groupBy("docid").agg(
+            F.count("*").alias("ptf"),
+            F.first("doc_len").alias("doc_len"),
+        )
+        dfv = per.agg(F.count("*").alias("pdf"))
+        idf = F.log(
+            (F.lit(float(n)) - F.col("pdf") + 0.5)
+            / (F.col("pdf") + 0.5) + 1.0
+        )
+        denom = F.col("ptf") + k1 * (
+            1.0 - b + b * F.col("doc_len") / F.lit(float(avgdl))
+        )
+        scored = per.crossJoin(F.broadcast(dfv)).select(
+            "docid",
+            "doc_len",
+            (idf * F.col("ptf") * (k1 + 1.0) / denom).alias("pscore"),
+        )
+        if mdocs is None:
+            mdocs = scored
+        else:
+            mdocs = (
+                mdocs.withColumnRenamed("pscore", "acc")
+                .join(scored.select("docid", "pscore"), "docid")
+                .select(
+                    "docid", "doc_len",
+                    (F.col("acc") + F.col("pscore")).alias("pscore"),
+                )
+            )
+    if mdocs is None:
+        raise ValueError("mixed_bm25 needs at least one phrase")
+    if bag_terms:
+        from .aggregates import term_df_salted
+        from .tokenize import tokenize
+
+        toks = tokenize(corpus, stem=stem).filter(
+            F.col("term").isin(list(dict.fromkeys(bag_terms)))
+        )
+        dfs = term_df_salted(toks)
+        tfd = F.col("tf").cast("double")
+        contrib = (
+            F.log(
+                (F.lit(float(n)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0
+            )
+            * tfd * (k1 + 1.0)
+            / (
+                tfd
+                + k1 * (
+                    1.0 - b
+                    + b * F.col("doc_len") / F.lit(float(avgdl))
+                )
+            )
+        )
+        bag = (
+            toks.join(F.broadcast(dfs), "term")
+            .select("docid", contrib.alias("c"))
+            .groupBy("docid")
+            .agg(F.sum("c").alias("bscore"))
+        )
+        mdocs = mdocs.join(bag, "docid", "left")
+    else:
+        mdocs = mdocs.withColumn("bscore", F.lit(None).cast("double"))
+    return (
+        mdocs.select(
+            "docid",
+            F.round(
+                F.col("pscore") + F.coalesce(F.col("bscore"), F.lit(0.0)),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(k)
+    )
 
 
 def phrase_bm25(
