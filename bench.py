@@ -336,6 +336,13 @@ def main() -> None:
         eng.search_phrase(phrase_q, k=10)
         lat.append(time.time() - t0)
     q["phrase_local_p50"] = round(statistics.median(lat), 4)
+    mixed_q = f'{words[9]} "{words[3]} {words[50]}"'
+    lat = []
+    for _ in range(15):
+        t0 = time.time()
+        eng.search_mixed(mixed_q, k=10)
+        lat.append(time.time() - t0)
+    q["mixed_local_p50"] = round(statistics.median(lat), 4)
 
     # ---- autocomplete serving: lexicon range scan, zero Spark jobs -------
     lat = []

@@ -185,3 +185,35 @@ def test_suggest_blank_prefix_is_400(server):
         assert json.loads(e.read()) == {
             "success": False, "result": [], "error": "Empty query",
         }
+
+
+def test_highlight_over_http(server, fixture_queries, engine):
+    import urllib.parse
+
+    q = urllib.parse.quote(fixture_queries[1])
+    with _get(
+        server, f"/query-stem?query={q}&optionName=bm25&highlight=true"
+    ) as r:
+        body = json.loads(r.read())
+    terms = set(engine.analyze(fixture_queries[1]))
+    marked = [
+        d["chunkedBody"] for d in body["textResult"]
+        if "<em>" in d["chunkedBody"]
+    ]
+    assert marked, "no snippet carried a highlight"
+    import re as _re
+
+    for chunk in marked:
+        for word in _re.findall(r"<em>([^<]+)</em>", chunk):
+            from wiki_search_engine_spark.functions.analyzer import (
+                tokens_for,
+            )
+
+            toks = tokens_for(word, engine.analyzer)
+            assert toks and toks[0] in terms, word
+    # unflagged requests keep the raw snippet
+    with _get(server, f"/query-stem?query={q}&optionName=bm25") as r:
+        body2 = json.loads(r.read())
+    assert all(
+        "<em>" not in d["chunkedBody"] for d in body2["textResult"]
+    )

@@ -1400,3 +1400,20 @@ def test_media_projection_embedding_topk(spark):
         k=3,
     ).collect()
     assert got[0]["vec_id"] == 0 and got[0]["cos_sim"] == 1.0
+
+
+def test_highlight_snippet_semantics():
+    from wiki_search_engine_spark.functions.textstats import (
+        highlight_snippet,
+    )
+
+    # stem-aware: query term 'run' highlights 'running'; punctuation
+    # rides along inside the wrapped word; stopwords never highlight
+    out = highlight_snippet(
+        "The running, fox runs fast.", {"run", "fast"}
+    )
+    assert out == "The <em>running,</em> fox <em>runs</em> <em>fast.</em>"
+    assert highlight_snippet("", {"x"}) == ""
+    assert highlight_snippet("plain text", set()) == "plain text"
+    # whitespace preserved verbatim
+    assert highlight_snippet("a  b", {"zzz"}) == "a  b"

@@ -113,6 +113,7 @@ def assemble_reference_response(
     lookup_docs,
     page: int | None = None,
     per_page: int = 10,
+    decorate_snippet=None,
 ) -> dict:
     """The ONE implementation of the reference HTTP response shape
     (queryController.js:11-59), shared by SearchEngine and TieredEngine
@@ -171,7 +172,11 @@ def assemble_reference_response(
     text_result = [
         {
             "docId": r["title"],
-            "chunkedBody": r["snippet"],
+            "chunkedBody": (
+                r["snippet"]
+                if decorate_snippet is None
+                else decorate_snippet(r["snippet"])
+            ),
             "url": r["url"],
             "file_id": str(r["docid"]),
             "score": score_map[r["docid"]],
@@ -1186,6 +1191,7 @@ class SearchEngine:
         per_page: int = 10,
         phrase: bool = False,
         fuzzy: bool = False,
+        highlight: bool = False,
     ) -> dict:
         """The reference's full HTTP response shape
         (backend/controllers/queryController.js:11-59):
@@ -1246,9 +1252,22 @@ class SearchEngine:
             raise ValueError(
                 "fuzzy (did-you-mean) is served by the local path"
             )
+        decorate = None
+        if highlight:
+            from .functions.textstats import highlight_snippet
+
+            hterms = set(self.analyze(query))
+            if fuzzy:
+                hterms |= set(
+                    self.fuzzy_terms(self.analyze(query))[0]
+                )
+
+            def decorate(s, _t=frozenset(hterms)):
+                return highlight_snippet(s, _t, self.analyzer)
+
         resp = assemble_reference_response(
             query, option_name, self.analyze, get_ids, self.lookup_docs,
-            page=page, per_page=per_page,
+            page=page, per_page=per_page, decorate_snippet=decorate,
         )
         if fuzzy and resp.get("success") is not False:
             # surface what was corrected (extension field; absent when

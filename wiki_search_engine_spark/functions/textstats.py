@@ -146,3 +146,28 @@ def doc_fingerprint(text: Column, n: int = 3) -> Column:
     return F.when(F.size(sh) == 0, F.md5(F.lower(F.trim(text)))).otherwise(
         F.array_min(hashed)
     )
+
+
+def highlight_snippet(
+    snippet: str, terms: set[str], analyzer: str = "porter"
+) -> str:
+    """Wrap every snippet word whose ANALYZED form is a query term in
+    <em>..</em> — so 'running' highlights for the query 'runs' under
+    the Porter analyzer, exactly matching retrieval semantics. Plain
+    Python (driver-side serving decoration, one snippet per result
+    row); whitespace is preserved verbatim."""
+    import re
+
+    from .analyzer import tokens_for
+
+    if not snippet or not terms:
+        return snippet or ""
+
+    def mark(m: "re.Match") -> str:
+        word = m.group(0)
+        toks = tokens_for(word, analyzer)
+        if toks and toks[0] in terms:
+            return f"<em>{word}</em>"
+        return word
+
+    return re.sub(r"\S+", mark, snippet)

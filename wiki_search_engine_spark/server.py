@@ -24,6 +24,9 @@ Routes:
     GET /correct?term=...[&k=10]                              -> 200 JSON
       spell correction (SearchEngine.correct over the SymSpell
       layout; blank term or missing spell layout -> 400)
+    GET /query-stem?query=...&highlight=true                  -> 200 JSON
+      query-term highlighting: snippet words whose analyzed form
+      matches a query term are wrapped in <em>..</em>
     GET /query-stem?query=...&fuzzy=true                      -> 200 JSON
       did-you-mean: zero-df query terms swap to their best
       correction before retrieval; the response carries a
@@ -114,7 +117,14 @@ class _Handler(BaseHTTPRequestHandler):
         fuzzy = (qs.get("fuzzy") or ["false"])[0].lower() in (
             "1", "true", "yes",
         )
+        # &highlight=true — wrap query-term matches in the snippet
+        # with <em>..</em> (analyzed-form matching, so stems highlight)
+        highlight = (qs.get("highlight") or ["false"])[0].lower() in (
+            "1", "true", "yes",
+        )
         kwargs = {}
+        if highlight and hasattr(self.server.engine, "fuzzy_terms"):
+            kwargs["highlight"] = True
         if fuzzy:
             if not hasattr(self.server.engine, "fuzzy_terms"):
                 self._send(
