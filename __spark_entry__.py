@@ -895,6 +895,30 @@ def q_phrase_occurrences(spark, sf_dir):
     )
 
 
+def q_phrase_slop_bm25(spark, sf_dir):
+    """Ordered proximity ("slow batch"~2): matches where 'batch'
+    follows 'slow' within a window of span 3; scored as a pseudo-term
+    like exact phrases (operators/phrase.py slop_occurrences — the
+    hit-kernel + chained range joins form; the driver twin is the
+    greedy smallest-successor chain in SearchEngine._phrase_matches,
+    pytest-identity). At sf0.01 this widens 36 exact starts to 93 —
+    the discriminating case."""
+    from wiki_search_engine_spark.operators.phrase import (
+        rank_occurrences, slop_occurrences,
+    )
+
+    corpus = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("docid"), "text"
+    )
+    n, avgdl = _stats_scalars(_base_tokens_df(spark, sf_dir))
+    occ = slop_occurrences(corpus, "slow batch", slop=2)
+    return rank_occurrences(occ, n, avgdl, k=10).select(
+        F.col("docid").cast("long").alias("doc_id"),
+        F.col("phrase_tf").cast("long").alias("phrase_tf"),
+        "score",
+    )
+
+
 def q_mixed_phrase_bm25(spark, sf_dir):
     """Mixed query semantics (operators/phrase.py mixed_bm25): docs
     must contain the quoted phrase "table hash" (conjunctive filter,
@@ -1958,6 +1982,45 @@ CROSS JOIN pstats s CROSS JOIN pdf q
 ORDER BY score DESC, doc_id LIMIT {k}"""
 
 
+def _slop_occ_sql(terms: list[str], slop: int) -> str:
+    """occ CTE for ordered proximity: chained self-joins of the
+    analyzed positional stream with order predicates and the final
+    span constraint; one occurrence per DISTINCT start."""
+    m = len(terms)
+    span = m - 1 + slop
+    joins = []
+    for i in range(1, m):
+        joins.append(
+            f"JOIN atoks t{i} ON t{i}.doc_id = t0.doc_id "
+            f"AND t{i}.tok = '{terms[i]}' "
+            f"AND t{i}.apos > t{i - 1}.apos"
+        )
+    return f"""{_SQL_APOS},
+occ AS (
+  SELECT DISTINCT t0.doc_id, t0.apos AS start
+  FROM atoks t0 {' '.join(joins)}
+  WHERE t0.tok = '{terms[0]}'
+    AND t{m - 1}.apos - t0.apos <= {span})"""
+
+
+def _slop_bm25_sql(terms: list[str], slop: int, k: int) -> str:
+    return f"""
+WITH {_slop_occ_sql(terms, slop)},
+pdl AS (SELECT doc_id, count(*)::BIGINT AS doc_len FROM atoks GROUP BY 1),
+pstats AS (SELECT count(*)::BIGINT AS n, avg(doc_len) AS avgdl FROM pdl),
+ptf AS (SELECT doc_id, count(*)::BIGINT AS phrase_tf FROM occ GROUP BY 1),
+pdf AS (SELECT count(*)::BIGINT AS df FROM ptf)
+SELECT p.doc_id, p.phrase_tf,
+       round(ln((s.n - q.df + 0.5) / (q.df + 0.5) + 1) * p.phrase_tf
+             * {K1 + 1.0}
+             / (p.phrase_tf
+                + {K1} * (1 - {B} + {B} * d.doc_len / s.avgdl)),
+             6) AS score
+FROM ptf p JOIN pdl d USING (doc_id)
+CROSS JOIN pstats s CROSS JOIN pdf q
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
 def _mixed_sql(
     phrase_terms: list[str], bag_terms: list[str], k: int
 ) -> str:
@@ -2170,6 +2233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_occurrences": q_phrase_occurrences,
         "indexed_phrase_bm25": q_indexed_phrase_bm25,
         "mixed_phrase_bm25": q_mixed_phrase_bm25,
+        "phrase_slop_bm25": q_phrase_slop_bm25,
         "hll_register_sketch": q_hll_register_sketch,
         "term_heavy_hitters": q_term_heavy_hitters,
         "term_prefix_topk": q_term_prefix_topk,
@@ -2641,6 +2705,7 @@ ORDER BY dist, df DESC, term LIMIT 10""",
         "phrase_bm25": _phrase_bm25_sql(["table", "hash"], 10),
         "indexed_phrase_bm25": _phrase_bm25_sql(["table", "hash"], 10),
         "mixed_phrase_bm25": _mixed_sql(["table", "hash"], ["fast"], 10),
+        "phrase_slop_bm25": _slop_bm25_sql(["slow", "batch"], 2, 10),
         "phrase_occurrences": f"""
 WITH {_phrase_occ_sql(["slow", "hash", "batch"])}
 SELECT doc_id, start::BIGINT AS start FROM occ ORDER BY 1, 2""",

@@ -151,6 +151,12 @@ def main(argv=None):
         "phrase_tf",
     )
     q.add_argument(
+        "--slop", type=int, default=0,
+        help="with --phrase: ordered proximity window (Lucene-style "
+        "~N); 0 = exact adjacency. Quoted spans inside a plain query "
+        'also accept the inline syntax "a b"~N',
+    )
+    q.add_argument(
         "--snapshot", default=None,
         help="time travel: serve a retained named snapshot of a "
         "pointer-root index instead of the current pointer target "
@@ -456,7 +462,9 @@ def main(argv=None):
                 eng = SearchEngine.load(
                     spark, dirs[0], snapshot=args.snapshot
                 )
-                hits = eng.search_phrase(args.query, k=args.k)
+                hits = eng.search_phrase(
+                    args.query, k=args.k, slop=args.slop
+                )
             except EmptyQueryError:
                 print(
                     json.dumps({"success": False, "error": "Empty query"})

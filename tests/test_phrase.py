@@ -164,11 +164,14 @@ def test_bm25_scoring_matches_manual(spark):
 def test_parse_query():
     from wiki_search_engine_spark.operators.phrase import parse_query
 
-    assert parse_query('fast "table hash"') == ("fast", ["table hash"])
-    bag, ph = parse_query('"a b" x "c d" y')
-    assert bag.split() == ["x", "y"] and ph == ["a b", "c d"]
+    assert parse_query('fast "table hash"') == (
+        "fast", [("table hash", 0)]
+    )
+    bag, ph = parse_query('"a b" x "c d"~3 y')
+    assert bag.split() == ["x", "y"]
+    assert ph == [("a b", 0), ("c d", 3)]
     assert parse_query("no quotes") == ("no quotes", [])
-    assert parse_query('"only phrase"') == ("", ["only phrase"])
+    assert parse_query('"only phrase"~2') == ("", [("only phrase", 2)])
     # unbalanced quote: literal, analyzer strips it downstream
     assert parse_query('broken "quote') == ('broken "quote', [])
     bag2, ph2 = parse_query('empty "" span')
@@ -208,6 +211,99 @@ def test_mixed_bm25_semantics(spark):
 
     assert abs(out[2] - bm(1, 3, pidf)) < 1e-6
     assert abs(out[1] - (bm(1, 3, pidf) + bm(1, 3, bidf))) < 1e-6
+
+
+def _naive_slop_occ(text, terms, slop):
+    toks = base_tokens(text)
+    m = len(terms)
+    span = m - 1 + slop
+    pos = [
+        [i for i, t in enumerate(toks) if t == term] for term in terms
+    ]
+
+    def chain(i, prev, start):
+        if i == m:
+            return True
+        return any(
+            p > prev and p - start <= span and chain(i + 1, p, start)
+            for p in pos[i]
+        )
+
+    return [p0 for p0 in pos[0] if chain(1, p0, p0)]
+
+
+def test_slop_zero_equals_exact(spark):
+    from wiki_search_engine_spark.operators.phrase import (
+        slop_occurrences,
+    )
+
+    df = _df(
+        spark,
+        [
+            (1, "a b c a b"),
+            (2, "a x b"),
+            (3, "b a"),
+        ],
+    )
+    exact = sorted(
+        (r["docid"], r["start"])
+        for r in phrase_occurrences(df, "a b").collect()
+    )
+    slop0 = sorted(
+        (r["docid"], r["start"])
+        for r in slop_occurrences(df, "a b", 0).collect()
+    )
+    assert slop0 == exact == [(1, 0), (1, 3)]
+
+
+def test_slop_widens_window(spark):
+    from wiki_search_engine_spark.operators.phrase import (
+        slop_occurrences,
+    )
+
+    df = _df(spark, [(1, "a x b"), (2, "a x x b"), (3, "b x a")])
+    got = lambda s: sorted(
+        (r["docid"], r["start"])
+        for r in slop_occurrences(df, "a b", s).collect()
+    )
+    assert got(0) == []
+    assert got(1) == [(1, 0)]
+    assert got(2) == [(1, 0), (2, 0)]
+    # order matters: 'b ... a' never matches "a b"
+    assert all(d != 3 for d, _ in got(5))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+                 min_size=0, max_size=10),
+        min_size=1,
+        max_size=5,
+    ),
+    phrase=st.lists(
+        st.sampled_from(["aa", "bb", "cc"]), min_size=1, max_size=3
+    ),
+    slop=st.integers(min_value=0, max_value=3),
+)
+def test_slop_occurrences_match_naive(spark, docs, phrase, slop):
+    from wiki_search_engine_spark.operators.phrase import (
+        slop_occurrences,
+    )
+
+    rows = [(i + 1, " ".join(words)) for i, words in enumerate(docs)]
+    got = sorted(
+        (r["docid"], r["start"])
+        for r in slop_occurrences(
+            _df(spark, rows), list(phrase), slop
+        ).collect()
+    )
+    exp = sorted(
+        (docid, s)
+        for docid, text in rows
+        for s in _naive_slop_occ(text, list(phrase), slop)
+    )
+    assert got == exp
 
 
 WORDS = ["aa", "bb", "cc", "the", "12345", "dd"]

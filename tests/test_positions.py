@@ -225,6 +225,55 @@ def test_engine_search_mixed_matches_operator(
     )
 
 
+def test_engine_slop_matches_operator(
+    spark, pos_index, keyed_corpus, corpus_rows
+):
+    """Driver greedy-chain proximity == the operator's chained range
+    joins, for a phrase built from two near-but-not-adjacent tokens of
+    a fixture doc."""
+    from wiki_search_engine_spark.operators.phrase import (
+        rank_occurrences, slop_occurrences,
+    )
+
+    toks = full_tokens(corpus_rows[0]["text"])
+    t0, t1 = toks[0], toks[2]          # distance 2 -> needs slop >= 1
+    if t0 == t1:
+        t1 = toks[3]
+    eng = pos_index
+    for slop in (1, 3):
+        exp = [
+            (r["docid"], r["score"], r["phrase_tf"])
+            for r in rank_occurrences(
+                slop_occurrences(
+                    keyed_corpus, [t0, t1], slop, stem=True
+                ),
+                n=eng.n, avgdl=eng.avgdl, k=10,
+            ).select("docid", "score", "phrase_tf").collect()
+        ]
+        got = [
+            (d, round(s, 6), tf)
+            for d, s, tf in eng.search_phrase(
+                f"{t0} {t1}", k=10, slop=slop
+            )
+        ]
+        assert got == exp, slop
+    # slop=0 equals the exact path
+    assert eng.search_phrase(f"{t0} {t1}", k=10, slop=0) == (
+        eng.search_phrase(f"{t0} {t1}", k=10)
+    )
+
+
+def test_slop_syntax_in_mixed_query(pos_index, corpus_rows):
+    """'"a b"~N' parses through search_mixed and widens matches."""
+    toks = full_tokens(corpus_rows[0]["text"])
+    t0, t1 = toks[0], toks[2]
+    if t0 == t1:
+        t1 = toks[3]
+    tight = pos_index.search_mixed(f'"{t0} {t1}"', k=50)
+    loose = pos_index.search_mixed(f'"{t0} {t1}"~3', k=50)
+    assert len(loose) >= max(len(tight), 1)
+
+
 def test_mixed_routes_over_http(spark, pos_index, fixture_phrases):
     import json
     import urllib.parse

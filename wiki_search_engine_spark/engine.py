@@ -616,7 +616,7 @@ class SearchEngine:
 
     # -- queries -----------------------------------------------------------
     def search_phrase(
-        self, phrase: str, k: int = 50
+        self, phrase: str, k: int = 50, slop: int = 0
     ) -> list[tuple[int, float, int]]:
         """Exact-phrase top-k on the DRIVER from the positional sidecar
         (build with positions=True): ONE threaded pyarrow dataset read
@@ -631,7 +631,7 @@ class SearchEngine:
 
         from . import B, K1
 
-        m = self._phrase_matches(phrase)
+        m = self._phrase_matches(phrase, slop=slop)
         if m is None:
             return []
         docs, dls, tfs = m
@@ -651,12 +651,14 @@ class SearchEngine:
         scored.sort(key=lambda r: (-r[1], r[0]))
         return scored[:k]
 
-    def _phrase_matches(self, phrase: str):
+    def _phrase_matches(self, phrase: str, slop: int = 0):
         """Shared phrase machinery (search_phrase / search_mixed):
-        sidecar read + vectorized adjacency -> (docids, doc_lens,
-        phrase_tfs) NumPy arrays in docid order for the docs containing
-        the exact phrase; None when a phrase term is absent or nothing
-        matches."""
+        sidecar read + vectorized adjacency (or, with ``slop`` > 0,
+        the greedy ordered-window chain — smallest-successor chains
+        minimize the final position, so greedy-exists == exists) ->
+        (docids, doc_lens, phrase_tfs) NumPy arrays in docid order for
+        the matching docs; None when a phrase term is absent or
+        nothing matches. tf counts distinct start positions."""
         import os
 
         import numpy as np
@@ -730,6 +732,49 @@ class SearchEngine:
             cand = cand[np.isin(cand, lookup[t][0], assume_unique=True)]
             if cand.size == 0:
                 return None
+        M = np.int64(1) << np.int64(32)  # positions are int32
+        if slop:
+            # ordered proximity window: greedy smallest-successor
+            # chain over global (candidate_index << 32 | pos) keys —
+            # a successor landing in another doc makes the final span
+            # check fail automatically (M >> span), so no per-doc
+            # bookkeeping is needed
+            span = np.int64(m - 1 + slop)
+            slot_keys = []
+            for i in range(m):
+                di, _dli, offi, posi = lookup[terms[i]]
+                counts = np.diff(offi)
+                in_cand = np.isin(di, cand, assume_unique=True)
+                cidx_doc = np.searchsorted(cand, di)
+                keep = np.repeat(in_cand, counts)
+                keys = (
+                    np.repeat(cidx_doc.astype(np.int64), counts) * M
+                    + posi
+                )[keep]
+                keys.sort()
+                slot_keys.append(keys)
+            starts = slot_keys[0]
+            alive = np.ones(starts.size, dtype=bool)
+            last = starts.copy()
+            for i in range(1, m):
+                ks = slot_keys[i]
+                idx = np.searchsorted(ks, last, side="right")
+                ok = idx < ks.size
+                alive &= ok
+                last = np.where(
+                    ok, ks[np.minimum(idx, max(ks.size - 1, 0))], last
+                )
+            alive &= (last - starts) <= span
+            if not alive.any():
+                return None
+            tf_per_cand = np.bincount(
+                (starts[alive] // M).astype(np.int64),
+                minlength=cand.size,
+            )
+            hit = tf_per_cand > 0
+            d0, dl0, _off0, _pos0 = lookup[terms[0]]
+            dls = dl0[np.searchsorted(d0, cand)]
+            return cand[hit], dls[hit], tf_per_cand[hit]
         # vectorized adjacency over ALL candidate docs at once (the
         # driver analogue of the anchor aggregation): for slot i map
         # every (doc, pos) hit to key = candidate_index * M + (pos - i)
@@ -737,7 +782,6 @@ class SearchEngine:
         # key sets; surviving keys ARE the phrase starts. No per-doc
         # Python loop: a head-term phrase over 10^5 candidate docs is
         # m intersections of int64 arrays.
-        M = np.int64(1) << np.int64(32)  # positions are int32
         valid = None
         for slot in range(m):
             di, _dli, offi, posi = lookup[terms[slot]]
@@ -794,8 +838,8 @@ class SearchEngine:
             return self.search_local(query, k=k, mode=mode)
         cand = dls = None
         pscore = None
-        for p in phrases:
-            m = self._phrase_matches(p)
+        for ptext, pslop in phrases:
+            m = self._phrase_matches(ptext, slop=pslop)
             if m is None:
                 return []
             docs, pdls, ptfs = m

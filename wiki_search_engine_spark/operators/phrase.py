@@ -208,6 +208,58 @@ def phrase_occurrences(
     )
 
 
+def slop_occurrences(
+    corpus: DataFrame,
+    phrase: str | list[str],
+    slop: int,
+    stem: bool = False,
+) -> DataFrame:
+    """Ordered proximity match ("a b"~slop): positions
+    p_0 < p_1 < ... < p_{m-1} of the respective slots with total span
+    p_{m-1} - p_0 <= (m - 1) + slop. One occurrence per distinct
+    start p_0 (a start matches iff ANY chain from it fits the window
+    — the greedy smallest-successor chain minimizes the final
+    position, so greedy-exists == exists). slop=0 is exactly the
+    adjacency operator (pytest identity).
+
+    Plan: the same hit kernel, then a left-to-right chain of
+    docid-equi joins with range predicates — each intermediate is
+    bounded by hit rows x window width, never the token stream.
+    Output (docid, start, doc_len)."""
+    if slop < 0:
+        raise ValueError(f"slop must be >= 0, got {slop}")
+    terms = phrase_slots(phrase, stem=stem)
+    m = len(terms)
+    hits = phrase_hits(corpus, terms, stem=stem)
+    span = m - 1 + slop
+    if m == 1:
+        return (
+            hits.select(
+                "docid", F.col("apos").alias("start"), "doc_len"
+            )
+            .distinct()
+        )
+    chain = hits.filter(F.col("slot") == 0).select(
+        "docid",
+        F.col("apos").alias("p0"),
+        F.col("doc_len"),
+    )
+    for i in range(1, m):
+        nxt = hits.filter(F.col("slot") == i).select(
+            "docid", F.col("apos").alias(f"p{i}")
+        )
+        chain = chain.join(nxt, "docid").filter(
+            (F.col(f"p{i}") > F.col(f"p{i - 1}"))
+            & (F.col(f"p{i}") - F.col("p0") <= span)
+        )
+    return (
+        chain.select(
+            "docid", F.col("p0").alias("start"), "doc_len"
+        )
+        .distinct()
+    )
+
+
 def indexed_phrase_occurrences(
     spark,
     index_dir: str,
@@ -228,17 +280,19 @@ def indexed_phrase_occurrences(
     return occurrences_from_hits(hits, len(terms))
 
 
-QUOTE_RE = re.compile(r'"([^"]*)"')
+QUOTE_RE = re.compile(r'"([^"]*)"(~(\d+))?')
 
 
-def parse_query(query: str) -> tuple[str, list[str]]:
-    """Split a raw query into (bag text, quoted phrases): every
-    double-quoted span becomes an exact-phrase requirement, the rest
-    stays bag-of-words. An unbalanced trailing quote is treated as
-    literal text (the analyzer strips it). Empty quoted spans are
-    dropped."""
+def parse_query(query: str) -> tuple[str, list[tuple[str, int]]]:
+    """Split a raw query into (bag text, [(phrase, slop), ...]): every
+    double-quoted span becomes an exact-phrase requirement; a trailing
+    ``~N`` (Lucene-style) relaxes it to an ordered proximity window of
+    slop N. An unbalanced trailing quote is treated as literal text
+    (the analyzer strips it). Empty quoted spans are dropped."""
     phrases = [
-        p.strip() for p in QUOTE_RE.findall(query or "") if p.strip()
+        (p.strip(), int(slop) if slop else 0)
+        for p, _tilde, slop in QUOTE_RE.findall(query or "")
+        if p.strip()
     ]
     bag = QUOTE_RE.sub(" ", query or "").strip()
     return bag, phrases
@@ -268,7 +322,12 @@ def mixed_bm25(
     """
     mdocs = None
     for p in phrases:
-        occ = phrase_occurrences(corpus, p, stem=stem)
+        ptext, pslop = p if isinstance(p, tuple) else (p, 0)
+        occ = (
+            phrase_occurrences(corpus, ptext, stem=stem)
+            if pslop == 0
+            else slop_occurrences(corpus, ptext, pslop, stem=stem)
+        )
         per = occ.groupBy("docid").agg(
             F.count("*").alias("ptf"),
             F.first("doc_len").alias("doc_len"),
