@@ -374,16 +374,121 @@ def test_phrase_http_400_without_sidecar(spark, engine):
         srv.shutdown()
 
 
-def test_merge_refuses_positions_sidecar(spark, pos_index, tmp_path):
-    from wiki_search_engine_spark.plans.merge import (
-        delete_docs, merge_indexes,
+def test_merge_folds_positions(
+    spark, corpus_df, corpus_rows, tmp_path_factory
+):
+    """base+delta both built with positions -> the merged sidecar
+    decodes to exactly the rebuild-from-merged-corpus position stream,
+    and phrase search over the merged index matches the corpus-scan
+    operator on the merged corpus."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from wiki_search_engine_spark.engine import SearchEngine
+    from wiki_search_engine_spark.operators.phrase import (
+        phrase_occurrences,
+    )
+    from wiki_search_engine_spark.operators.tokenize import with_docid
+
+    root = tmp_path_factory.mktemp("posmerge")
+    half = len(corpus_rows) // 2
+    base_c = spark.createDataFrame(
+        pd.DataFrame(corpus_rows[:half + 10])
+    )
+    # re-crawl: last 10 of base get new text + 10 brand-new docs
+    delta_rows = [
+        {**r, "text": r["text"] + " posmergedelta posmergedelta"}
+        for r in corpus_rows[half:half + 10]
+    ] + list(corpus_rows[half + 10:half + 20])
+    delta_c = spark.createDataFrame(pd.DataFrame(delta_rows))
+    kw = dict(
+        stem=True, n_buckets=N_BUCKETS, bucket_groups=1,
+        salt_bits=SALT_BITS, positions=True,
+    )
+    base = SearchEngine.build(
+        spark, base_c, str(root / "base"), **kw
+    )
+    SearchEngine.build(spark, delta_c, str(root / "delta"), **kw)
+    merged = SearchEngine.merge(
+        spark, str(root / "base"), str(root / "delta"),
+        str(root / "out"),
+    )
+    import json
+
+    with open(f"{merged.index_dir}/meta.json") as f:
+        assert json.load(f)["positions"] is True
+    # expected merged corpus: base docs not re-crawled + delta docs
+    delta_urls = {r["url"] for r in delta_rows}
+    exp_rows = [
+        r
+        for r in corpus_rows[:half + 10]
+        if r["url"] not in delta_urls
+    ] + delta_rows
+    exp_corpus = with_docid(
+        spark.createDataFrame(pd.DataFrame(exp_rows)), "url"
+    ).select("docid", "text")
+    # sidecar == rebuild stream
+    rows = spark.read.parquet(f"{merged.index_dir}/positions").collect()
+    assert _decode_all(rows) == _flat_rows(
+        positions_flat(exp_corpus, stem=True)
+    )
+    # phrase serving over the merged index == corpus-scan truth,
+    # including the delta-only phrase
+    toks = full_tokens(delta_rows[0]["text"])
+    for phrase in ("posmergedelta posmergedelta", " ".join(toks[:2])):
+        exp = sorted(
+            r["docid"]
+            for r in phrase_occurrences(exp_corpus, phrase, stem=True)
+            .select("docid").distinct().collect()
+        )
+        got = sorted(
+            d for d, _s, _tf in merged.search_phrase(phrase, k=1000)
+        )
+        assert got == exp, phrase
+
+
+def test_delete_folds_positions(spark, pos_index, tmp_path):
+    import json
+
+    from wiki_search_engine_spark.engine import SearchEngine
+    from wiki_search_engine_spark.operators.positions import (
+        decode_positions_row,
     )
 
-    d = pos_index.index_dir
-    with pytest.raises(NotImplementedError, match="positions"):
-        merge_indexes(spark, d, d, str(tmp_path / "m"))
-    with pytest.raises(NotImplementedError, match="positions"):
-        delete_docs(spark, d, str(tmp_path / "del"), docids=[1])
+    out = str(tmp_path / "del_pos")
+    victim = int(
+        spark.read.parquet(f"{pos_index.index_dir}/doc_stats")
+        .limit(1).collect()[0]["docid"]
+    )
+    SearchEngine.delete(
+        spark, pos_index.index_dir, out, docids=[victim]
+    )
+    with open(f"{out}/meta.json") as f:
+        assert json.load(f)["positions"] is True
+    for row in spark.read.parquet(f"{out}/positions").collect():
+        docids, _dl, _off, _pos = decode_positions_row(row.asDict())
+        assert victim not in set(int(d) for d in docids)
+    # remaining docs' streams are byte-for-byte the same positions
+    after = _decode_all(spark.read.parquet(f"{out}/positions").collect())
+    exp = [
+        t for t in _decode_all(
+            spark.read.parquet(
+                f"{pos_index.index_dir}/positions"
+            ).collect()
+        )
+        if t[1] != victim
+    ]
+    assert after == exp
+
+
+def test_mixed_sidecar_inputs_refuse(spark, pos_index, engine, tmp_path):
+    from wiki_search_engine_spark.plans.merge import merge_indexes
+
+    with pytest.raises(ValueError, match="sidecar"):
+        merge_indexes(
+            spark, pos_index.index_dir, engine.index_dir,
+            str(tmp_path / "mix"),
+        )
 
 
 def test_delete_drop_positions_writes_sidecarless_index(

@@ -507,3 +507,105 @@ def positions_hits_df(
     return rows.mapInPandas(
         explode, schema="docid long, apos int, slot int, doc_len int"
     )
+
+
+def purge_positions(
+    rows: DataFrame, updated_docids: "np.ndarray"
+) -> DataFrame:
+    """Drop the given (sorted) docids from packed sidecar rows —
+    the positions half of incremental merge/delete.
+
+    Because every doc's position run starts with an ABSOLUTE value
+    (row format invariant), a retained doc's payload bytes pass
+    through untouched: purging a row slices the kept docs' byte
+    ranges out of pos_bytes (varbyte value boundaries located by the
+    terminator-bit cumsum — the position VALUES are never decoded)
+    and re-encodes only the small docid/count/doclen metadata
+    streams. Rows with no hits pass through raw; rows losing every
+    doc drop."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .codec import (
+        isin_sorted,
+        varbyte_decode,
+        varbyte_encode,
+    )
+
+    updated = np.asarray(updated_docids, dtype=np.int64)
+
+    def fn(batches):
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch]).combine_chunks()
+            out = {name: [] for name in POSITIONS_SCHEMA.names}
+            for row in tbl.to_pylist():
+                ddelta = varbyte_decode(
+                    bytes(row["docids_bytes"])
+                ).astype(np.int64)
+                docids = np.cumsum(ddelta)
+                hit = isin_sorted(updated, docids)
+                if not hit.any():
+                    for name in out:
+                        out[name].append(row[name])
+                    continue
+                keep = ~hit
+                if not keep.any():
+                    continue
+                counts = varbyte_decode(
+                    bytes(row["counts_bytes"])
+                ).astype(np.int64)
+                doclens = varbyte_decode(
+                    bytes(row["doclens_bytes"])
+                ).astype(np.int64)
+                blob = np.frombuffer(
+                    bytes(row["pos_bytes"]), dtype=np.uint8
+                )
+                # byte offset of each doc's payload: the i-th value
+                # ends at the i-th terminator byte (high bit set)
+                val_ends = np.flatnonzero((blob & 0x80) != 0) + 1
+                doc_val_bounds = np.r_[
+                    np.int64(0), np.cumsum(counts)
+                ]
+                doc_byte_bounds = np.r_[
+                    np.int64(0), val_ends[doc_val_bounds[1:] - 1]
+                ]
+                kept_idx = np.flatnonzero(keep)
+                new_blob = b"".join(
+                    blob[
+                        doc_byte_bounds[i]:doc_byte_bounds[i + 1]
+                    ].tobytes()
+                    for i in kept_idx
+                )
+                kept_docids = docids[keep]
+                new_ddelta = np.r_[
+                    kept_docids[:1],
+                    np.diff(kept_docids),
+                ]
+                out["term"].append(row["term"])
+                out["salt"].append(row["salt"])
+                out["bucket"].append(row["bucket"])
+                out["n_docs"].append(int(keep.sum()))
+                out["docids_bytes"].append(varbyte_encode(new_ddelta))
+                out["counts_bytes"].append(
+                    varbyte_encode(counts[keep])
+                )
+                out["doclens_bytes"].append(
+                    varbyte_encode(doclens[keep])
+                )
+                out["pos_bytes"].append(new_blob)
+            if out["term"]:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out["term"], pa.string()),
+                        pa.array(out["salt"], pa.int32()),
+                        pa.array(out["bucket"], pa.int32()),
+                        pa.array(out["n_docs"], pa.int64()),
+                        pa.array(out["docids_bytes"], pa.binary()),
+                        pa.array(out["counts_bytes"], pa.binary()),
+                        pa.array(out["doclens_bytes"], pa.binary()),
+                        pa.array(out["pos_bytes"], pa.binary()),
+                    ],
+                    names=list(POSITIONS_SCHEMA.names),
+                )
+
+    return rows.mapInArrow(fn, schema=POSITIONS_SCHEMA)

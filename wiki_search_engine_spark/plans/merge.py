@@ -51,22 +51,68 @@ _META_COMPAT_KEYS = ("n_buckets", "salt_bits", "stem", "analyzer",
                      "format_version")
 
 
-def _guard_positions_sidecar(
+def _positions_policy(
     dirs: tuple, drop_positions: bool, op: str
-) -> None:
-    """Incremental merge/delete do not fold positional sidecars yet;
-    silently dropping one would serve stale phrase results from the
-    output. Refuse unless the caller opts into dropping it (the output
-    is then a valid positions-less index, meta positions=False)."""
-    present = [d for d in dirs if os.path.isdir(f"{d}/positions")]
-    if present and not drop_positions:
-        raise NotImplementedError(
-            f"{op}: positional sidecar present at {present} — position "
-            "lists are not folded by the incremental path yet; pass "
-            "drop_positions=True to write the output without a sidecar "
-            "(rebuild with positions=True to restore phrase search), "
-            "or rebuild instead of merging"
+) -> bool:
+    """Whether the output index carries a positional sidecar.
+    All inputs have one -> fold it through (True). None have one ->
+    False. A MIX would serve phrase results that silently miss the
+    sidecar-less input's docs — refuse unless the caller opts into
+    dropping positions entirely (output is then a valid
+    positions-less index, meta positions=False)."""
+    if drop_positions:
+        return False
+    present = [os.path.isdir(f"{d}/positions") for d in dirs]
+    if all(present):
+        return True
+    if any(present):
+        raise ValueError(
+            f"{op}: only some inputs carry a positions/ sidecar "
+            f"({dict(zip(dirs, present))}) — the merged sidecar would "
+            "silently miss the others' docs. Rebuild the sidecar-less "
+            "input with positions=True, or pass drop_positions=True "
+            "to write the output without phrase support"
         )
+    return False
+
+
+def _merge_positions_stage(
+    spark, manifest, out_dir: str, updated: "np.ndarray",
+    base_dir: str, delta_dir: str | None,
+) -> None:
+    """Fold the positional sidecar through merge/delete: purge the
+    updated/deleted docids from the base rows (operators/positions.py
+    purge_positions — retained docs' payload bytes pass through, only
+    docid/count metadata re-encodes), then union the delta's rows
+    verbatim. A (term, salt) group may then span base+delta rows —
+    the same multi-row contract the row cap already established, so
+    every reader handles it. The updated-docid set ships in the task
+    closure (same small-set regime as the broadcast path; the per-salt
+    sidecar optimization of operators/merge.py applies here too if a
+    delta ever exceeds it)."""
+    if manifest.is_done("positions"):
+        return
+    t0 = time.time()
+    from ..operators.positions import purge_positions
+
+    merged = purge_positions(
+        spark.read.parquet(f"{base_dir}/positions"), updated
+    )
+    if delta_dir is not None:
+        merged = merged.unionByName(
+            spark.read.parquet(f"{delta_dir}/positions")
+        )
+    (
+        merged.sortWithinPartitions("bucket", "term")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{out_dir}/positions")
+    )
+    rows, nbytes, _files = _parquet_lineage(f"{out_dir}/positions")
+    manifest.mark(
+        "positions", rows_out=rows, bytes_out=nbytes,
+        wall_ms=int(1000 * (time.time() - t0)),
+    )
 
 
 def _read_meta(index_dir: str) -> dict:
@@ -128,11 +174,13 @@ def merge_indexes(
     index at ``out_dir``. Both inputs must share layout config
     (n_buckets / salt_bits / analyzer — checked against meta.json).
 
-    Positional sidecars (positions=True builds) are NOT folded by the
-    incremental merge yet: an input carrying ``positions/`` raises
-    unless ``drop_positions=True``, in which case the merged index is
-    written WITHOUT a sidecar (meta records positions=False) — refusing
-    loudly beats silently serving stale phrase results.
+    Positional sidecars fold through when BOTH inputs carry one: base
+    rows are purged of the delta's doc universe (payload bytes pass
+    through for retained docs — operators/positions.py
+    purge_positions) and the delta's rows union in verbatim. A mixed
+    pair (one input with a sidecar, one without) refuses — the merged
+    sidecar would silently miss docs — unless ``drop_positions=True``
+    writes the output without phrase support (meta positions=False).
 
     ``bucket_groups`` splits the postings rewrite into resumable units
     (same scheme as the build): each group filters both inputs to its
@@ -149,7 +197,7 @@ def merge_indexes(
             f"(base={meta_b}, delta={meta_d})"
         )
     n_buckets = int(meta_b["n_buckets"])
-    _guard_positions_sidecar(
+    carry_positions = _positions_policy(
         (base_dir, delta_dir), drop_positions, "merge_indexes"
     )
 
@@ -158,7 +206,7 @@ def merge_indexes(
         manifest.entries = {}
     os.makedirs(out_dir, exist_ok=True)
     with open(f"{out_dir}/meta.json", "w") as f:
-        json.dump({**meta_b, "positions": False}, f)
+        json.dump({**meta_b, "positions": carry_positions}, f)
 
     # the delta's corpus universe = its docs side table (includes docs
     # whose new version has zero indexed terms — their stale base
@@ -298,6 +346,12 @@ def merge_indexes(
     # --- stage: term_stats ------------------------------------------------
     write_term_stats(spark, out_dir, n_buckets, manifest)
 
+    # --- stage: positional sidecar (when both inputs carry one) -----------
+    if carry_positions:
+        _merge_positions_stage(
+            spark, manifest, out_dir, updated, base_dir, delta_dir
+        )
+
     manifest.mark("all", status="done")
     return manifest
 
@@ -341,7 +395,7 @@ def delete_docs(
 
     meta_b = _read_meta(base_dir)
     n_buckets = int(meta_b["n_buckets"])
-    _guard_positions_sidecar(
+    carry_positions = _positions_policy(
         (base_dir,), drop_positions, "delete_docs"
     )
     manifest = Manifest(f"{out_dir}/manifest.json")
@@ -349,7 +403,7 @@ def delete_docs(
         manifest.entries = {}
     os.makedirs(out_dir, exist_ok=True)
     with open(f"{out_dir}/meta.json", "w") as f:
-        json.dump({**meta_b, "positions": False}, f)
+        json.dump({**meta_b, "positions": carry_positions}, f)
 
     updated_df = _docid_df(spark, updated)
     big_delete = updated.size > docid_broadcast_limit
@@ -456,5 +510,9 @@ def delete_docs(
         )
 
     write_term_stats(spark, out_dir, n_buckets, manifest)
+    if carry_positions:
+        _merge_positions_stage(
+            spark, manifest, out_dir, updated, base_dir, None
+        )
     manifest.mark("all", status="done")
     return manifest
