@@ -745,3 +745,64 @@ def test_snapshot_name_collision_after_checkpoint_reset(spark, tmp_path):
     assert {"v_00000000", "v_00000001", cur} <= set(snaps)
     live = SearchEngine.load(spark, idx)
     assert live.n == 45  # re-fold is idempotent (delta wins twice)
+
+
+def test_maintenance_preserves_positions(spark, tmp_path):
+    """A positions-enabled root keeps phrase search working across
+    streaming folds: each delta builds with the sidecar and the merge
+    folds it, so post-fold phrase results equal a from-scratch rebuild
+    over the expected corpus."""
+    import pandas as pd
+
+    from tests.conftest import SEED
+    from wiki_search_engine_spark.engine import SearchEngine
+    from wiki_search_engine_spark.functions.analyzer import full_tokens
+    from wiki_search_engine_spark.sources.synth import doc_row
+    from wiki_search_engine_spark.streaming.ingest import (
+        maintain_index_incremental,
+    )
+
+    kw = dict(
+        stem=True, n_buckets=8, bucket_groups=1, salt_bits=2,
+        positions=True,
+    )
+    base_rows = [doc_row(i, SEED) for i in range(25)]
+    batch1 = [doc_row(i, 7) for i in range(5, 10)] + [
+        doc_row(i, SEED) for i in range(25, 32)
+    ]
+
+    idx = str(tmp_path / "pos_live")
+    SearchEngine.build(
+        spark, spark.createDataFrame(pd.DataFrame(base_rows)), idx, **kw
+    )
+    stream_dir = tmp_path / "landed"
+    stream_dir.mkdir()
+    spark.createDataFrame(pd.DataFrame(batch1)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(stream_dir / "b1"))
+    q = maintain_index_incremental(
+        spark, str(stream_dir) + "/*", idx,
+        str(tmp_path / "ckpt"), str(tmp_path / "work"),
+    )
+    q.awaitTermination(120)
+
+    expected_rows = (
+        [r for i, r in enumerate(base_rows) if i not in range(5, 10)]
+        + batch1
+    )
+    full = str(tmp_path / "pos_rebuild")
+    SearchEngine.build(
+        spark, spark.createDataFrame(pd.DataFrame(expected_rows)),
+        full, **kw,
+    )
+    live = SearchEngine.load(spark, idx)
+    ref = SearchEngine.load(spark, full)
+    toks_new = full_tokens(batch1[0]["text"])
+    toks_old = full_tokens(base_rows[0]["text"])
+    for phrase in (
+        " ".join(toks_new[:2]),      # re-crawled content
+        " ".join(toks_old[:2]),      # untouched base content
+    ):
+        assert live.search_phrase(phrase, k=100) == ref.search_phrase(
+            phrase, k=100
+        ), phrase

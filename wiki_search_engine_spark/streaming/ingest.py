@@ -117,7 +117,7 @@ def events_windowed_counts(
 # entries a complete index snapshot may contain (enrollment move list)
 INDEX_ENTRIES = (
     "meta.json", "manifest.json", "postings", "docs", "doc_stats",
-    "stats", "term_stats",
+    "stats", "term_stats", "positions", "spell",
 )
 
 
@@ -409,12 +409,20 @@ def maintain_index_incremental(
         expire_snapshots(index_dir, keep_last=retain_snapshots)
         delta_dir = f"{work_dir}/delta_b{batch_id}"
         shutil.rmtree(delta_dir, ignore_errors=True)
+        # the delta must match the live snapshot's sidecar config:
+        # merge folds positions only when BOTH inputs carry them (a
+        # mixed pair refuses), so a positions-enabled root keeps
+        # phrase search working across folds
+        has_positions = os.path.isdir(
+            os.path.join(index_dir, cur_name, "positions")
+        )
         SearchEngine.build(
             spark, batch_df, delta_dir, stem=stem,
             n_buckets=meta_engine.n_buckets,
             salt_bits=meta_engine.salt_bits,
             bucket_groups=1,
             analyzer=meta_engine.analyzer,
+            positions=has_positions,
         )
         new_name = f"v_{batch_id:08d}"
         while os.path.exists(os.path.join(index_dir, new_name)):
