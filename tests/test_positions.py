@@ -522,3 +522,62 @@ def test_build_rejects_ner_positions(spark, corpus_df, tmp_path):
             spark, corpus_df, str(tmp_path / "x"),
             analyzer="ner", positions=True,
         )
+
+
+def test_tiered_phrase_matches_compacted(
+    spark, corpus_rows, tmp_path_factory
+):
+    """TieredEngine.search_phrase / search_mixed over [base, delta]
+    segments == the same queries on the compacted (merged) index —
+    exact scores, including live-stats effects of the re-crawl."""
+    import pandas as pd
+
+    from wiki_search_engine_spark.engine import SearchEngine
+    from wiki_search_engine_spark.tiered import TieredEngine
+
+    root = tmp_path_factory.mktemp("postiered")
+    base_rows = corpus_rows[:40]
+    delta_rows = [
+        {**r, "text": r["text"] + " tierphrase alpha tierphrase alpha"}
+        for r in corpus_rows[30:36]
+    ] + list(corpus_rows[40:46])
+    kw = dict(
+        stem=True, n_buckets=N_BUCKETS, bucket_groups=1,
+        salt_bits=SALT_BITS, positions=True,
+    )
+    SearchEngine.build(
+        spark, spark.createDataFrame(pd.DataFrame(base_rows)),
+        str(root / "base"), **kw,
+    )
+    SearchEngine.build(
+        spark, spark.createDataFrame(pd.DataFrame(delta_rows)),
+        str(root / "delta"), **kw,
+    )
+    merged = SearchEngine.merge(
+        spark, str(root / "base"), str(root / "delta"),
+        str(root / "out"),
+    )
+    tiered = TieredEngine(
+        spark, [str(root / "base"), str(root / "delta")]
+    )
+    assert (tiered.n, round(tiered.avgdl, 9)) == (
+        merged.n, round(merged.avgdl, 9)
+    )
+    base_toks = full_tokens(base_rows[0]["text"])
+    probes = [
+        ("tierphrase alpha", 0),          # delta-only phrase
+        (" ".join(base_toks[:2]), 0),     # base content
+        (" ".join(base_toks[:2]), 2),     # proximity
+    ]
+    for phrase, slop in probes:
+        t = tiered.search_phrase(phrase, k=100, slop=slop)
+        c = merged.search_phrase(phrase, k=100, slop=slop)
+        assert [(d, round(s, 9), tf) for d, s, tf in t] == [
+            (d, round(s, 9), tf) for d, s, tf in c
+        ], (phrase, slop)
+    # mixed: quoted filter + bag boost, tiered == compacted
+    bag = base_toks[3] if len(base_toks) > 3 else base_toks[0]
+    q = f'{bag} "tierphrase alpha"'
+    tm = [(d, round(s, 9)) for d, s in tiered.search_mixed(q, k=50)]
+    cm = [(d, round(s, 9)) for d, s in merged.search_mixed(q, k=50)]
+    assert tm == cm

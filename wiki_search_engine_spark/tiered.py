@@ -411,6 +411,149 @@ class TieredEngine:
         idx = np.lexsort((uniq, -acc))[: min(k, uniq.size)]
         return [(int(uniq[i]), float(acc[i])) for i in idx]
 
+    def search_phrase(
+        self, phrase: str, k: int = 50, slop: int = 0
+    ) -> list[tuple[int, float, int]]:
+        """Tiered exact-phrase (or ``slop`` proximity) top-k: each
+        index segment's positional sidecar produces its matches
+        (SearchEngine._phrase_matches — every segment must be built
+        with positions=True), each segment's tombstones drop
+        overridden/deleted docs (segments are docid-disjoint after
+        tombstoning, so surviving matches concatenate), and the
+        pseudo-term scores against the LIVE N/avgdl — score-identical
+        to phrase search on the compacted index (pytest)."""
+        import math
+
+        from .operators.codec import isin_sorted
+
+        per_doc: list[tuple[int, int, int]] = []
+        for i, eng in enumerate(self.engines):
+            m = eng._phrase_matches(phrase, slop=slop)
+            if m is None:
+                continue
+            docs, dls, tfs = m
+            tombs = self.tombstones[i]
+            if tombs.size and docs.size:
+                keep = ~isin_sorted(tombs, docs)
+                docs, dls, tfs = docs[keep], dls[keep], tfs[keep]
+            per_doc.extend(
+                zip(docs.tolist(), dls.tolist(), tfs.tolist())
+            )
+        if not per_doc or not self.n:
+            return []
+        dfm = len(per_doc)
+        idf = math.log((self.n - dfm + 0.5) / (dfm + 0.5) + 1.0)
+        scored = [
+            (
+                int(d),
+                idf * tf * (K1 + 1.0)
+                / (tf + K1 * (1.0 - B + B * dl / self.avgdl)),
+                int(tf),
+            )
+            for d, dl, tf in per_doc
+        ]
+        scored.sort(key=lambda r: (-r[1], r[0]))
+        return scored[:k]
+
+    def search_mixed(
+        self, query: str, k: int = 50, mode: str = "bm25"
+    ) -> list[tuple[int, float]]:
+        """Mixed quoted-phrase query over tiered serving: quoted spans
+        filter conjunctively and score as pseudo-terms (tombstone-aware
+        sidecar matches, live stats); bag terms add their LIVE
+        contributions without expanding the candidate set. A quote-free
+        query delegates to search_local."""
+        import math
+
+        from .operators.codec import isin_sorted
+        from .operators.phrase import parse_query
+
+        bag_text, phrases = parse_query(query)
+        if not phrases:
+            return self.search_local(query, k=k, mode=mode)
+        cand_map: dict[int, tuple[int, float]] = {}
+        for pi, (ptext, pslop) in enumerate(phrases):
+            per_doc: dict[int, tuple[int, int]] = {}
+            for i, eng in enumerate(self.engines):
+                m = eng._phrase_matches(ptext, slop=pslop)
+                if m is None:
+                    continue
+                docs, dls, tfs = m
+                tombs = self.tombstones[i]
+                if tombs.size and docs.size:
+                    keep = ~isin_sorted(tombs, docs)
+                    docs, dls, tfs = docs[keep], dls[keep], tfs[keep]
+                for d, dl, tf in zip(
+                    docs.tolist(), dls.tolist(), tfs.tolist()
+                ):
+                    per_doc[int(d)] = (int(dl), int(tf))
+            if not per_doc:
+                return []
+            dfm = len(per_doc)
+            idf = (
+                math.log((self.n - dfm + 0.5) / (dfm + 0.5) + 1.0)
+                if mode == "bm25"
+                else math.log(self.n / dfm)
+            )
+
+            def pscore(tf, dl):
+                if mode == "bm25":
+                    return idf * tf * (K1 + 1.0) / (
+                        tf + K1 * (1.0 - B + B * dl / self.avgdl)
+                    )
+                return tf * idf
+
+            if pi == 0:
+                cand_map = {
+                    d: (dl, pscore(tf, dl))
+                    for d, (dl, tf) in per_doc.items()
+                }
+            else:
+                cand_map = {
+                    d: (dl, acc + pscore(per_doc[d][1], per_doc[d][0]))
+                    for d, (dl, acc) in cand_map.items()
+                    if d in per_doc
+                }
+            if not cand_map:
+                return []
+        bag_terms = self.analyze(bag_text) if bag_text else []
+        scores = {d: acc for d, (_dl, acc) in cand_map.items()}
+        if bag_terms:
+            live = self._live_term_postings_many(
+                list(dict.fromkeys(bag_terms))
+            )
+            cand_arr = np.array(sorted(scores), dtype=np.int64)
+            for t in dict.fromkeys(bag_terms):
+                df, parts = live[t]
+                if not df:
+                    continue
+                idf = (
+                    bm25_idf(self.n, df)
+                    if mode == "bm25"
+                    else tfidf_idf(self.n, df)
+                )
+                for d, tf, dl in parts:
+                    sel = isin_sorted(cand_arr, d)
+                    if not sel.any():
+                        continue
+                    tfd = tf[sel].astype(np.float64)
+                    if mode == "bm25":
+                        c = idf * tfd * (K1 + 1.0) / (
+                            tfd
+                            + K1
+                            * (
+                                1.0 - B
+                                + B * dl[sel].astype(np.float64)
+                                / self.avgdl
+                            )
+                        )
+                    else:
+                        c = tfd * idf
+                    for doc, add in zip(d[sel].tolist(), c.tolist()):
+                        scores[int(doc)] += float(add)
+        ranked = sorted(scores.items(), key=lambda r: (-r[1], r[0]))
+        return [(d, s) for d, s in ranked[:k]]
+
     def _candidate_postings(self, terms: list[str]):
         """Bucket-pruned candidate postings across all segments, with a
         ``seg`` column (segment index) for tombstone routing."""
@@ -661,6 +804,7 @@ class TieredEngine:
         self, query: str, option_name: str = "tfidf", k: int = 50,
         path: str = "local", semantics: str = "or",
         page: int | None = None, per_page: int = 10,
+        phrase: bool = False,
     ) -> dict:
         """The reference HTTP response shape over tiered serving — the
         shared assembler (engine.py assemble_reference_response) with
@@ -680,7 +824,23 @@ class TieredEngine:
                 "or 'wand'"
             )
 
+        import os as _os
+
+        # same quoted-span auto-routing as SearchEngine: mixed phrase
+        # semantics when EVERY segment carries the positional sidecar
+        mixed = '"' in (query or "") and all(
+            _os.path.isdir(f"{e.index_dir}/positions")
+            for e in self.engines
+        )
+
         def get_ids(mode):
+            if phrase:
+                return [
+                    (d, s)
+                    for d, s, _tf in self.search_phrase(query, k=k)
+                ]
+            if mixed:
+                return self.search_mixed(query, k=k, mode=mode)
             if path == "wand":
                 return [
                     (r["docid"], r["score"])
