@@ -806,3 +806,42 @@ def test_maintenance_preserves_positions(spark, tmp_path):
         assert live.search_phrase(phrase, k=100) == ref.search_phrase(
             phrase, k=100
         ), phrase
+
+
+def test_maintenance_refreshes_spell_layout(spark, tmp_path):
+    """A spell-enrolled root gets a FRESH per-fold spell layout: new
+    vocabulary becomes correctable after the fold, and corrections
+    equal a layout built directly over the new snapshot's lexicon."""
+    import pandas as pd
+
+    from tests.conftest import SEED
+    from wiki_search_engine_spark.engine import SearchEngine
+    from wiki_search_engine_spark.sources.synth import doc_row
+    from wiki_search_engine_spark.streaming.ingest import (
+        maintain_index_incremental,
+    )
+
+    kw = dict(stem=True, n_buckets=8, bucket_groups=1, salt_bits=2)
+    base_rows = [doc_row(i, SEED) for i in range(20)]
+    newdoc = dict(doc_row(99, SEED))
+    newdoc["text"] = newdoc["text"] + " zqvwordx zqvwordx zqvwordx"
+    idx = str(tmp_path / "spell_live")
+    eng0 = SearchEngine.build(
+        spark, spark.createDataFrame(pd.DataFrame(base_rows)), idx, **kw
+    )
+    eng0.build_spellindex(max_dist=2)
+
+    stream_dir = tmp_path / "landed"
+    stream_dir.mkdir()
+    spark.createDataFrame(pd.DataFrame([newdoc])).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(stream_dir / "b1"))
+    q = maintain_index_incremental(
+        spark, str(stream_dir) + "/*", idx,
+        str(tmp_path / "ckpt"), str(tmp_path / "work"),
+    )
+    q.awaitTermination(120)
+
+    live = SearchEngine.load(spark, idx)
+    got = live.correct("zqvwordz", k=3)   # typo of the NEW term
+    assert got and got[0][0] == "zqvwordx" and got[0][1] == 1

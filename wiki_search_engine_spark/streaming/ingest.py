@@ -440,6 +440,26 @@ def maintain_index_incremental(
         merge_indexes(
             spark, os.path.join(index_dir, cur_name), delta_dir, building
         )
+        # the spell layout is derived from the lexicon, so a root that
+        # had one gets a FRESH one per fold (new vocab correctable),
+        # built into the snapshot BEFORE the pointer flip so readers
+        # always see a complete snapshot
+        if os.path.isdir(os.path.join(index_dir, cur_name, "spell")):
+            import json as _json
+
+            from ..operators.fuzzy import spellindex_write
+
+            with open(
+                os.path.join(
+                    index_dir, cur_name, "spell", "_spell_meta.json"
+                )
+            ) as f:
+                max_dist = int(_json.load(f)["max_dist"])
+            spellindex_write(
+                spark.read.parquet(os.path.join(building, "term_stats")),
+                os.path.join(building, "spell"),
+                max_dist=max_dist,
+            )
         os.rename(building, os.path.join(index_dir, new_name))
         write_index_pointer(index_dir, new_name)
         append_snapshot_log(index_dir, new_name, batch_id=batch_id)
