@@ -662,10 +662,11 @@ class SearchEngine:
         import os
 
         import numpy as np
+        import pyarrow as pa
         import pyarrow.dataset as pads
 
+        from .operators.codec import varbyte_decode
         from .operators.phrase import phrase_slots
-        from .operators.positions import decode_positions_row
         from .operators.postings import term_bucket
 
         if not (phrase or "").strip():
@@ -678,11 +679,9 @@ class SearchEngine:
             )
         terms = phrase_slots(phrase, stem=self.stem)
         m = len(terms)
-        # per term -> docid -> ascending positions (+ doc_len)
         slots: dict[str, list[int]] = {}
         for i, t in enumerate(terms):
             slots.setdefault(t, []).append(i)
-        per_term: dict[str, tuple] = {}
         buckets = sorted(
             {term_bucket(t, self.n_buckets) for t in slots}
         )
@@ -691,47 +690,124 @@ class SearchEngine:
         tbl = self._side_dataset("positions").to_table(
             filter=pads.field("bucket").isin(buckets)
             & pads.field("term").isin(list(slots)),
-        )
-        for row in tbl.to_pylist():
-            docids, doclens, offsets, pos = decode_positions_row(row)
-            prev = per_term.get(row["term"])
-            if prev is None:
-                per_term[row["term"]] = (
-                    [docids], [doclens], [offsets], [pos]
-                )
-            else:
-                for lst, arr in zip(
-                    prev, (docids, doclens, offsets, pos)
-                ):
-                    lst.append(arr)
-        if len(per_term) < len(slots):
-            return None  # a phrase term absent from the index
-        # merge each term's row shards into docid-sorted lookups
-        lookup: dict[str, tuple] = {}
-        for t, (ds, ls, offs, ps) in per_term.items():
-            docids = np.concatenate(ds)
-            doclens = np.concatenate(ls)
-            counts = np.concatenate([np.diff(o) for o in offs])
-            pos = np.concatenate(ps)
-            order = np.argsort(docids, kind="stable")
-            # re-gather the variable-length position runs in doc order
-            starts = np.r_[np.int64(0), np.cumsum(counts)]
-            gather = np.concatenate(
-                [np.arange(starts[i], starts[i] + counts[i])
-                 for i in order]
-            ) if order.size else np.zeros(0, dtype=np.int64)
-            counts = counts[order]
-            new_starts = np.r_[np.int64(0), np.cumsum(counts)]
-            lookup[t] = (
-                docids[order], doclens[order], new_starts, pos[gather]
+        ).combine_chunks()
+
+        # PHASE 1 — metadata only: decode the small docid/count/doclen
+        # streams per row; the position payload stays as zero-copy
+        # Arrow buffer slices. For a rare+head phrase this is the whole
+        # trick: the head term's (large) payload never varbyte-decodes
+        # for docs the rare term rules out.
+        pos_col = tbl.column("pos_bytes")
+        if isinstance(pos_col, pa.ChunkedArray):
+            pos_col = pos_col.combine_chunks()
+        valoff = np.frombuffer(pos_col.buffers()[1], dtype=np.int32)
+        payload = memoryview(pos_col.buffers()[2])
+        pbase = pos_col.offset
+        term_l = tbl.column("term").to_pylist()
+        db_l = tbl.column("docids_bytes").to_pylist()
+        cb_l = tbl.column("counts_bytes").to_pylist()
+        lb_l = tbl.column("doclens_bytes").to_pylist()
+        # term -> list of (docids, counts, doclens, row_index)
+        meta: dict[str, list] = {}
+        for ri, t in enumerate(term_l):
+            docids = np.cumsum(
+                varbyte_decode(bytes(db_l[ri])).astype(np.int64)
             )
-        # candidate docs: intersect, smallest posting list first
-        ordered = sorted(lookup, key=lambda t: lookup[t][0].size)
-        cand = lookup[ordered[0]][0]
+            counts = varbyte_decode(bytes(cb_l[ri])).astype(np.int64)
+            doclens = varbyte_decode(bytes(lb_l[ri])).astype(np.int64)
+            meta.setdefault(t, []).append((docids, counts, doclens, ri))
+        if len(meta) < len(slots):
+            return None  # a phrase term absent from the index
+
+        # candidate docs: intersect docid sets, smallest first
+        term_docs: dict[str, tuple] = {}
+        for t, rows_m in meta.items():
+            d = np.concatenate([r[0] for r in rows_m])
+            order = np.argsort(d, kind="stable")
+            term_docs[t] = (d[order], order)
+        ordered = sorted(term_docs, key=lambda t: term_docs[t][0].size)
+        cand = term_docs[ordered[0]][0]
         for t in ordered[1:]:
-            cand = cand[np.isin(cand, lookup[t][0], assume_unique=True)]
+            cand = cand[
+                np.isin(cand, term_docs[t][0], assume_unique=True)
+            ]
             if cand.size == 0:
                 return None
+
+        # PHASE 2 — decode positions ONLY for candidate docs: locate
+        # each selected doc's byte range inside its row's payload via
+        # one terminator-bit scan per TOUCHED row, then one varbyte
+        # pass over the gathered slices per term.
+        lookup: dict[str, tuple] = {}
+        for t, rows_m in meta.items():
+            # per-row byte units decode in one varbyte pass, then doc
+            # runs permute to global docid order with a vectorized
+            # gather on the DECODED ints (rows may interleave docids —
+            # a merged sidecar holds a purged base row AND a delta row
+            # per (term, salt)); a fully-hit row's payload passes
+            # through without any byte slicing, so the head-head-phrase
+            # case keeps eager-decode speed.
+            units: list = []
+            for docids, counts, doclens, ri in rows_m:
+                hit = np.isin(docids, cand, assume_unique=True)
+                if not hit.any():
+                    continue
+                row_pay = np.frombuffer(
+                    payload[
+                        valoff[pbase + ri]:valoff[pbase + ri + 1]
+                    ],
+                    dtype=np.uint8,
+                )
+                if hit.all():
+                    units.append(
+                        (int(docids[0]), row_pay.tobytes(),
+                         counts, docids, doclens)
+                    )
+                    continue
+                val_ends = np.flatnonzero((row_pay & 0x80) != 0) + 1
+                vb = np.r_[np.int64(0), np.cumsum(counts)]
+                bb = np.r_[np.int64(0), val_ends[vb[1:] - 1]]
+                kept = np.flatnonzero(hit)
+                starts_b = bb[kept]
+                lens_b = bb[kept + 1] - starts_b
+                gather = np.repeat(
+                    starts_b - np.r_[np.int64(0), np.cumsum(lens_b)[:-1]],
+                    lens_b,
+                ) + np.arange(int(lens_b.sum()))
+                units.append(
+                    (
+                        int(docids[kept[0]]),
+                        row_pay[gather].tobytes(),
+                        counts[kept], docids[kept], doclens[kept],
+                    )
+                )
+            if not units:
+                z = np.zeros(0, dtype=np.int64)
+                lookup[t] = (z, z, np.zeros(1, dtype=np.int64), z)
+                continue
+            counts_u = np.concatenate([u[2] for u in units])
+            docids_u = np.concatenate([u[3] for u in units])
+            doclens_u = np.concatenate([u[4] for u in units])
+            deltas = varbyte_decode(
+                b"".join(u[1] for u in units)
+            ).astype(np.int64)
+            offsets_u = np.r_[np.int64(0), np.cumsum(counts_u)]
+            cs = np.cumsum(deltas)
+            starts_u = offsets_u[:-1]
+            base = cs[starts_u] - deltas[starts_u]
+            pos_u = cs - np.repeat(base, counts_u)
+            order = np.argsort(docids_u, kind="stable")
+            counts_s = counts_u[order]
+            out_off = np.r_[np.int64(0), np.cumsum(counts_s)]
+            gather = np.repeat(
+                starts_u[order] - out_off[:-1], counts_s
+            ) + np.arange(int(counts_s.sum()))
+            lookup[t] = (
+                docids_u[order],
+                doclens_u[order],
+                out_off,
+                pos_u[gather],
+            )
         M = np.int64(1) << np.int64(32)  # positions are int32
         if slop:
             # ordered proximity window: greedy smallest-successor
