@@ -895,6 +895,37 @@ def q_phrase_occurrences(spark, sf_dir):
     )
 
 
+def q_wildcard_bm25(spark, sf_dir):
+    """Wildcard multi-term query ('s*'): every lexicon term with the
+    prefix expands into an OR-scored BM25 query with its own df — the
+    Lucene scoring-boolean rewrite. The serving twin is
+    SearchEngine.expand_query_terms (top-df-capped suggest expansion,
+    pytest identity); here the expansion and scoring are fully
+    distributed and the oracle expands with LIKE."""
+    from wiki_search_engine_spark.operators.scoring import (
+        score_exhaustive,
+    )
+
+    tokens = _base_tokens_df(spark, sf_dir)
+    n, avgdl = _stats_scalars(tokens)
+    terms = sorted(
+        r["term"]
+        for r in term_df_salted(tokens)
+        .filter(F.col("term").startswith("s"))
+        .select("term")
+        .collect()
+    )
+    res = score_exhaustive(tokens, terms, n, avgdl, k=None, mode="bm25")
+    return (
+        res.select(
+            F.col("docid").cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 def q_phrase_slop_bm25(spark, sf_dir):
     """Ordered proximity ("slow batch"~2): matches where 'batch'
     follows 'slow' within a window of span 3; scored as a pseudo-term
@@ -2234,6 +2265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indexed_phrase_bm25": q_indexed_phrase_bm25,
         "mixed_phrase_bm25": q_mixed_phrase_bm25,
         "phrase_slop_bm25": q_phrase_slop_bm25,
+        "wildcard_bm25": q_wildcard_bm25,
         "hll_register_sketch": q_hll_register_sketch,
         "term_heavy_hitters": q_term_heavy_hitters,
         "term_prefix_topk": q_term_prefix_topk,
@@ -2706,6 +2738,21 @@ ORDER BY dist, df DESC, term LIMIT 10""",
         "indexed_phrase_bm25": _phrase_bm25_sql(["table", "hash"], 10),
         "mixed_phrase_bm25": _mixed_sql(["table", "hash"], ["fast"], 10),
         "phrase_slop_bm25": _slop_bm25_sql(["slow", "batch"], 2, 10),
+        "wildcard_bm25": f"""
+WITH {SQL_TOKS}, {SQL_TF}, {SQL_DL}, {SQL_STATS},
+qdf AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf
+  WHERE term LIKE 's%' GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id,
+         ln((s.n - q.df + 0.5)/(q.df + 0.5) + 1) * tf.tf * {K1 + 1.0}
+         / (tf.tf + {K1} * (1 - {B} + {B} * dl.doc_len / s.avgdl))
+         AS part
+  FROM tf JOIN qdf q USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s)
+SELECT doc_id, round(sum(part), 6) AS score
+FROM contrib GROUP BY 1
+ORDER BY score DESC, doc_id LIMIT 10""",
         "phrase_occurrences": f"""
 WITH {_phrase_occ_sql(["slow", "hash", "batch"])}
 SELECT doc_id, start::BIGINT AS start FROM occ ORDER BY 1, 2""",

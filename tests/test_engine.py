@@ -568,3 +568,46 @@ def test_suggest_agrees_with_distributed_form(spark, engine, corpus_df):
             .collect()
         ]
         assert engine.suggest(p, k=7) == exp, p
+
+
+def test_wildcard_expansion_terms(engine):
+    exp_terms = [t for t, _df in engine.suggest("s", k=128)]
+    assert engine.expand_query_terms("s*") == exp_terms
+    # mixed bag + wildcard: analyzed bag first, expansions appended,
+    # order-preserving dedupe; '*'-free queries equal plain analyze
+    bag = engine.analyze("running table")
+    mixed = engine.expand_query_terms("running table s*")
+    assert mixed[: len(bag)] == bag
+    assert mixed[len(bag):] == [t for t in exp_terms if t not in bag]
+    assert engine.expand_query_terms("plain text") == engine.analyze(
+        "plain text"
+    )
+    # bare '*' and unknown prefixes expand to nothing, not errors
+    assert engine.expand_query_terms("zzzzq*") == []
+
+
+def test_wildcard_search_matches_manual_or(engine, oracle):
+    """search_local('s*') == BM25 OR over every lexicon term with the
+    prefix, scored against the pure-Python oracle's postings."""
+    import math
+
+    K1, B = 1.5, 0.75
+    terms = [t for t, _df in engine.suggest("s", k=128)]
+    scores: dict = {}
+    for t in dict.fromkeys(terms):
+        pl = oracle.postings.get(t, {})
+        if not pl:
+            continue
+        idf = math.log(
+            (oracle.n_docs - len(pl) + 0.5) / (len(pl) + 0.5) + 1
+        )
+        for d, tf in pl.items():
+            dl = oracle.doc_len[d]
+            scores[d] = scores.get(d, 0.0) + idf * tf * (K1 + 1) / (
+                tf + K1 * (1 - B + B * dl / oracle.avgdl)
+            )
+    exp = sorted(scores.items(), key=lambda r: (-r[1], r[0]))[:10]
+    got = engine.search_local("s*", k=10)
+    assert [(d, round(s, 9)) for d, s in got] == [
+        (d, round(s, 9)) for d, s in exp
+    ]

@@ -532,6 +532,38 @@ class SearchEngine:
         )
         return [(term, df) for df, term in matches[:k]]
 
+    # Lucene-style cap on wildcard expansions: highest-df matches win
+    # (suggest already ranks by df desc), so a short prefix over a
+    # 10^9-term lexicon can't explode the query
+    MAX_WILDCARD_EXPANSIONS = 128
+
+    def expand_query_terms(self, query: str) -> list[str]:
+        """Wildcard-aware query analysis: a token ending in ``*``
+        (trailing only — leading wildcards need a reversed lexicon)
+        expands to the highest-df lexicon terms sharing the prefix
+        (``suggest`` — the term-sorted lexicon range scan), capped at
+        MAX_WILDCARD_EXPANSIONS; everything else goes through the
+        normal analyzer. Wildcard prefixes match INDEX terms (i.e.
+        stems on a stemmed index) — the standard multi-term-query
+        contract. Order-preserving dedupe, like analyze_query."""
+        parts = (query or "").split()
+        wild = [
+            p[:-1] for p in parts if p.endswith("*") and len(p) > 1
+        ]
+        rest = " ".join(
+            p for p in parts if not (p.endswith("*") and len(p) > 1)
+        )
+        terms = self.analyze(rest) if rest.strip() else []
+        for w in wild:
+            try:
+                matches = self.suggest(
+                    w, k=self.MAX_WILDCARD_EXPANSIONS
+                )
+            except EmptyQueryError:
+                continue
+            terms.extend(t for t, _df in matches)
+        return list(dict.fromkeys(terms))
+
     def fuzzy_terms(
         self, terms: list[str]
     ) -> tuple[list[str], dict[str, str]]:
@@ -1013,7 +1045,12 @@ class SearchEngine:
 
         from .operators.wand import merge_topk, score_shard_topk
 
-        terms = self.analyze(query)
+        terms = (
+            # trailing-* tokens expand to their top-df lexicon matches
+            self.expand_query_terms(query)
+            if "*" in (query or "")
+            else self.analyze(query)
+        )
         if not terms:
             return []
         if fuzzy:
