@@ -611,3 +611,20 @@ def test_wildcard_search_matches_manual_or(engine, oracle):
     assert [(d, round(s, 9)) for d, s in got] == [
         (d, round(s, 9)) for d, s in exp
     ]
+
+
+def test_wildcard_distributed_matches_local(engine):
+    """Wildcard expansion is identical across serving paths: the wand
+    and exhaustive DataFrame paths rank exactly like search_local."""
+    exp = [
+        (d, round(s, 6)) for d, s in engine.search_local("s*", k=8)
+    ]
+    for path in ("wand", "exhaustive"):
+        got = [
+            (r["docid"], round(r["score"], 6))
+            for r in engine.search_ids("s*", k=8, path=path)
+            .orderBy("score", ascending=False)
+            .collect()
+        ]
+        got.sort(key=lambda r: (-r[1], r[0]))
+        assert got == exp, path

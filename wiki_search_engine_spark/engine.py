@@ -1162,7 +1162,13 @@ class SearchEngine:
         has nothing to add)."""
         if semantics == "and" and path == "wand":
             path = "exhaustive"
-        terms = self.analyze(query)
+        terms = (
+            # wildcard expansion is a driver-side lexicon scan, so the
+            # DISTRIBUTED paths expand identically to the local one
+            self.expand_query_terms(query)
+            if "*" in (query or "")
+            else self.analyze(query)
+        )
         if not terms:
             return self.spark.createDataFrame([], "docid long, score double")
         if path == "local":
