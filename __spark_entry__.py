@@ -895,6 +895,50 @@ def q_phrase_occurrences(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified quota: 20 docs per language by
+    seeded-hash order (operators/sampling.py stratified_sample) — the
+    reproducible 'N examples per stratum' selector a training-data mix
+    needs; the sample is a pure function of (data, seed), which is
+    exactly why the oracle can replay it row-for-row."""
+    from wiki_search_engine_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    return stratified_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        strata_col="lang",
+        key_col="doc_id",
+        n_per=20,
+        seed=42,
+    ).select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+
+
+def q_token_budget_pack(spark, sf_dir):
+    """Greedy per-language token-budget packing: walk the seeded-hash
+    order and keep docs while the running whitespace-token sum stays
+    under 3000 (operators/sampling.py pack_token_budget; atomic docs,
+    overshoot bounded by one). The 'give me ~X tokens per language'
+    selector."""
+    from wiki_search_engine_spark.operators.sampling import (
+        pack_token_budget,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_toks"),
+    )
+    return pack_token_budget(
+        docs, strata_col="lang", key_col="doc_id",
+        tokens_col="n_toks", budget=3000, seed=42,
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.col("n_toks").cast("long").alias("n_toks"),
+    )
+
+
 def q_wildcard_bm25(spark, sf_dir):
     """Wildcard multi-term query ('s*'): every lexicon term with the
     prefix expands into an OR-scored BM25 query with its own df — the
@@ -2266,6 +2310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixed_phrase_bm25": q_mixed_phrase_bm25,
         "phrase_slop_bm25": q_phrase_slop_bm25,
         "wildcard_bm25": q_wildcard_bm25,
+        "stratified_sample": q_stratified_sample,
+        "token_budget_pack": q_token_budget_pack,
         "hll_register_sketch": q_hll_register_sketch,
         "term_heavy_hitters": q_term_heavy_hitters,
         "term_prefix_topk": q_term_prefix_topk,
@@ -2738,6 +2784,29 @@ ORDER BY dist, df DESC, term LIMIT 10""",
         "indexed_phrase_bm25": _phrase_bm25_sql(["table", "hash"], 10),
         "mixed_phrase_bm25": _mixed_sql(["table", "hash"], ["fast"], 10),
         "phrase_slop_bm25": _slop_bm25_sql(["slow", "batch"], 2, 10),
+        "stratified_sample": """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY md5('42|' || doc_id::VARCHAR)
+         ) AS rk
+  FROM documents)
+SELECT doc_id::BIGINT AS doc_id, lang FROM ranked WHERE rk <= 20""",
+        "token_budget_pack": """
+WITH toks AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT
+           AS n_toks
+  FROM documents),
+runs AS (
+  SELECT doc_id, lang, n_toks,
+         coalesce(sum(n_toks) OVER (
+           PARTITION BY lang ORDER BY md5('42|' || doc_id::VARCHAR)
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS pre
+  FROM toks)
+SELECT doc_id::BIGINT AS doc_id, lang, n_toks
+FROM runs WHERE pre < 3000""",
         "wildcard_bm25": f"""
 WITH {SQL_TOKS}, {SQL_TF}, {SQL_DL}, {SQL_STATS},
 qdf AS (
