@@ -312,6 +312,50 @@ def main() -> None:
         must_not=[r"/postings", r"Scan parquet[^\n]*corpus"],
     )
 
+    # 14. pack_token_budget: NO whole-stratum Window over corpus rows.
+    # Every Window in the plan must either partition by >=2 columns
+    # (the per-(stratum, bucket) running sum — each partition is one
+    # hash bucket, corpus/16^bucket_hex rows) or aggregate sum(__s...)
+    # (the prefix sum over the TINY bucket-sum table). A Window that
+    # partitions by the stratum alone and sums the raw tokens column
+    # would be the single-reducer funnel this operator exists to avoid.
+    from wiki_search_engine_spark.operators.sampling import (
+        pack_token_budget,
+    )
+
+    packed = pack_token_budget(
+        docs.select("doc_id", "lang",
+                    F.size(F.split(F.trim("text"), r"\s+")).alias("nt")),
+        strata_col="lang", key_col="doc_id", tokens_col="nt",
+        budget=3000,
+    )
+    kplan = plan_of(packed)
+    bad_windows = []
+    for blk in re.split(r"\n\(\d+\) ", kplan):
+        if not blk.startswith("Window"):
+            continue
+        m = re.search(
+            r"Arguments: \[.*\], \[([^\]]*)\], \[", blk
+        )
+        spec = m.group(1) if m else ""
+        n_part_cols = len([c for c in spec.split(",") if c.strip()])
+        if n_part_cols < 2 and "sum(__s#" not in blk:
+            bad_windows.append(blk.splitlines()[0] + " spec=" + spec)
+    if bad_windows:
+        FAILURES.append(
+            f"pack_token_budget: whole-stratum Window over corpus rows: "
+            f"{bad_windows}"
+        )
+        print("FAIL pack_no_stratum_funnel")
+    else:
+        print("PASS pack_no_stratum_funnel")
+    check(
+        "pack_two_phase_shape",
+        kplan,
+        must=[r"BroadcastHashJoin", r"HashAggregate"],
+        must_not=[r"SortMergeJoin"],
+    )
+
     spark.stop()
     if FAILURES:
         print("\n".join("AUDIT FAIL: " + f for f in FAILURES))
