@@ -189,6 +189,15 @@ def main(argv=None):
     sp.add_argument("--index", required=True)
     sp.add_argument("--max-dist", type=int, default=2)
 
+    rv = sub.add_parser(
+        "revindex",
+        help="materialize the reversed-term lexicon sidecar "
+        "(lexicon_rev) that serves leading/infix wildcards (*ing, "
+        "s*ing) as footer-pruned range scans; rebuild after "
+        "merge/delete (it derives from term_stats)",
+    )
+    rv.add_argument("--index", required=True)
+
     sn = sub.add_parser("snapshots")
     sn.add_argument("--index", required=True)
     sn.add_argument(
@@ -360,6 +369,20 @@ def main(argv=None):
                     "spell": f"{eng.index_dir}/spell",
                     "max_dist": args.max_dist,
                     "spellindex_sec": round(time.time() - t0, 2),
+                }
+            )
+        )
+    elif args.cmd == "revindex":
+        from wiki_search_engine_spark.engine import SearchEngine
+
+        t0 = time.time()
+        eng = SearchEngine.load(spark, args.index)
+        eng.build_lexicon_rev()
+        print(
+            json.dumps(
+                {
+                    "lexicon_rev": f"{eng.index_dir}/lexicon_rev",
+                    "revindex_sec": round(time.time() - t0, 2),
                 }
             )
         )

@@ -628,3 +628,72 @@ def test_wildcard_distributed_matches_local(engine):
         ]
         got.sort(key=lambda r: (-r[1], r[0]))
         assert got == exp, path
+
+
+def test_wildcard_leading_and_infix(engine, spark):
+    """Leading/infix wildcards: the reversed-lexicon sidecar turns
+    ``*ing`` into a term_rev prefix range; matches equal a full-lexicon
+    regex scan ranked by (df desc, term asc), capped at 128. Without
+    the sidecar, suffix-anchored patterns fail with the revindex
+    remedy; prefix-anchored patterns never need it."""
+    import os
+    import re
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    rev_dir = f"{engine.index_dir}/lexicon_rev"
+    shutil.rmtree(rev_dir, ignore_errors=True)
+    engine._datasets.pop("lexicon_rev", None)
+    with pytest.raises(FileNotFoundError, match="revindex"):
+        engine.expand_wildcard("*ing")
+    # trailing patterns keep working without the sidecar
+    assert engine.expand_wildcard("s*")
+
+    engine.build_lexicon_rev()
+    assert os.path.isdir(rev_dir)
+    lex = [
+        (r["term"], int(r["df"]))
+        for r in spark.read.parquet(
+            f"{engine.index_dir}/term_stats"
+        ).collect()
+    ]
+    for pattern in ("*ing", "*e", "s*e", "b*k"):
+        rx = re.compile(
+            "^" + ".*".join(map(re.escape, pattern.split("*"))) + "$"
+        )
+        exp = sorted(
+            ((t, df) for t, df in lex if rx.match(t)),
+            key=lambda td: (-td[1], td[0]),
+        )[:128]
+        assert engine.expand_wildcard(pattern) == exp, pattern
+    # no range anchor ('*', '**', '*a*') -> the token is skipped at
+    # query level (expanding would be a full lexicon scan), never an
+    # error; bare-star and unanchored-infix behave alike
+    from wiki_search_engine_spark.engine import EmptyQueryError
+
+    with pytest.raises(EmptyQueryError):
+        engine.expand_wildcard("*a*")
+    assert engine.expand_query_terms("** plain") == engine.analyze(
+        "plain"
+    )
+    assert engine.expand_query_terms("*a* plain") == engine.analyze(
+        "plain"
+    )
+
+
+def test_wildcard_leading_search_paths_agree(engine):
+    """search_local('*ing') == the distributed wand/exhaustive paths:
+    expansion happens once, driver-side, identically for all three."""
+    engine.build_lexicon_rev()
+    exp = [
+        (d, round(s, 6)) for d, s in engine.search_local("*ing", k=8)
+    ]
+    assert exp, "synthetic vocabulary should have -ing terms"
+    for path in ("wand", "exhaustive"):
+        got = [
+            (r["docid"], round(r["score"], 6))
+            for r in engine.search_ids("*ing", k=8, path=path).collect()
+        ]
+        got.sort(key=lambda r: (-r[1], r[0]))
+        assert got == exp, path

@@ -217,3 +217,17 @@ def test_highlight_over_http(server, fixture_queries, engine):
     assert all(
         "<em>" not in d["chunkedBody"] for d in body2["textResult"]
     )
+
+
+def test_leading_wildcard_over_http(server, engine):
+    """'*er' over /query-stem ranks exactly like search_local once the
+    reversed-lexicon sidecar exists; the docs hydrate normally."""
+    engine.build_lexicon_rev()
+    q = urllib.parse.quote("*er")
+    with _get(server, f"/query-stem?query={q}&optionName=bm25") as r:
+        assert r.status == 200
+        body = json.loads(r.read())
+    exp = engine.search_local("*er", k=10)
+    assert exp, "vocabulary should contain -er terms"
+    got_ids = [int(d["file_id"]) for d in body["textResult"]]
+    assert got_ids == [d for d, _s in exp][: len(got_ids)]

@@ -537,28 +537,131 @@ class SearchEngine:
     # 10^9-term lexicon can't explode the query
     MAX_WILDCARD_EXPANSIONS = 128
 
-    def expand_query_terms(self, query: str) -> list[str]:
-        """Wildcard-aware query analysis: a token ending in ``*``
-        (trailing only — leading wildcards need a reversed lexicon)
-        expands to the highest-df lexicon terms sharing the prefix
-        (``suggest`` — the term-sorted lexicon range scan), capped at
-        MAX_WILDCARD_EXPANSIONS; everything else goes through the
-        normal analyzer. Wildcard prefixes match INDEX terms (i.e.
-        stems on a stemmed index) — the standard multi-term-query
-        contract. Order-preserving dedupe, like analyze_query."""
-        parts = (query or "").split()
-        wild = [
-            p[:-1] for p in parts if p.endswith("*") and len(p) > 1
-        ]
-        rest = " ".join(
-            p for p in parts if not (p.endswith("*") and len(p) > 1)
+    def build_lexicon_rev(self, partitions: int | None = None) -> None:
+        """Materialize the REVERSED-term lexicon sidecar under
+        ``index_dir/lexicon_rev``: (term_rev, term, df) globally
+        range-sorted on term_rev, so a leading wildcard (``*ing``)
+        becomes a PREFIX range scan over term_rev — pyarrow's footer
+        min/max stats prune the read to the row groups straddling
+        [rev(suffix), rev(suffix)_hi), exactly the shape ``suggest``
+        uses on the forward lexicon. One lexicon-sized Spark job
+        (range repartition + in-partition sort — scales to a 10^9-term
+        lexicon because the sort is distributed); afterwards leading
+        and infix wildcards serve driver-side with zero Spark jobs.
+        Derived purely from term_stats: rebuild after merge/delete."""
+        from pyspark.sql import functions as F
+
+        out = f"{self.index_dir}/lexicon_rev"
+        df = self.spark.read.parquet(
+            f"{self.index_dir}/term_stats"
+        ).select(F.reverse("term").alias("term_rev"), "term", "df")
+        n_parts = partitions or max(
+            4, int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         )
+        (
+            df.repartitionByRange(n_parts, "term_rev")
+            .sortWithinPartitions("term_rev")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        self._datasets.pop("lexicon_rev", None)
+
+    def _term_range(
+        self, dataset_name: str, sort_col: str, prefix: str
+    ) -> list[tuple[str, int]]:
+        """All (term, df) whose ``sort_col`` starts with ``prefix`` —
+        a footer-stats-pruned range read of a sorted side table."""
+        import pyarrow.dataset as pads
+
+        hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+        tbl = self._side_dataset(dataset_name).to_table(
+            columns=["term", "df"],
+            filter=(pads.field(sort_col) >= prefix)
+            & (pads.field(sort_col) < hi),
+        )
+        return list(
+            zip(
+                tbl.column("term").to_pylist(),
+                (int(x) for x in tbl.column("df").to_pylist()),
+            )
+        )
+
+    def expand_wildcard(
+        self, pattern: str, cap: int | None = None
+    ) -> list[tuple[str, int]]:
+        """Expand one wildcard token (``snow*``, ``*ing``, ``s*ing``,
+        multi-star) to its top-df lexicon matches, capped at
+        ``MAX_WILDCARD_EXPANSIONS``.
+
+        Strategy (the Lucene automaton's range-scan slice, made
+        distributed-storage-friendly): take the LONGER of the literal
+        prefix / literal suffix as the candidate source — a
+        footer-pruned range scan of the forward lexicon (prefix) or
+        the reversed-term sidecar (suffix; ``build_lexicon_rev``,
+        CLI ``revindex``) — then regex-filter the pruned candidates
+        against the full pattern and keep the highest-df ``cap``
+        matches. The scan is O(range straddle), never a lexicon scan;
+        the regex touches only pruned candidate rows. Filtering
+        happens BEFORE the cap, so selective infixes aren't starved
+        by high-df prefix cousins. A pattern with no literal anchor
+        (``*``) raises EmptyQueryError; a leading/infix pattern whose
+        only anchor is the suffix raises FileNotFoundError with the
+        revindex remedy when the sidecar is absent."""
+        import os
+        import re as _re
+
+        cap = cap or self.MAX_WILDCARD_EXPANSIONS
+        p = _re.sub(r"[^a-z0-9*]", "", (pattern or "").lower())
+        segs = p.split("*")
+        if not any(segs):
+            raise EmptyQueryError("Empty query")
+        prefix, suffix = segs[0], segs[-1]
+        if not prefix and not suffix:
+            # '*a*' — no range anchor; expanding would be a full
+            # lexicon scan, which a 10^9-term lexicon can't afford.
+            # Raised as EmptyQueryError so query-level expansion skips
+            # the token instead of failing the request.
+            raise EmptyQueryError(
+                "wildcard pattern needs a literal prefix or suffix"
+            )
+        rx = _re.compile(
+            "^" + ".*".join(_re.escape(s) for s in segs) + "$"
+        )
+        if len(prefix) >= len(suffix) and prefix:
+            cands = self._term_range("term_stats", "term", prefix)
+        else:
+            if not os.path.isdir(f"{self.index_dir}/lexicon_rev"):
+                raise FileNotFoundError(
+                    f"{self.index_dir}/lexicon_rev missing — leading/"
+                    "infix wildcards need the reversed-term lexicon "
+                    "sidecar; run engine.build_lexicon_rev() (CLI: "
+                    "revindex)"
+                )
+            cands = self._term_range(
+                "lexicon_rev", "term_rev", suffix[::-1]
+            )
+        matched = sorted(
+            ((t, df) for t, df in cands if rx.match(t)),
+            key=lambda td: (-td[1], td[0]),
+        )
+        return matched[:cap]
+
+    def expand_query_terms(self, query: str) -> list[str]:
+        """Wildcard-aware query analysis: a token containing ``*``
+        (trailing, leading, or infix — see ``expand_wildcard``)
+        expands to the highest-df lexicon terms matching the pattern,
+        capped at MAX_WILDCARD_EXPANSIONS; everything else goes
+        through the normal analyzer. Wildcard patterns match INDEX
+        terms (i.e. stems on a stemmed index) — the standard
+        multi-term-query contract. Order-preserving dedupe, like
+        analyze_query."""
+        parts = (query or "").split()
+        wild = [p for p in parts if "*" in p and len(p) > 1]
+        rest = " ".join(p for p in parts if p not in set(wild))
         terms = self.analyze(rest) if rest.strip() else []
         for w in wild:
             try:
-                matches = self.suggest(
-                    w, k=self.MAX_WILDCARD_EXPANSIONS
-                )
+                matches = self.expand_wildcard(w)
             except EmptyQueryError:
                 continue
             terms.extend(t for t, _df in matches)
