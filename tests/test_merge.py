@@ -922,3 +922,130 @@ def test_write_deletes_segment_rejects_empty(tmp_path):
 
     with _p.raises(ValueError, match="empty takedown"):
         write_deletes_segment(str(tmp_path / "seg"), docids=[])
+
+
+def test_tiered_suggest_correct_fuzzy_match_compacted(
+    spark, merged_and_full
+):
+    """Tiered search-head features (suggest / correct / fuzzy
+    did-you-mean) are answer-identical to the same calls on the
+    compacted index — including over re-crawled docs whose stale
+    postings are tombstoned, so live df differs from the stored
+    per-segment sums and the upper-bound refinement path in
+    TieredEngine.suggest is actually exercised."""
+    from wiki_search_engine_spark.sources.synth import vocabulary
+    from wiki_search_engine_spark.tiered import TieredEngine
+
+    merged, _full = merged_and_full
+    base_dir = merged.index_dir.replace("merged", "base")
+    delta_dir = merged.index_dir.replace("merged", "delta")
+    tiered = TieredEngine(spark, [base_dir, delta_dir])
+    assert tiered.overridden > 0  # stored df != live df somewhere
+
+    merged.build_spellindex(max_dist=2)
+    tiered.build_spellindex(max_dist=2)
+
+    words, _ = vocabulary(SEED)
+
+    # suggest: 1- and 2-char prefixes covering the vocabulary head
+    prefixes = sorted(
+        {w[:1] for w in words[:300]} | {w[:2] for w in words[:300]}
+    )
+    checked = 0
+    for p in prefixes:
+        assert tiered.suggest(p, k=10) == merged.suggest(p, k=10), p
+        checked += 1
+    assert checked >= 10
+
+    # correct: single-char mutations of present terms (+ a clean miss)
+    import pytest as _p
+
+    from wiki_search_engine_spark.engine import EmptyQueryError
+
+    probes = [w[:-1] + "q" for w in words[:40] if len(w) > 3]
+    probes += ["zzzzzzzz"]
+    checked = 0
+    for t in probes:
+        assert tiered.correct(t, k=10) == merged.correct(t, k=10), t
+        checked += 1
+    assert checked >= 10
+    with _p.raises(EmptyQueryError):
+        tiered.suggest("   ")
+
+    # fuzzy did-you-mean: typo'd query corrects the same way, and the
+    # corrected retrieval is rank-identical
+    present = [w for w in words[:40] if merged.term_df([w]).get(w)]
+    typo = present[0][:-1] + "q"
+    q = f"{present[1]} {typo}"
+    exp_terms, exp_corr = merged.fuzzy_terms(merged.analyze(q))
+    got_terms, got_corr = tiered.fuzzy_terms(tiered.analyze(q))
+    assert (got_terms, got_corr) == (exp_terms, exp_corr)
+    assert got_corr  # the typo really was corrected
+    got = tiered.search_local(q, k=10, fuzzy=True)
+    exp = merged.search_local(q, k=10, fuzzy=True)
+    assert [d for d, _ in got] == [d for d, _ in exp]
+
+    # the full HTTP response shape (fuzzy + corrections map) matches
+    ra = tiered.query_response(q, option_name="bm25", k=5, fuzzy=True)
+    rb = merged.query_response(q, option_name="bm25", k=5, fuzzy=True)
+    assert ra.get("corrections") == rb.get("corrections")
+    assert [d["file_id"] for d in ra["textResult"]] == [
+        d["file_id"] for d in rb["textResult"]
+    ]
+
+
+def test_tiered_suggest_correct_over_http(spark, merged_and_full):
+    """The HTTP layer serves /suggest, /correct and &fuzzy=true over a
+    segment list exactly as over a single index — the former 400 guards
+    are gone."""
+    import json as _json
+    import urllib.parse
+    import urllib.request
+
+    from wiki_search_engine_spark.server import start_server
+    from wiki_search_engine_spark.sources.synth import vocabulary
+    from wiki_search_engine_spark.tiered import TieredEngine
+
+    merged, _full = merged_and_full
+    base_dir = merged.index_dir.replace("merged", "base")
+    delta_dir = merged.index_dir.replace("merged", "delta")
+    tiered = TieredEngine(spark, [base_dir, delta_dir])
+    # spell layouts exist from the previous test or are rebuilt here
+    tiered.build_spellindex(max_dist=2)
+    merged.build_spellindex(max_dist=2)
+
+    words, _ = vocabulary(SEED)
+    w = next(w for w in words[:40] if merged.term_df([w]).get(w))
+    srv = start_server(tiered, port=0, path_mode="local")
+    try:
+        port = srv.server_address[1]
+
+        def get(path_qs):
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}{path_qs}", timeout=30
+            ) as r:
+                return r.status, _json.loads(r.read())
+
+        st, body = get(f"/suggest?prefix={w[:2]}&k=5")
+        assert st == 200 and body["success"]
+        assert body["result"] == [
+            {"term": t, "df": df}
+            for t, df in merged.suggest(w[:2], k=5)
+        ]
+
+        typo = w[:-1] + "q"
+        st, body = get(f"/correct?term={typo}&k=5")
+        assert st == 200 and body["success"]
+        assert body["result"] == [
+            {"term": t, "dist": d, "df": df}
+            for t, d, df in merged.correct(typo, k=5)
+        ]
+
+        q = urllib.parse.quote(f"{w} {typo}")
+        st, body = get(
+            f"/query-stem?query={q}&optionName=bm25&fuzzy=true"
+        )
+        assert st == 200
+        assert body.get("corrections", {}).get(typo)
+    finally:
+        srv.shutdown()

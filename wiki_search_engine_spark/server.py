@@ -17,13 +17,17 @@ Routes:
     GET /query-stem?query=                                   -> 400 JSON
     GET /query-stem?query=...&phrase=true                     -> 200 JSON
       exact-phrase ranking from the positional sidecar (400 when the
-      index was built without positions=True or serving is tiered)
+      index was built without positions=True)
     GET /suggest?prefix=...[&k=10]                            -> 200 JSON
       autocomplete over the lexicon (SearchEngine.suggest — an
       extension beyond the reference API; blank prefix -> 400)
     GET /correct?term=...[&k=10]                              -> 200 JSON
       spell correction (SearchEngine.correct over the SymSpell
       layout; blank term or missing spell layout -> 400)
+
+Every route serves over a TieredEngine segment list too —
+suggest/correct/fuzzy included (tiered.py exposes the same methods
+with live-df semantics, answer-identical to the compacted index).
     GET /query-stem?query=...&highlight=true                  -> 200 JSON
       query-term highlighting: snippet words whose analyzed form
       matches a query term are wrapped in <em>..</em>

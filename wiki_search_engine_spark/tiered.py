@@ -350,15 +350,20 @@ class TieredEngine:
 
     def search_local(
         self, query: str, k: int = 50, mode: str = "bm25",
-        semantics: str = "or",
+        semantics: str = "or", fuzzy: bool = False,
     ) -> list[tuple[int, float]]:
         """Driver-side tiered top-k, rank- and score-identical to the
         compacted index (exact live df/N/avgdl — see module doc).
         ``semantics='and'``: conjunctive retrieval — only docs whose
-        LIVE postings contain every query term."""
+        LIVE postings contain every query term. ``fuzzy``: did-you-mean
+        over segments — zero-LIVE-df terms swap to their best tiered
+        correction first (``fuzzy_terms``; every segment needs its
+        SymSpell layout — ``build_spellindex``)."""
         terms = self.analyze(query)
         if not terms or not self.n:
             return []
+        if fuzzy:
+            terms, _ = self.fuzzy_terms(terms)
         all_d, all_s = [], []
         and_common = None
         live = self._live_term_postings_many(list(dict.fromkeys(terms)))
@@ -553,6 +558,133 @@ class TieredEngine:
                         scores[int(doc)] += float(add)
         ranked = sorted(scores.items(), key=lambda r: (-r[1], r[0]))
         return [(d, s) for d, s in ranked[:k]]
+
+    # -- search-head features over segments (suggest/correct/fuzzy) -----
+    def _live_df_driver(self, terms: list[str]) -> dict[str, int]:
+        """EXACT live df per term with zero Spark jobs: an append-only
+        segment set (overridden == 0) sums per-segment lexicon point
+        lookups; otherwise the candidate posting lists decode
+        driver-side (bucket-pruned pyarrow reads) and tombstoned
+        entries subtract — the same machinery search_local scores
+        with, reused for df alone."""
+        terms = list(dict.fromkeys(terms))
+        if not terms:
+            return {}
+        if not self.overridden:
+            out: dict[str, int] = {}
+            for eng in self.engines:
+                for t, d in eng.term_df(terms).items():
+                    out[t] = out.get(t, 0) + int(d)
+            return out
+        live = self._live_term_postings_many(terms)
+        return {t: df for t, (df, _parts) in live.items()}
+
+    def suggest(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
+        """Tiered autocomplete: top-k LIVE-df terms with the prefix —
+        rank-identical to ``suggest`` on the compacted index (pytest).
+
+        Candidates come from each segment lexicon's footer-pruned
+        range scan (UNCAPPED — per-segment top-k unions are wrong: a
+        term ranked k+1 in every segment can still lead the summed
+        ranking), stored df summed across segments. Append-only sets
+        stop there: stored == live. With overrides, summed stored df
+        is an UPPER BOUND on live df (tombstoning only removes), so
+        candidates refine in stored-df order — decode a batch's live
+        postings, re-rank, stop once the next candidate's upper bound
+        is strictly below the current k-th live df (ties keep
+        refining: equal df breaks by term asc). Between compactions
+        the tombstoned fraction is small, so refinement typically
+        touches ~k candidates; fully-tombstoned terms (live df 0)
+        drop, exactly as the compacted lexicon drops them."""
+        import re
+
+        from .engine import EmptyQueryError
+
+        p = re.sub(r"[^a-z0-9]", "", (prefix or "").lower())
+        if not p:
+            raise EmptyQueryError("Empty query")
+        stored: dict[str, int] = {}
+        for eng in self.engines:
+            for t, df in eng._term_range("term_stats", "term", p):
+                stored[t] = stored.get(t, 0) + int(df)
+        order = sorted(stored.items(), key=lambda td: (-td[1], td[0]))
+        if not self.overridden:
+            return order[:k]
+        live: list[tuple[str, int]] = []
+        i = 0
+        while i < len(order):
+            batch = [t for t, _ in order[i:i + max(k, 8)]]
+            i += len(batch)
+            lm = self._live_term_postings_many(batch)
+            live.extend(
+                (t, lm[t][0]) for t in batch if lm[t][0] > 0
+            )
+            live.sort(key=lambda td: (-td[1], td[0]))
+            if (
+                len(live) >= k
+                and i < len(order)
+                and order[i][1] < live[k - 1][1]
+            ):
+                break
+        return live[:k]
+
+    def build_spellindex(self, max_dist: int = 2) -> None:
+        """Materialize the SymSpell layout under EVERY index segment
+        (each a lexicon-sized job on that segment only) — new segments
+        need their own after a fold; deletes segments carry none."""
+        for eng in self.engines:
+            eng.build_spellindex(max_dist=max_dist)
+
+    def correct(
+        self, term: str, k: int = 10
+    ) -> list[tuple[str, int, int]]:
+        """Tiered spell correction: [(term, dist, live df)] by
+        (distance asc, live df desc, term asc) — identical to
+        ``correct`` on the compacted index (pytest). Union of
+        UNCAPPED per-segment SymSpell lookups (every segment needs
+        its spell layout — ``build_spellindex``; a missing one raises
+        the per-segment remedy), then the small candidate set re-ranks
+        by exact live df; fully-tombstoned candidates drop, as the
+        compacted layout would have dropped them at build time."""
+        cand_dist: dict[str, int] = {}
+        for eng in self.engines:
+            for t, dist, _df in eng.correct(term, k=None):
+                cand_dist[t] = dist  # same edit distance everywhere
+        if not cand_dist:
+            return []
+        dfs = self._live_df_driver(sorted(cand_dist))
+        ranked = sorted(
+            (
+                (t, d, dfs.get(t, 0))
+                for t, d in cand_dist.items()
+                if dfs.get(t, 0) > 0
+            ),
+            key=lambda r: (r[1], -r[2], r[0]),
+        )
+        return ranked[:k]
+
+    def fuzzy_terms(
+        self, terms: list[str]
+    ) -> tuple[list[str], dict[str, str]]:
+        """Did-you-mean over segments: terms with LIVE df == 0 swap to
+        their best tiered correction — so a term that only ever
+        appeared in docs since deleted corrects exactly like a typo,
+        which is what the compacted index would do. Same contract as
+        SearchEngine.fuzzy_terms."""
+        dfm = self._live_df_driver(terms)
+        out: list[str] = []
+        corr: dict[str, str] = {}
+        for t in terms:
+            if dfm.get(t, 0) > 0:
+                out.append(t)
+                continue
+            cand = self.correct(t, k=1)
+            if cand:
+                corr[t] = cand[0][0]
+                out.append(cand[0][0])
+            else:
+                out.append(t)
+        return list(dict.fromkeys(out)), corr
 
     def _candidate_postings(self, terms: list[str]):
         """Bucket-pruned candidate postings across all segments, with a
@@ -804,7 +936,8 @@ class TieredEngine:
         self, query: str, option_name: str = "tfidf", k: int = 50,
         path: str = "local", semantics: str = "or",
         page: int | None = None, per_page: int = 10,
-        phrase: bool = False,
+        phrase: bool = False, fuzzy: bool = False,
+        highlight: bool = False,
     ) -> dict:
         """The reference HTTP response shape over tiered serving — the
         shared assembler (engine.py assemble_reference_response) with
@@ -849,13 +982,38 @@ class TieredEngine:
                     ).collect()
                 ]
             return self.search_local(
-                query, k=k, mode=mode, semantics=semantics
+                query, k=k, mode=mode, semantics=semantics, fuzzy=fuzzy,
             )
 
-        return assemble_reference_response(
+        if fuzzy and path != "local":
+            # same contract as SearchEngine.query_response: corrections
+            # come from the driver-side SymSpell layouts
+            raise ValueError(
+                "fuzzy (did-you-mean) is served by the local path"
+            )
+        decorate = None
+        if highlight:
+            from .functions.textstats import highlight_snippet
+
+            hterms = set(self.analyze(query))
+            if fuzzy:
+                hterms |= set(
+                    self.fuzzy_terms(self.analyze(query))[0]
+                )
+            analyzer = self.engines[0].analyzer
+
+            def decorate(s, _t=frozenset(hterms)):
+                return highlight_snippet(s, _t, analyzer)
+
+        resp = assemble_reference_response(
             query, option_name, self.analyze, get_ids, self.lookup_docs,
-            page=page, per_page=per_page,
+            page=page, per_page=per_page, decorate_snippet=decorate,
         )
+        if fuzzy and resp.get("success") is not False:
+            _t, corr = self.fuzzy_terms(self.analyze(query))
+            if corr:
+                resp["corrections"] = corr
+        return resp
 
     def lookup_docs(
         self, docids: list[int], with_images: bool = True
