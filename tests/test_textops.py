@@ -1417,3 +1417,56 @@ def test_highlight_snippet_semantics():
     assert highlight_snippet("plain text", set()) == "plain text"
     # whitespace preserved verbatim
     assert highlight_snippet("a  b", {"zzz"}) == "a  b"
+
+
+def test_lsh_low_recall_warning_and_ivf_default(spark):
+    """Quality-by-default contract (similarity.py): LSH configs probing
+    below the measured recall~0.5 bucket fraction warn (routing users
+    to IVF); configs at/above it don't; and ivf_topk's DEFAULT nprobe
+    is DEFAULT_NPROBE — the measured >=0.9-recall point."""
+    import inspect
+    import warnings
+
+    import numpy as np
+
+    from wiki_search_engine_spark.operators.similarity import (
+        DEFAULT_NPROBE, ann_lsh_multitable_topk, ann_lsh_topk,
+        ivf_read_topk, ivf_topk,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(30, 8)).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    qv = [float(x) for x in vecs[0]]
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ann_lsh_topk(df, qv, k=3, n_planes=8, n_probes=1, seed=1)
+        assert len(w) == 1 and "recall@10" in str(w[0].message)
+
+    # 8 tables x 1 probe over 2^8 buckets = 3% probed -> still warns
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ann_lsh_multitable_topk(
+            df, qv, k=3, n_planes=8, n_tables=8, seed=1
+        )
+        assert len(w) == 1
+
+    # 8 tables over 2^5 buckets = 25% probed -> above the measured
+    # ~0.5-recall boundary, no warning
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ann_lsh_multitable_topk(
+            df, qv, k=3, n_planes=5, n_tables=8, seed=1
+        )
+        assert len(w) == 0
+
+    assert DEFAULT_NPROBE == 8
+    for fn in (ivf_topk, ivf_read_topk):
+        assert (
+            inspect.signature(fn).parameters["nprobe"].default
+            == DEFAULT_NPROBE
+        )

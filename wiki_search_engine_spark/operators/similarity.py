@@ -141,6 +141,53 @@ def lsh_probe_buckets(
     ]
 
 
+# Default probe count for the IVF query paths (ivf_topk /
+# ivf_read_topk). Chosen from the measured recall sweep (bench.py
+# ann_ivf_recall10_nprobe*: 0.38 / 0.78 / 1.0 at nprobe 1/4/8 on the
+# seeded 64-dim Gaussian vectors — the adversarial near-orthogonal
+# case): 8 probes is the first swept point at recall@10 >= 0.9, so the
+# DEFAULT path is a measured->=0.9-recall config rather than a fast
+# low-recall surprise. At production scale nprobe=8 still prunes hard —
+# K grows with the corpus (K ~ sqrt(N): 10^4-10^5 cells at 10^9-10^10
+# vectors), so 8 probed cells is <=0.1% of the index scanned. Tune DOWN
+# only with recall evidence on the actual embedding distribution
+# (clustered real embeddings need fewer probes than these Gaussians).
+DEFAULT_NPROBE = 8
+
+# Calibration for the LSH low-recall warning: measured probed-bucket
+# fraction -> recall@10 on the bench workload (the multitable sweep in
+# ann_lsh_multitable_topk's docstring + bench.py ann_lsh_*_recall10):
+# 0.019->0.26, 0.062->0.34, 0.124->0.50, 0.225->0.62, 0.405->0.78.
+# recall ~0.5 lands at ~1/8 of buckets probed; warn below that.
+_LSH_WARN_FRACTION = 0.12
+
+
+def _lsh_recall_guard(
+    n_planes: int, n_probes: int, n_tables: int = 1
+) -> None:
+    """Warn when the chosen LSH config probes too small a bucket
+    fraction to plausibly clear recall@10 ~0.5 (measured calibration
+    above). Angular LSH on near-orthogonal vectors is recall-poor at
+    any budget — the warning routes users to the measured-quality
+    default (ivf_topk, recall 1.0 at DEFAULT_NPROBE on the same
+    workload) instead of silently returning a fifth of the true
+    neighbors."""
+    import warnings
+
+    frac = (n_probes * n_tables) / float(2**n_planes)
+    if frac < _LSH_WARN_FRACTION:
+        warnings.warn(
+            f"LSH config (n_planes={n_planes}, n_probes={n_probes}, "
+            f"n_tables={n_tables}) probes ~{frac:.1%} of buckets — "
+            "measured recall@10 on the bench workload is below 0.5 at "
+            "this budget (BENCH ann_lsh_*_recall10; ~0.5 needs >=12% "
+            "probed). Prefer ivf_topk/ivf_read_topk (recall@10 >= 0.9 "
+            "at the DEFAULT_NPROBE=8 default) or raise "
+            "n_probes/n_tables / lower n_planes.",
+            stacklevel=3,
+        )
+
+
 def ann_lsh_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -157,6 +204,7 @@ def ann_lsh_topk(
     bucket count while recall climbs toward exact — the recall/latency
     dial bench.py grades (ann_lsh_recall10*). Deterministic (planes
     from seed)."""
+    _lsh_recall_guard(n_planes, n_probes)
     dim = len(query_vec)
     planes = hyperplanes(dim, n_planes, seed)
     buckets = lsh_probe_buckets(query_vec, planes, n_probes)
@@ -223,6 +271,7 @@ def ann_lsh_multitable_topk(
     i.e. recall scales with tables at fixed cost-per-candidate, and on
     this workload IVF (ivf_topk: 0.78 recall at nprobe=4) is the better
     quality path — LSH's advantage is needing no training pass."""
+    _lsh_recall_guard(n_planes, n_probes, n_tables)
     dim = len(query_vec)
     pred = None
     for planes in table_planes(dim, n_planes, n_tables, seed):
@@ -351,6 +400,7 @@ def lsh_read_topk(
         raise ValueError(
             f"query dim {len(query_vec)} != index dim {meta['dim']}"
         )
+    _lsh_recall_guard(meta["n_planes"], n_probes, meta["n_tables"])
     pred = None
     for t, planes in enumerate(
         table_planes(
@@ -651,7 +701,7 @@ def ivf_read_topk(
     query_vec: list[float],
     centroids: list[tuple[int, list[float]]],
     k: int = 10,
-    nprobe: int = 4,
+    nprobe: int = DEFAULT_NPROBE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -675,13 +725,16 @@ def ivf_topk(
     query_vec: list[float],
     centroids: list[tuple[int, list[float]]],
     k: int = 10,
-    nprobe: int = 4,
+    nprobe: int = DEFAULT_NPROBE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF-Flat approximate top-k: probe the ``nprobe`` centroids nearest
     to the query (driver-side argsort), exact cosine ranking within the
-    probed cells only."""
+    probed cells only. The default ``nprobe`` is the measured
+    recall@10->=0.9 config (DEFAULT_NPROBE; bench
+    ann_ivf_default_recall10) — callers trade quality down explicitly,
+    never by omission."""
 
     def d2(c):
         return sum((a - b) ** 2 for a, b in zip(query_vec, c))
