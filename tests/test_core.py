@@ -391,3 +391,38 @@ def test_ner_stopword_bridged_entities():
     toks = ner_tokens("Mr. John Smith arrived")
     assert "john smith" in toks
     assert not any(t.startswith("mr ") for t in toks)
+
+
+def test_ner_sentence_initial_fp_guard():
+    """The "Big Bank announced" class: a run's first word at a
+    sentence start is sentence case, not a name, when the doc also
+    uses the word lowercase — demote it from the span. Mid-sentence
+    capitalized evidence re-instates it; no evidence keeps it (the
+    reference's own one-sentence test must keep its entities)."""
+    from wiki_search_engine_spark.functions.analyzer import ner_tokens
+
+    # common-word evidence -> demoted; remaining single core = no entity
+    toks = ner_tokens("Big Bank announced a big merger yesterday")
+    assert "big bank" not in toks
+    assert not any(" " in t for t in toks)  # no phrase survives at all
+    assert "big" in toks and "bank" in toks  # both index as plain stems
+
+    # demotion shortens, not kills, a longer span
+    toks = ner_tokens("Big Bank of America announced a big merger")
+    assert "big bank of america" not in toks
+    assert "bank of america" in toks
+
+    # entity evidence beats common-word evidence: capitalized
+    # mid-sentence elsewhere re-instates the word
+    toks = ner_tokens(
+        "Big Bank announced a big merger. We asked Big Bank why."
+    )
+    assert "big bank" in toks
+
+    # no evidence either way -> kept (the reference test's shape)
+    toks = ner_tokens("Barack Obama visited New York")
+    assert "barack obama" in toks and "new york" in toks
+
+    # mid-sentence runs are untouched by the guard
+    toks = ner_tokens("We phoned Big Bank yesterday about a big loan")
+    assert "big bank" in toks

@@ -263,6 +263,31 @@ def ner_tokens(text: str) -> list[str]:
         for s in (t.rstrip("'\")]") for t in raw)
     ]
 
+    # sentence-initial FP guard (the "Big Bank announced" class): a
+    # run's FIRST word carries no capitalization signal when it starts
+    # a sentence — it may be sentence case, not a name. spaCy resolves
+    # this with model evidence; the deterministic, doc-local version
+    # weighs two replayable signals: the word capitalized MID-sentence
+    # anywhere in the doc = entity evidence (keep), the word's
+    # lowercase form anywhere in the doc = common-word evidence
+    # (demote: drop it from the span). With NO evidence either way the
+    # word is kept — a one-sentence doc like the reference's own test
+    # ("Barack Obama visited New York",
+    # backend/__tests__/stemmingService.test.js:6-8) must keep its
+    # entities; the no-evidence FP that survives is documented in
+    # COVERAGE.md P4.
+    sent_initial = [
+        i == 0 or ends_sentence[i - 1] for i in range(n)
+    ]
+    mid_caps = {
+        cores[i]
+        for i in range(n)
+        if is_core[i] and not sent_initial[i]
+    }
+    lower_words = {
+        c for c in cores if c.isalpha() and c == c.lower()
+    }
+
     # maximal runs of core words, allowing <= 2 consecutive bridge
     # words between cores; >= 2 core words make an entity
     runs: list[tuple[int, int]] = []
@@ -292,12 +317,23 @@ def ner_tokens(text: str) -> list[str]:
                         break
                 if not stepped:
                     break
-            if j > i and not all(
+            a = i
+            if (
+                j > a
+                and sent_initial[a]
+                and cores[a] not in mid_caps
+                and cores[a].lower() in lower_words
+            ):
+                rest = [x for x in range(a + 1, j + 1) if is_core[x]]
+                # the shortened span must still have >= 2 cores to be
+                # an entity ("Big Bank announced" -> nothing)
+                a = rest[0] if len(rest) >= 2 else -1
+            if a >= 0 and j > a and not all(
                 cores[x].lower() in NON_ENTITY_CORES
-                for x in range(i, j + 1)
+                for x in range(a, j + 1)
                 if is_core[x]
             ):
-                runs.append((i, j))
+                runs.append((a, j))
             i = j + 1
         else:
             i += 1
