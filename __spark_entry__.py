@@ -2317,7 +2317,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top50": q_tfidf_top50,
         "bm25_and_semantics": q_bm25_and_semantics,
         "bm25_stemmed": q_bm25_stemmed,
-        "bm25_batch": q_bm25_batch,
         "search_hydrated": q_search_hydrated,
         # -- index lifecycle: merge / tiers / deletes / time travel -----
         "merged_index_bm25": q_merged_index_bm25,
@@ -2368,6 +2367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_ann_top5": q_media_ann_top5,
         # ==== past the driver's 50-entry cap: variants of in-window
         # families (selfcheck-able on demand) =============================
+        "bm25_batch": q_bm25_batch,             # scoring kernel, N queries in one plan
         "bm25_mid_wand": q_bm25_mid,            # wand kernel, mid-df terms
         "bm25_or_semantics": q_bm25_or_semantics,  # default-OR restated
         "bm25_single_term_wand": q_bm25_single_term,  # wand, 1 term
