@@ -148,6 +148,44 @@ def test_positions_match_tokens_table(spark, pos_index):
     assert got == exp
 
 
+def test_positions_build_postings_identical(
+    spark, corpus_df, pos_index, tmp_path
+):
+    """The single-scan staging kernel (packed_frame, positions=True)
+    must yield byte-identical postings / doc_stats / term_stats to the
+    plain tokenize_frame build — the sidecar adds a column, never
+    changes the index."""
+    from wiki_search_engine_spark.engine import SearchEngine
+
+    plain = SearchEngine.build(
+        spark, corpus_df, str(tmp_path / "plain"), stem=True,
+        n_buckets=N_BUCKETS, bucket_groups=2, salt_bits=SALT_BITS,
+        positions=False,
+    )
+
+    def rows(eng, sub, cols):
+        return sorted(
+            tuple(r[c] for c in cols)
+            for r in spark.read.parquet(
+                f"{eng.index_dir}/{sub}"
+            ).select(*cols).collect()
+        )
+
+    for sub, cols in (
+        ("postings", ["bucket", "term", "salt", "df_shard", "blocks"]),
+        ("doc_stats", ["docid", "doc_len"]),
+        ("term_stats", ["bucket", "term", "df"]),
+    ):
+        assert rows(pos_index, sub, cols) == rows(plain, sub, cols), sub
+    # staging carries the blob only on the positions build
+    assert "pos_blob" in spark.read.parquet(
+        f"{pos_index.index_dir}/tokens"
+    ).columns
+    assert "pos_blob" not in spark.read.parquet(
+        f"{plain.index_dir}/tokens"
+    ).columns
+
+
 def test_indexed_equals_corpus_scan(
     spark, pos_index, keyed_corpus, fixture_phrases
 ):

@@ -157,99 +157,137 @@ PACKED_SCHEMA = (
 )
 
 
+def packed_frame(docids, texts, stem: bool):
+    """Vectorized batch kernel: (docids, texts) -> pandas DataFrame
+    (docid, term, doc_len, npos, pos_blob), one row per distinct
+    (doc, term), pos_blob = the doc's ascending analyzed positions
+    delta+varbyte encoded (first absolute) — the exact byte run the
+    sidecar stores. npos == tf by definition (a term occurs once per
+    position), so this kernel SUBSUMES functions/analyzer.tokenize_frame
+    for the base/porter analyzers: the build's tokens staging stage
+    calls it once and both the postings and the positions sidecar derive
+    from its output — one corpus scan + tokenize total
+    (pytest: test_positions_match_tokens_table gates tf==npos, doc_len
+    identity against tokenize_frame)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.analyzer import CLEAN_RE, STOPWORDS, porter_stem
+    from .codec import varbyte_encode_with_offsets
+
+    # same docid contract as tokenize_frame (operators/tokenize.py
+    # with_docid): negative ids route inconsistently between the build's
+    # unsigned salt shift and driver-side arithmetic shifts — fail loudly
+    _ids = np.asarray(docids, dtype=np.int64)
+    if _ids.size and int(_ids.min()) < 0:
+        raise ValueError(
+            f"negative docid {int(_ids.min())} in corpus batch — docids "
+            "must be non-negative 63-bit values (with_docid contract); "
+            "rekey the corpus or drop the pre-existing docid column"
+        )
+
+    empty = pd.DataFrame(
+        {
+            "docid": pd.Series([], dtype="int64"),
+            "term": pd.Series([], dtype="object"),
+            "doc_len": pd.Series([], dtype="int32"),
+            "npos": pd.Series([], dtype="int32"),
+            "pos_blob": pd.Series([], dtype="object"),
+        }
+    )
+    texts = pd.Series(texts).fillna("")
+    token_lists = (
+        texts.str.replace(CLEAN_RE, " ", regex=True)
+        .str.lower()
+        .str.split()
+    )
+    lens = token_lists.str.len().fillna(0).astype(np.int64)
+    if lens.sum() == 0:
+        return empty
+    flat_docids = np.repeat(
+        np.asarray(docids, dtype=np.int64), lens.to_numpy()
+    )
+    flat_terms = pd.Series(
+        np.concatenate([t for t in token_lists if t]),
+        dtype="object",
+    )
+    junk = np.zeros(flat_terms.size, dtype=bool)
+    maybe = (
+        (flat_terms.str.len() > 4)
+        & flat_terms.str.slice(0, 1).isin(tuple("0123456789"))
+    ).to_numpy()
+    if maybe.any():
+        junk[maybe] = (
+            flat_terms[maybe]
+            .str.fullmatch("[0-9]+", na=False)
+            .to_numpy()
+        )
+    keep = ~junk
+    if stem:
+        keep &= ~flat_terms.isin(STOPWORDS).to_numpy()
+    flat_docids = flat_docids[keep]
+    flat_terms = flat_terms[keep]
+    if not flat_terms.size:
+        return empty
+    if stem:
+        uniq = pd.unique(flat_terms)
+        flat_terms = flat_terms.map(
+            {t: porter_stem(t) for t in uniq}
+        )
+    starts = np.flatnonzero(
+        np.r_[True, flat_docids[1:] != flat_docids[:-1]]
+    )
+    run_lens = np.diff(np.r_[starts, flat_docids.size])
+    apos = np.arange(flat_docids.size) - np.repeat(
+        starts, run_lens
+    )
+    doc_len = np.repeat(run_lens, run_lens)
+    # stable sort to (doc, term) groups; apos stays ascending
+    codes, uniques = pd.factorize(flat_terms, sort=False)
+    order = np.lexsort((apos, codes, flat_docids))
+    d_s = flat_docids[order]
+    c_s = codes[order]
+    p_s = apos[order]
+    dl_s = doc_len[order]
+    g_start = np.r_[
+        True, (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
+    ]
+    prev = np.r_[np.int64(0), p_s[:-1]]
+    pdelta = np.where(g_start, p_s, p_s - prev)
+    buf, off = varbyte_encode_with_offsets(pdelta)
+    buf = memoryview(buf)
+    gs = np.flatnonzero(g_start)
+    ge = np.r_[gs[1:], d_s.size]
+    return pd.DataFrame(
+        {
+            "docid": d_s[gs],
+            "term": uniques.take(c_s[gs]),
+            "doc_len": dl_s[gs].astype("int32"),
+            "npos": (ge - gs).astype("int32"),
+            "pos_blob": [
+                bytes(buf[off[a]:off[b]])
+                for a, b in zip(gs, ge)
+            ],
+        }
+    )
+
+
 def positions_packed(
     corpus: DataFrame, stem: bool = False
 ) -> DataFrame:
     """(docid, text) -> one row per (doc, term):
-    (docid, term, doc_len, npos, pos_blob) where pos_blob is the doc's
-    ascending positions delta+varbyte encoded (first absolute) — the
-    exact byte run the sidecar row stores, produced in the scan kernel
-    so the shuffle never sees per-token rows. Same analyzed stream as
-    positions_flat (pytest roundtrip identity)."""
-    import numpy as np
-    import pandas as pd
-
-    from .codec import varbyte_encode_with_offsets
+    (docid, term, doc_len, npos, pos_blob) — ``packed_frame`` over each
+    Arrow batch, produced in the scan kernel so the shuffle never sees
+    per-token rows. Same analyzed stream as positions_flat (pytest
+    roundtrip identity). Standalone form; the full build instead stages
+    this output ONCE in tokens/ (plans/build.py) so postings and the
+    sidecar share a single corpus scan."""
 
     def fn(batches):
-        from ..functions.analyzer import CLEAN_RE, STOPWORDS, porter_stem
-
         for pdf in batches:
-            texts = pdf["text"].fillna("")
-            token_lists = (
-                texts.str.replace(CLEAN_RE, " ", regex=True)
-                .str.lower()
-                .str.split()
-            )
-            lens = token_lists.str.len().fillna(0).astype(np.int64)
-            if lens.sum() == 0:
-                continue
-            flat_docids = np.repeat(
-                pdf["docid"].to_numpy(dtype=np.int64), lens.to_numpy()
-            )
-            flat_terms = pd.Series(
-                np.concatenate([t for t in token_lists if t]),
-                dtype="object",
-            )
-            junk = np.zeros(flat_terms.size, dtype=bool)
-            maybe = (
-                (flat_terms.str.len() > 4)
-                & flat_terms.str.slice(0, 1).isin(tuple("0123456789"))
-            ).to_numpy()
-            if maybe.any():
-                junk[maybe] = (
-                    flat_terms[maybe]
-                    .str.fullmatch("[0-9]+", na=False)
-                    .to_numpy()
-                )
-            keep = ~junk
-            if stem:
-                keep &= ~flat_terms.isin(STOPWORDS).to_numpy()
-            flat_docids = flat_docids[keep]
-            flat_terms = flat_terms[keep]
-            if not flat_terms.size:
-                continue
-            if stem:
-                uniq = pd.unique(flat_terms)
-                flat_terms = flat_terms.map(
-                    {t: porter_stem(t) for t in uniq}
-                )
-            starts = np.flatnonzero(
-                np.r_[True, flat_docids[1:] != flat_docids[:-1]]
-            )
-            run_lens = np.diff(np.r_[starts, flat_docids.size])
-            apos = np.arange(flat_docids.size) - np.repeat(
-                starts, run_lens
-            )
-            doc_len = np.repeat(run_lens, run_lens)
-            # stable sort to (doc, term) groups; apos stays ascending
-            codes, uniques = pd.factorize(flat_terms, sort=False)
-            order = np.lexsort((apos, codes, flat_docids))
-            d_s = flat_docids[order]
-            c_s = codes[order]
-            p_s = apos[order]
-            dl_s = doc_len[order]
-            g_start = np.r_[
-                True, (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
-            ]
-            prev = np.r_[np.int64(0), p_s[:-1]]
-            pdelta = np.where(g_start, p_s, p_s - prev)
-            buf, off = varbyte_encode_with_offsets(pdelta)
-            buf = memoryview(buf)
-            gs = np.flatnonzero(g_start)
-            ge = np.r_[gs[1:], d_s.size]
-            yield pd.DataFrame(
-                {
-                    "docid": d_s[gs],
-                    "term": uniques.take(c_s[gs]),
-                    "doc_len": dl_s[gs].astype("int32"),
-                    "npos": (ge - gs).astype("int32"),
-                    "pos_blob": [
-                        bytes(buf[off[a]:off[b]])
-                        for a, b in zip(gs, ge)
-                    ],
-                }
-            )
+            out = packed_frame(pdf["docid"], pdf["text"], stem)
+            if len(out):
+                yield out
 
     return corpus.select("docid", "text").mapInPandas(
         fn, schema=PACKED_SCHEMA
@@ -401,13 +439,18 @@ def build_positions(
             packed.sparkSession.sparkContext.defaultParallelism
         )
     num_partitions = min(num_partitions, n_buckets << salt_bits)
-    salted = (
-        packed.withColumn(
-            "salt",
-            F.shiftrightunsigned(F.col("docid"), shift).cast("int"),
+    salted = packed.withColumn(
+        "salt",
+        F.shiftrightunsigned(F.col("docid"), shift).cast("int"),
+    )
+    if "bucket" not in packed.columns:
+        # staged inputs (plans/build.py tokens/) arrive pre-bucketed —
+        # the bucket value rides the partition directory for free
+        salted = salted.withColumn(
+            "bucket", term_bucket_col(F.col("term"), n_buckets)
         )
-        .withColumn("bucket", term_bucket_col(F.col("term"), n_buckets))
-        .repartition(num_partitions, "bucket", "salt")
+    salted = (
+        salted.repartition(num_partitions, "bucket", "salt")
         .sortWithinPartitions("bucket", "term", "salt", "docid")
     )
 

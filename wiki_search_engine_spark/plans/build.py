@@ -123,6 +123,31 @@ def _tokenize_with_bucket(
     return fn
 
 
+def _tokenize_with_bucket_positions(stem: bool, n_buckets: int):
+    """positions=True staging kernel: one scan emits BOTH the postings
+    inputs and the pre-packed position blobs. npos == tf by definition
+    (operators/positions.py packed_frame), so the staging table is the
+    ordinary tokens relation plus one binary column; the postings /
+    doc_stats readers never touch pos_blob (parquet column pruning) and
+    the positions stage never re-scans the corpus — the r3 sidecar cost
+    was one EXTRA full corpus scan + tokenize per build."""
+
+    def fn(batches):
+        from ..operators.positions import packed_frame
+
+        for pdf in batches:
+            out = packed_frame(pdf["docid"], pdf["text"], stem)
+            if not len(out):
+                continue
+            out = out.rename(columns={"npos": "tf"})
+            uniq = pd.unique(out["term"])
+            mapping = {t: term_bucket(t, n_buckets) for t in uniq}
+            out["bucket"] = out["term"].map(mapping).astype("int32")
+            yield out
+
+    return fn
+
+
 def build_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -256,12 +281,26 @@ def _build_stages(
     # files; with one group nothing would ever prune on it)
     if not manifest.is_done("tokens"):
         t0 = time.time()
-        tokens = corpus.select("docid", "text").mapInPandas(
-            _tokenize_with_bucket(stem, n_buckets, analyzer),
-            schema=(
-                "docid long, term string, tf int, doc_len int, bucket int"
-            ),
-        )
+        if positions:
+            # one scan for postings AND the positional sidecar: the
+            # staging row gains a pos_blob binary column (npos==tf)
+            tokens = corpus.select("docid", "text").mapInPandas(
+                _tokenize_with_bucket_positions(
+                    analyzer == "porter", n_buckets
+                ),
+                schema=(
+                    "docid long, term string, doc_len int, tf int, "
+                    "pos_blob binary, bucket int"
+                ),
+            )
+        else:
+            tokens = corpus.select("docid", "text").mapInPandas(
+                _tokenize_with_bucket(stem, n_buckets, analyzer),
+                schema=(
+                    "docid long, term string, tf int, doc_len int, "
+                    "bucket int"
+                ),
+            )
         writer = tokens.write.mode("overwrite")
         if bucket_groups > 1:
             par = min(n_buckets, spark.sparkContext.defaultParallelism)
@@ -476,10 +515,21 @@ def _build_stages(
             build_positions, positions_packed,
         )
 
-        packed = positions_packed(
-            corpus.select("docid", "text"),
-            stem=(analyzer == "porter"),
-        )
+        if "pos_blob" in tokens.columns:
+            # the staging scan already packed the blobs (one corpus
+            # scan total) — this stage is shuffle + encode only
+            packed = tokens.select(
+                "docid", "term", "doc_len",
+                F.col("tf").alias("npos"), "pos_blob",
+                *(["bucket"] if "bucket" in tokens.columns else []),
+            )
+        else:
+            # resume from a pre-fold tokens stage that lacks pos_blob:
+            # fall back to the standalone corpus re-scan form
+            packed = positions_packed(
+                corpus.select("docid", "text"),
+                stem=(analyzer == "porter"),
+            )
         (
             build_positions(
                 packed, salt_bits=salt_bits, n_buckets=n_buckets
