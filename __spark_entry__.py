@@ -660,6 +660,97 @@ def q_doc_fingerprint(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 app. C style): docs sharing any
+    13-gram with a deterministic eval suite (docs ``doc_id % 17 == 3``
+    contribute tokens 6..25 as one eval question). Corpus grams explode
+    in codegen; the eval grams broadcast; overlap = map-side
+    BroadcastHashJoin + per-doc distinct count
+    (operators/decontaminate.py)."""
+    from wiki_search_engine_spark.operators.decontaminate import (
+        contaminated_docs, ws_token_array,
+    )
+
+    docs = _docs(spark, sf_dir)
+    toks = ws_token_array(F.col("text"))
+    eval_df = docs.filter(
+        (F.col("doc_id") % 17 == 3) & (F.size(toks) >= 25)
+    ).select(F.array_join(F.slice(toks, 6, 20), " ").alias("text"))
+    return (
+        contaminated_docs(docs, eval_df, n=13)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "n_hits")
+        .orderBy("doc_id")
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction pass: emails/IPv4/phones injected deterministically
+    by doc_id residue, then counted and masked by the codegen regexp
+    chain (functions/pii.py). tail40 pins the masked text bytes."""
+    from wiki_search_engine_spark.functions.pii import (
+        pii_counts, scrub_pii,
+    )
+
+    docs = _docs(spark, sf_dir)
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" call 415-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" host 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    counts = pii_counts(injected)
+    scrubbed = scrub_pii(injected)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        counts["n_emails"].cast("long").alias("n_emails"),
+        counts["n_ips"].cast("long").alias("n_ips"),
+        counts["n_phones"].cast("long").alias("n_phones"),
+        F.substring(
+            scrubbed,
+            F.greatest(F.length(scrubbed) - 39, F.lit(1)),
+            F.lit(40),
+        ).alias("tail40"),
+    )
+
+
+def q_repetition_flags(spark, sf_dir):
+    """Gopher-style repetition filter: per-doc top 2-/3-gram token
+    fraction, map-only vectorized kernel (operators/repetition.py)."""
+    from wiki_search_engine_spark.operators.repetition import (
+        repetition_metrics,
+    )
+
+    return repetition_metrics(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("top2_count").cast("long").alias("top2_count"),
+        F.col("top3_count").cast("long").alias("top3_count"),
+        F.round("top2_frac", 6).alias("top2_frac"),
+        F.round("top3_frac", 6).alias("top3_frac"),
+        "flagged",
+    )
+
+
 def q_events_window_agg(spark, sf_dir):
     from wiki_search_engine_spark.streaming.ingest import (
         events_windowed_counts,
@@ -2315,8 +2406,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top50": q_bm25_top50,
         "bm25_top50_wand": q_bm25_top50_wand,
         "tfidf_top50": q_tfidf_top50,
-        "bm25_and_semantics": q_bm25_and_semantics,
-        "bm25_stemmed": q_bm25_stemmed,
         "search_hydrated": q_search_hydrated,
         # -- index lifecycle: merge / tiers / deletes / time travel -----
         "merged_index_bm25": q_merged_index_bm25,
@@ -2329,7 +2418,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indexed_phrase_bm25": q_indexed_phrase_bm25,
         "mixed_phrase_bm25": q_mixed_phrase_bm25,
         "phrase_slop_bm25": q_phrase_slop_bm25,
-        "wildcard_bm25": q_wildcard_bm25,
         "wildcard_leading_bm25": q_wildcard_leading_bm25,
         "term_prefix_topk": q_term_prefix_topk,
         # -- dedup family ----------------------------------------------
@@ -2348,6 +2436,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- text analysis ---------------------------------------------
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
+        # -- training-data pipeline --------------------------------------
+        "decontaminate": q_decontaminate,
+        "pii_scrub": q_pii_scrub,
+        "repetition_flags": q_repetition_flags,
         # -- streaming -------------------------------------------------
         "events_window_agg": q_events_window_agg,
         "worker_totals": q_worker_totals,
@@ -2369,6 +2461,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # families (selfcheck-able on demand) =============================
         "bm25_batch": q_bm25_batch,             # scoring kernel, N queries in one plan
         "bm25_mid_wand": q_bm25_mid,            # wand kernel, mid-df terms
+        "bm25_and_semantics": q_bm25_and_semantics,  # OR kernel + conjunctive filter
+        "bm25_stemmed": q_bm25_stemmed,         # porter path (also exercised by every engine-built entry)
+        "wildcard_bm25": q_wildcard_bm25,       # trailing-* expansion (leading-* variant in window)
         "bm25_or_semantics": q_bm25_or_semantics,  # default-OR restated
         "bm25_single_term_wand": q_bm25_single_term,  # wand, 1 term
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,  # lsh probing variant
@@ -2787,6 +2882,113 @@ FROM d WHERE round(dp / (na * nb), 6) >= {NEARDUP_T}""",
 WITH {SQL_POS_TOKS}, {SQL_SHINGLES}
 SELECT doc_id, min(md5(shingle)) AS fingerprint
 FROM sh GROUP BY doc_id""",
+        "decontaminate": r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents),
+ev AS (
+  SELECT DISTINCT array_to_string(t[6:25], ' ') AS q
+  FROM tok WHERE doc_id % 17 = 3 AND len(t) >= 25),
+evt AS (
+  SELECT list_filter(regexp_split_to_array(lower(q), '\s+'),
+                     x -> x <> '') AS et
+  FROM ev),
+evg AS (
+  SELECT DISTINCT unnest(
+    [array_to_string(et[i+1:i+13], ' ') for i in range(0, len(et)-12)]
+  ) AS gram
+  FROM evt WHERE len(et) >= 13),
+dg AS (
+  SELECT doc_id, unnest(
+    [array_to_string(t[i+1:i+13], ' ') for i in range(0, len(t)-12)]
+  ) AS gram
+  FROM tok WHERE len(t) >= 13)
+SELECT dg.doc_id, count(DISTINCT dg.gram)::BIGINT AS n_hits
+FROM dg JOIN evg USING (gram)
+GROUP BY dg.doc_id
+ORDER BY doc_id""",
+        "pii_scrub": r"""
+WITH injected AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' contact user' || doc_id || '@example.com now'
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' call 415-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' host 10.0.' || (doc_id % 256) || '.7'
+            ELSE '' END AS t
+  FROM documents),
+masked AS (
+  SELECT doc_id, t,
+    regexp_replace(t,
+      '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+      '<EMAIL>', 'g') AS after_email
+  FROM injected),
+masked2 AS (
+  SELECT doc_id, t, after_email,
+    regexp_replace(after_email,
+      '\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b',
+      '<IP>', 'g') AS after_ip
+  FROM masked)
+SELECT doc_id,
+  len(regexp_extract_all(t,
+    '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))::BIGINT
+    AS n_emails,
+  len(regexp_extract_all(after_email,
+    '\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b'))::BIGINT
+    AS n_ips,
+  len(regexp_extract_all(after_ip,
+    '(?:\+?[0-9]{1,2}[ .\-])?\(?[0-9]{3}\)?[ .\-][0-9]{3}[ .\-][0-9]{4}\b'))::BIGINT
+    AS n_phones,
+  CASE WHEN length(scrubbed) <= 40 THEN scrubbed
+       ELSE substring(scrubbed, length(scrubbed) - 39, 40) END AS tail40
+FROM (
+  SELECT doc_id, t, after_email, after_ip,
+    regexp_replace(after_ip,
+      '(?:\+?[0-9]{1,2}[ .\-])?\(?[0-9]{3}\)?[ .\-][0-9]{3}[ .\-][0-9]{4}\b',
+      '<PHONE>', 'g') AS scrubbed
+  FROM masked2)""",
+        "repetition_flags": r"""
+WITH tok AS (
+  SELECT doc_id,
+    CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+  FROM documents),
+g AS (
+  SELECT doc_id, n, unnest(
+    [array_to_string(t[i+1:i+n], ' ') for i in range(0, len(t)-n+1)]
+  ) AS gram
+  FROM tok, (VALUES (2), (3)) AS ns(n)
+  WHERE len(t) >= n),
+c AS (
+  SELECT doc_id, n, max(cnt) AS topc
+  FROM (SELECT doc_id, n, gram, count(*) AS cnt
+        FROM g GROUP BY 1, 2, 3)
+  GROUP BY 1, 2),
+piv AS (
+  SELECT doc_id,
+    coalesce(max(CASE WHEN n = 2 THEN topc END), 0) AS top2_count,
+    coalesce(max(CASE WHEN n = 3 THEN topc END), 0) AS top3_count
+  FROM c GROUP BY doc_id)
+SELECT tok.doc_id,
+  len(t)::BIGINT AS n_tokens,
+  coalesce(top2_count, 0)::BIGINT AS top2_count,
+  coalesce(top3_count, 0)::BIGINT AS top3_count,
+  round(coalesce(top2_count, 0) * 2.0 / greatest(len(t), 1), 6)
+    AS top2_frac,
+  round(coalesce(top3_count, 0) * 3.0 / greatest(len(t), 1), 6)
+    AS top3_frac,
+  ((coalesce(top2_count, 0) >= 2
+    AND coalesce(top2_count, 0) * 2.0 / greatest(len(t), 1) > 0.20)
+   OR (coalesce(top3_count, 0) >= 2
+    AND coalesce(top3_count, 0) * 3.0 / greatest(len(t), 1) > 0.18))
+    AS flagged
+FROM tok LEFT JOIN piv USING (doc_id)""",
         "events_window_agg": """
 SELECT epoch(date_trunc('minute', ts))::BIGINT AS win_start,
        epoch(date_trunc('minute', ts) + INTERVAL 1 MINUTE)::BIGINT

@@ -1,0 +1,89 @@
+"""Benchmark decontamination: flag training documents that contain any
+n-gram of an evaluation set — the standard pre-training hygiene pass
+(GPT-3 appendix C / Gopher section A.3 style: 13-gram overlap).
+
+Spark-first shape:
+
+- the EVAL side is small by construction (an eval suite is thousands of
+  questions, not terabytes): its distinct n-grams become a broadcast
+  hash relation. The CORPUS side explodes each doc into its n-grams
+  inside whole-stage codegen (split/transform/slice/array_join — no
+  Python), and the overlap test is a map-side BroadcastHashJoin +
+  partial-aggregated count per doc. NO shuffle of corpus text, no
+  all-pairs comparison; the only wide op is the final per-doc count
+  combine, whose input is already collapsed to (doc_id, gram-hit) rows.
+- grams join on their STRING form so the DuckDB oracle replays the
+  operator exactly (the same md5-vs-xxhash64 trade as
+  operators/dedup.py: a production run at 100 TB would join on
+  xxhash64(gram) to keep the broadcast table and the exploded rows
+  8 bytes wide; the string form is the oracle-exact default and the
+  hash form cannot produce false NEGATIVES, only ~2^-64 false hits).
+
+The reference engine has no decontamination stage (it indexes
+everything it crawls); this operator is part of the LLM-training-data
+family the engine serves at corpus scale alongside dedup/sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ws_token_array(col):
+    """Whitespace tokens, lowercased, empties dropped — the exact
+    list_filter(string_split_regex(lower(x),'\\s+')) the oracle uses."""
+    return F.filter(
+        F.split(F.lower(col), r"\s+"), lambda x: x != F.lit("")
+    )
+
+
+def ngrams_col(toks, n: int):
+    """array<string> of space-joined n-grams of a token array (empty
+    when the doc is shorter than n — guards Spark's descending
+    sequence() on a negative stop)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def eval_ngrams(
+    eval_df: DataFrame, n: int = 13, text_col: str = "text"
+) -> DataFrame:
+    """Distinct n-grams of the eval suite: (gram). Small side —
+    broadcast by the caller (contaminated_docs does)."""
+    toks = ws_token_array(F.col(text_col))
+    return (
+        eval_df.select(F.explode(ngrams_col(toks, n)).alias("gram"))
+        .distinct()
+    )
+
+
+def contaminated_docs(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    n: int = 13,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_hits) for every training doc that shares at least one
+    n-gram with the eval set; n_hits = DISTINCT overlapping grams.
+
+    Plan: corpus scan -> codegen gram explode -> BroadcastHashJoin
+    against the distinct eval grams -> partial + final count per doc.
+    Docs with zero overlap never leave the map side."""
+    toks = ws_token_array(F.col(text_col))
+    doc_grams = docs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.explode(ngrams_col(toks, n)).alias("gram"),
+    )
+    ev = F.broadcast(eval_ngrams(eval_df, n=n, text_col=text_col))
+    return (
+        doc_grams.join(ev, "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").cast("long").alias("n_hits"))
+    )
