@@ -104,7 +104,8 @@ def _sql_terms(terms: list[str]) -> str:
 
 
 def _bm25_sql(
-    terms: list[str], k: int, mode: str = "bm25", semantics: str = "or"
+    terms: list[str], k: int, mode: str = "bm25", semantics: str = "or",
+    exclude: list[str] | None = None,
 ) -> str:
     if mode == "bm25":
         part = (
@@ -118,6 +119,13 @@ def _bm25_sql(
         if semantics == "and"
         else ""
     )
+    anti = ""
+    if exclude:
+        inner = ", ".join(f"'{t}'" for t in exclude)
+        anti = (
+            f"\nWHERE doc_id NOT IN (SELECT doc_id FROM tf "
+            f"WHERE term IN ({inner}))"
+        )
     return f"""
 WITH {SQL_TOKS}, {SQL_TF}, {SQL_DL}, {SQL_STATS}, {_sql_terms(terms)},
 qdf AS (
@@ -127,7 +135,7 @@ contrib AS (
   SELECT tf.doc_id, tf.term, {part} AS part
   FROM tf JOIN qdf q USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s)
 SELECT doc_id, round(sum(part), 6) AS score
-FROM contrib GROUP BY doc_id{having}
+FROM contrib{anti} GROUP BY doc_id{having}
 ORDER BY score DESC, doc_id LIMIT {k}"""
 
 
@@ -201,6 +209,7 @@ def _score_query(
     mode: str,
     path: str = "exhaustive",
     semantics: str = "or",
+    exclude: list[str] | None = None,
 ) -> DataFrame:
     from wiki_search_engine_spark.operators.postings import build_postings
     from wiki_search_engine_spark.operators.scoring import score_exhaustive
@@ -214,7 +223,7 @@ def _score_query(
     else:
         res = score_exhaustive(
             tokens, terms, n, avgdl, k=None, mode=mode,
-            semantics=semantics,
+            semantics=semantics, exclude_terms=exclude,
         )
     return (
         res.select(
@@ -325,6 +334,16 @@ def q_bm25_and_semantics(spark, sf_dir):
     (list-intersection form; operators/scoring.py semantics='and')."""
     return _score_query(
         spark, sf_dir, Q_MAIN, 50, "bm25", "exhaustive", semantics="and"
+    )
+
+
+def q_bm25_not_semantics(spark, sf_dir):
+    """Lucene-style NOT: OR-scored Q_MAIN minus every doc containing
+    the excluded term (operators/scoring.py exclude_terms — one LEFT
+    ANTI join BEFORE the top-k cut; engine surface: search --negation /
+    &negation=true with "-term" tokens)."""
+    return _score_query(
+        spark, sf_dir, Q_MAIN, 50, "bm25", "exhaustive", exclude=Q_ONE
     )
 
 
@@ -2414,8 +2433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_bm25": q_time_travel_bm25,
         # -- query language --------------------------------------------
         "fuzzy_term_match": q_fuzzy_term_match,
+        "bm25_not_semantics": q_bm25_not_semantics,
         "phrase_bm25": q_phrase_bm25,
-        "indexed_phrase_bm25": q_indexed_phrase_bm25,
         "mixed_phrase_bm25": q_mixed_phrase_bm25,
         "phrase_slop_bm25": q_phrase_slop_bm25,
         "wildcard_leading_bm25": q_wildcard_leading_bm25,
@@ -2462,6 +2481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_batch": q_bm25_batch,             # scoring kernel, N queries in one plan
         "bm25_mid_wand": q_bm25_mid,            # wand kernel, mid-df terms
         "bm25_and_semantics": q_bm25_and_semantics,  # OR kernel + conjunctive filter
+        "indexed_phrase_bm25": q_indexed_phrase_bm25,  # exact sidecar path (slop=0 ≡; slop+mixed in window)
         "bm25_stemmed": q_bm25_stemmed,         # porter path (also exercised by every engine-built entry)
         "wildcard_bm25": q_wildcard_bm25,       # trailing-* expansion (leading-* variant in window)
         "bm25_or_semantics": q_bm25_or_semantics,  # default-OR restated
@@ -2526,6 +2546,9 @@ FROM tf JOIN qdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s""",
         "SELECT tf.term, tf.doc_id, tf.tf, dl.doc_len "
         "FROM tf JOIN dl USING (doc_id)",
         "bm25_top50": _bm25_sql(Q_MAIN, 50, "bm25"),
+        "bm25_not_semantics": _bm25_sql(
+            Q_MAIN, 50, "bm25", exclude=Q_ONE
+        ),
         "bm25_top50_wand": _bm25_sql(Q_MAIN, 50, "bm25"),
         "tfidf_top50": _bm25_sql(Q_MAIN, 50, "tfidf"),
         "bm25_mid_wand": _bm25_sql(Q_MID, 50, "bm25"),

@@ -157,6 +157,12 @@ def main(argv=None):
         'also accept the inline syntax "a b"~N',
     )
     q.add_argument(
+        "--negation", action="store_true",
+        help='Lucene-style NOT: "-term" tokens exclude docs containing '
+        "them (opt-in; without the flag hyphens keep the reference's "
+        "bag-of-words reading)",
+    )
+    q.add_argument(
         "--snapshot", default=None,
         help="time travel: serve a retained named snapshot of a "
         "pointer-root index instead of the current pointer target "
@@ -538,9 +544,14 @@ def main(argv=None):
                         "local or wand for tiered search"
                     )
                 teng = TieredEngine(spark, dirs)
+                if args.negation and args.path != "local":
+                    raise SystemExit(
+                        "--negation is served by the local tiered path"
+                    )
                 if args.path == "local":
                     ids = teng.search_local(
-                        args.query, k=args.k, mode=args.mode
+                        args.query, k=args.k, mode=args.mode,
+                        negation=args.negation,
                     )
                 else:
                     ids = [
@@ -606,7 +617,7 @@ def main(argv=None):
                 else:
                     rows = eng.search(
                         args.query, k=args.k, mode=args.mode,
-                        path=args.path,
+                        path=args.path, negation=args.negation,
                     ).collect()
         except EmptyQueryError:
             # mirror the reference's HTTP 400 body

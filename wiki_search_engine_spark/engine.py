@@ -1128,9 +1128,40 @@ class SearchEngine:
         idx = np.lexsort((cand, -pscore))[: min(k, cand.size)]
         return [(int(cand[i]), float(pscore[i])) for i in idx]
 
+    def _excluded_docids_by_salt(
+        self, excluded: list[str]
+    ) -> dict[int, "np.ndarray"]:
+        """Decode the excluded terms' posting docids, grouped by their
+        doc-range salt — the driver-side NOT set. Cost tracks the
+        excluded terms' posting sizes (the same reads a positive query
+        on those terms would do), never the corpus."""
+        import numpy as np
+
+        from .operators.codec import decode_posting_list
+
+        by_salt: dict[int, list] = {}
+        for _t, (df, salted) in self._cached_term_lists(
+            excluded
+        ).items():
+            if df <= 0:
+                continue
+            for salt, blocks in salted:
+                d = decode_posting_list(
+                    [
+                        b if isinstance(b, dict) else b.asDict()
+                        for b in blocks
+                    ]
+                )[0]
+                by_salt.setdefault(salt, []).append(d)
+        return {
+            s: np.unique(np.concatenate(v))
+            for s, v in by_salt.items()
+        }
+
     def search_local(
         self, query: str, k: int = 50, mode: str = "bm25",
         semantics: str = "or", fuzzy: bool = False,
+        negation: bool = False,
     ) -> list[tuple[int, float]]:
         """Serve a query entirely on the DRIVER: pyarrow reads of the
         terms' bucket directories (row-group pruned on the term-sorted
@@ -1146,8 +1177,22 @@ class SearchEngine:
         its keep; the two paths share kernel and index format."""
         import os
 
+        import numpy as np
+
         from .operators.wand import merge_topk, score_shard_topk
 
+        excluded: list[str] = []
+        if negation:
+            from .functions.analyzer import split_negations
+
+            query, neg_q = split_negations(query)
+            if neg_q.strip():
+                try:
+                    excluded = self.analyze(neg_q)
+                except EmptyQueryError:
+                    excluded = []
+            if not query.strip():
+                return []  # pure-NOT query ranks nothing
         terms = (
             # trailing-* tokens expand to their top-df lexicon matches
             self.expand_query_terms(query)
@@ -1161,6 +1206,8 @@ class SearchEngine:
             # correction before retrieval (fuzzy_terms; needs the
             # SymSpell layout)
             terms, _ = self.fuzzy_terms(terms)
+        if excluded and set(terms) & set(excluded):
+            return []  # Lucene boolean contradiction: +t AND -t
         if not os.path.isdir(f"{self.index_dir}/term_stats"):
             raise FileNotFoundError(
                 f"{self.index_dir}/term_stats missing — the local serving "
@@ -1168,8 +1215,13 @@ class SearchEngine:
                 "use path='wand'"
             )
         lists = self._cached_term_lists(terms)
+        exc_by_salt = (
+            self._excluded_docids_by_salt(excluded) if excluded else {}
+        )
         if semantics == "and":
-            return self._search_local_and(lists, terms, k, mode)
+            return self._search_local_and(
+                lists, terms, k, mode, exc_by_salt
+            )
         by_salt: dict[int, list[dict]] = {}
         for _t, (df, salted) in lists.items():
             if df <= 0:
@@ -1180,14 +1232,22 @@ class SearchEngine:
                 )
         if not by_salt:
             return []
-        shard_results = [
-            score_shard_topk(tls, self.n, self.avgdl, k, mode)
-            for tls in by_salt.values()
-        ]
+        shard_results = []
+        for salt, tls in by_salt.items():
+            exc = exc_by_salt.get(salt)
+            # top-(k + |excluded in shard|) BEFORE the NOT filter is
+            # exact: at most |exc| of the shard's top entries can drop
+            k_eff = k + (int(exc.size) if exc is not None else 0)
+            d, s = score_shard_topk(tls, self.n, self.avgdl, k_eff, mode)
+            if exc is not None and d.size:
+                keep = ~np.isin(d, exc)
+                d, s = d[keep], s[keep]
+            shard_results.append((d, s))
         return merge_topk(shard_results, k)
 
     def _search_local_and(
-        self, lists: dict, terms: list[str], k: int, mode: str
+        self, lists: dict, terms: list[str], k: int, mode: str,
+        exc_by_salt: dict | None = None,
     ) -> list[tuple[int, float]]:
         """Conjunctive retrieval on the driver-local path: decode the
         candidate lists (already in hand from the cache/pyarrow read),
@@ -1224,6 +1284,14 @@ class SearchEngine:
             common = common[np.isin(common, d, assume_unique=True)]
             if common.size == 0:
                 return []
+        if exc_by_salt:
+            # NOT filter before the top-k cut; the exclusion arrays are
+            # salt-keyed but np.isin over their union is equivalent (and
+            # the intersection is already small)
+            exc_all = np.concatenate(list(exc_by_salt.values()))
+            common = common[~np.isin(common, exc_all)]
+            if common.size == 0:
+                return []
         common = np.sort(common)
         scores = np.zeros(common.size, dtype=np.float64)
         for df, d, tf, dl in per_term:
@@ -1254,6 +1322,7 @@ class SearchEngine:
         mode: str = "bm25",
         path: str = "wand",
         semantics: str = "or",
+        negation: bool = False,
     ) -> DataFrame:
         """Top-k (docid, score). ``path``: 'wand' = block-max pruned kernel;
         'exhaustive' = decode + Catalyst aggregation (oracle path);
@@ -1262,7 +1331,27 @@ class SearchEngine:
         query term required) is served by the local path's intersection
         scorer or the exhaustive path; a 'wand' request downgrades to
         exhaustive (the intersection IS the pruning — block-max skipping
-        has nothing to add)."""
+        has nothing to add). ``negation=True`` parses ``-term`` tokens
+        as Lucene NOT (opt-in so legacy hyphenated queries keep the
+        reference's bag behavior): served local (per-shard filtered
+        top-k) or exhaustive (LEFT ANTI join before the cut); a 'wand'
+        request downgrades to exhaustive."""
+        excluded: list[str] = []
+        if negation and path != "local":
+            from .functions.analyzer import split_negations
+
+            query, neg_q = split_negations(query)
+            if neg_q.strip():
+                try:
+                    excluded = self.analyze(neg_q)
+                except EmptyQueryError:
+                    excluded = []
+            if not query.strip():
+                return self.spark.createDataFrame(
+                    [], "docid long, score double"
+                )
+            if excluded and path == "wand":
+                path = "exhaustive"
         if semantics == "and" and path == "wand":
             path = "exhaustive"
         terms = (
@@ -1274,16 +1363,21 @@ class SearchEngine:
         )
         if not terms:
             return self.spark.createDataFrame([], "docid long, score double")
+        if excluded and set(terms) & set(excluded):
+            return self.spark.createDataFrame(
+                [], "docid long, score double"
+            )
         if path == "local":
             rows = [
                 (int(d), float(s)) for d, s in self.search_local(
-                    query, k=k, mode=mode, semantics=semantics
+                    query, k=k, mode=mode, semantics=semantics,
+                    negation=negation,
                 )
             ]
             return self.spark.createDataFrame(
                 rows, "docid long, score double"
             )
-        postings = self._postings(terms)
+        postings = self._postings(terms + excluded)
         if path == "wand":
             import os
 
@@ -1296,11 +1390,11 @@ class SearchEngine:
                 n_shards=1 << self.salt_bits,
             )
         flat = decode_postings_df(
-            postings.filter(F.col("term").isin(terms))
+            postings.filter(F.col("term").isin(terms + excluded))
         )
         return score_exhaustive(
             flat, terms, self.n, self.avgdl, k, mode,
-            semantics=semantics,
+            semantics=semantics, exclude_terms=excluded or None,
         )
 
     def search_many(
@@ -1399,6 +1493,7 @@ class SearchEngine:
         mode: str = "bm25",
         path: str = "wand",
         with_images: bool = False,
+        negation: bool = False,
     ) -> DataFrame:
         """Hydrated top-k: (docid, url, title, snippet, score) — the
         reference's result-fetch join (mongoService.js:75-113: $in over
@@ -1416,7 +1511,7 @@ class SearchEngine:
         id_rows = [
             (int(r["docid"]), float(r["score"]))
             for r in self.search_ids(
-                query, k=k, mode=mode, path=path
+                query, k=k, mode=mode, path=path, negation=negation
             ).collect()
         ]
         docs = self.spark.read.parquet(f"{self.index_dir}/docs")
@@ -1458,6 +1553,7 @@ class SearchEngine:
         phrase: bool = False,
         fuzzy: bool = False,
         highlight: bool = False,
+        negation: bool = False,
     ) -> dict:
         """The reference's full HTTP response shape
         (backend/controllers/queryController.js:11-59):
@@ -1507,25 +1603,33 @@ class SearchEngine:
                     (r["docid"], r["score"])
                     for r in self.search_ids(
                         query, k=k, mode=mode, path=path,
-                        semantics=semantics,
+                        semantics=semantics, negation=negation,
                     ).collect()
                 ]
             return self.search_local(
                 query, k=k, mode=mode, semantics=semantics, fuzzy=fuzzy,
+                negation=negation,
             )
 
         if fuzzy and path != "local":
             raise ValueError(
                 "fuzzy (did-you-mean) is served by the local path"
             )
+        # highlight/corrections analyze the POSITIVE part only — an
+        # excluded term never appears in results
+        hl_query = query
+        if negation:
+            from .functions.analyzer import split_negations
+
+            hl_query = split_negations(query)[0]
         decorate = None
         if highlight:
             from .functions.textstats import highlight_snippet
 
-            hterms = set(self.analyze(query))
+            hterms = set(self.analyze(hl_query))
             if fuzzy:
                 hterms |= set(
-                    self.fuzzy_terms(self.analyze(query))[0]
+                    self.fuzzy_terms(self.analyze(hl_query))[0]
                 )
 
             def decorate(s, _t=frozenset(hterms)):

@@ -374,6 +374,25 @@ def tokens_for(text: str, analyzer: str = "porter") -> list[str]:
     raise ValueError(f"unknown analyzer: {analyzer}")
 
 
+def split_negations(query: str) -> tuple[str, str]:
+    """Split a raw query into (positive text, excluded text): a
+    whitespace token starting with ``-`` and carrying at least one more
+    character is a Lucene-style NOT term (its ``-`` stripped); intra-word
+    hyphens ("state-of-the-art") are untouched. MUST run before
+    analysis — the analyzer space-replaces ``-``, which would silently
+    turn "-spark" into a positive term. Negation parsing is OPT-IN at
+    every surface (``negation=True`` / ``--negation`` / ``&negation``)
+    so legacy queries containing stray hyphens keep the reference's
+    bag-of-words behavior."""
+    pos, neg = [], []
+    for tok in (query or "").split():
+        if tok.startswith("-") and len(tok) > 1:
+            neg.append(tok[1:])
+        else:
+            pos.append(tok)
+    return " ".join(pos), " ".join(neg)
+
+
 def analyze_query(
     query: str, stem: bool = True, analyzer: str | None = None
 ) -> list[str]:

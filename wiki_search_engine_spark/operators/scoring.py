@@ -50,6 +50,7 @@ def score_exhaustive(
     k: int | None = 50,
     mode: str = "bm25",
     semantics: str = "or",
+    exclude_terms: list[str] | None = None,
 ) -> DataFrame:
     """Top-k (docid, score) over a token/posting relation.
 
@@ -64,7 +65,16 @@ def score_exhaustive(
     score (the web-search list-intersection form; expressed as the same
     single aggregation plus a distinct-term count, so Catalyst plans one
     hash aggregate — no join chain per term). A query term absent from
-    the corpus empties the AND result by definition."""
+    the corpus empties the AND result by definition.
+
+    ``exclude_terms``: Lucene-style NOT — docs containing ANY excluded
+    term are removed BEFORE the top-k cut (a post-cut filter would
+    under-fill k). Planned as one LEFT ANTI join against the excluded
+    terms' docids: the anti-join side is per-doc-per-excluded-term rows
+    only (the same magnitude as the excluded postings the engine's
+    local path decodes), never corpus-sized; AQE broadcasts it when
+    small. A term both queried and excluded empties the result (the
+    Lucene boolean contradiction)."""
     if not query_terms:
         return (
             tokens.sparkSession.createDataFrame(
@@ -92,6 +102,13 @@ def score_exhaustive(
         agg = scored.groupBy("docid").agg(F.sum("partial").alias("score"))
     else:
         raise ValueError(f"unknown semantics: {semantics}")
+    if exclude_terms:
+        excluded = (
+            tokens.filter(F.col("term").isin(list(set(exclude_terms))))
+            .select("docid")
+            .distinct()
+        )
+        agg = agg.join(excluded, "docid", "left_anti")
     if k is None:
         return agg
     return agg.orderBy(F.desc("score"), F.asc("docid")).limit(k)

@@ -126,7 +126,15 @@ class _Handler(BaseHTTPRequestHandler):
         highlight = (qs.get("highlight") or ["false"])[0].lower() in (
             "1", "true", "yes",
         )
+        # &negation=true — Lucene-style NOT: "-term" tokens exclude
+        # docs (opt-in so legacy hyphenated queries keep the
+        # reference's bag-of-words reading)
+        negation = (qs.get("negation") or ["false"])[0].lower() in (
+            "1", "true", "yes",
+        )
         kwargs = {}
+        if negation:
+            kwargs["negation"] = True
         if highlight and hasattr(self.server.engine, "fuzzy_terms"):
             kwargs["highlight"] = True
         if fuzzy:

@@ -351,6 +351,7 @@ class TieredEngine:
     def search_local(
         self, query: str, k: int = 50, mode: str = "bm25",
         semantics: str = "or", fuzzy: bool = False,
+        negation: bool = False,
     ) -> list[tuple[int, float]]:
         """Driver-side tiered top-k, rank- and score-identical to the
         compacted index (exact live df/N/avgdl — see module doc).
@@ -358,12 +359,31 @@ class TieredEngine:
         LIVE postings contain every query term. ``fuzzy``: did-you-mean
         over segments — zero-LIVE-df terms swap to their best tiered
         correction first (``fuzzy_terms``; every segment needs its
-        SymSpell layout — ``build_spellindex``)."""
+        SymSpell layout — ``build_spellindex``). ``negation``:
+        Lucene-style ``-term`` NOT parsing (opt-in, engine.py
+        split_negations contract); docs whose LIVE postings contain any
+        excluded term drop BEFORE the top-k cut — tombstoned docs never
+        contribute to the NOT set any more than to scores."""
+        excluded: list[str] = []
+        if negation:
+            from .engine import EmptyQueryError
+            from .functions.analyzer import split_negations
+
+            query, neg_q = split_negations(query)
+            if neg_q.strip():
+                try:
+                    excluded = self.analyze(neg_q)
+                except EmptyQueryError:
+                    excluded = []
+            if not query.strip():
+                return []
         terms = self.analyze(query)
         if not terms or not self.n:
             return []
         if fuzzy:
             terms, _ = self.fuzzy_terms(terms)
+        if excluded and set(terms) & set(excluded):
+            return []  # boolean contradiction: +t AND -t
         all_d, all_s = [], []
         and_common = None
         live = self._live_term_postings_many(list(dict.fromkeys(terms)))
@@ -413,6 +433,22 @@ class TieredEngine:
         if semantics == "and" and and_common is not None:
             keep = np.isin(uniq, and_common, assume_unique=True)
             uniq, acc = uniq[keep], acc[keep]
+        if excluded:
+            live_exc = self._live_term_postings_many(
+                list(dict.fromkeys(excluded))
+            )
+            exc_parts = [
+                d
+                for _t, (df, parts) in live_exc.items()
+                if df
+                for d, _tf, _dl in parts
+            ]
+            if exc_parts:
+                exc = np.unique(np.concatenate(exc_parts))
+                keep = ~np.isin(uniq, exc)
+                uniq, acc = uniq[keep], acc[keep]
+                if uniq.size == 0:
+                    return []
         idx = np.lexsort((uniq, -acc))[: min(k, uniq.size)]
         return [(int(uniq[i]), float(acc[i])) for i in idx]
 
@@ -937,7 +973,7 @@ class TieredEngine:
         path: str = "local", semantics: str = "or",
         page: int | None = None, per_page: int = 10,
         phrase: bool = False, fuzzy: bool = False,
-        highlight: bool = False,
+        highlight: bool = False, negation: bool = False,
     ) -> dict:
         """The reference HTTP response shape over tiered serving — the
         shared assembler (engine.py assemble_reference_response) with
@@ -983,6 +1019,7 @@ class TieredEngine:
                 ]
             return self.search_local(
                 query, k=k, mode=mode, semantics=semantics, fuzzy=fuzzy,
+                negation=negation,
             )
 
         if fuzzy and path != "local":
@@ -991,11 +1028,22 @@ class TieredEngine:
             raise ValueError(
                 "fuzzy (did-you-mean) is served by the local path"
             )
+        if negation and path != "local":
+            raise ValueError(
+                "negation (-term) is served by the local tiered path"
+            )
+        # highlight/corrections analyze the POSITIVE part only — an
+        # excluded term never appears in results
+        hl_query = query
+        if negation:
+            from .functions.analyzer import split_negations
+
+            hl_query = split_negations(query)[0]
         decorate = None
         if highlight:
             from .functions.textstats import highlight_snippet
 
-            hterms = set(self.analyze(query))
+            hterms = set(self.analyze(hl_query))
             if fuzzy:
                 hterms |= set(
                     self.fuzzy_terms(self.analyze(query))[0]
