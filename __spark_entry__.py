@@ -787,6 +787,29 @@ def q_events_window_agg(spark, sf_dir):
     )
 
 
+def q_events_sessions(spark, sf_dir):
+    """Session windows (gap 5 min) per event_type — the native
+    Structured Streaming sessionization (F.session_window), batch form
+    = streaming oracle (streaming/ingest.py events_sessionized)."""
+    from wiki_search_engine_spark.streaming.ingest import (
+        events_sessionized,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return events_sessionized(events, gap="5 minutes").select(
+        F.unix_timestamp("session_start").cast("long").alias(
+            "session_start"
+        ),
+        F.unix_timestamp("session_end").cast("long").alias(
+            "session_end"
+        ),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        "sum_value",
+    )
+
+
 def q_worker_totals(spark, sf_dir):
     """Batch form of the stateful liveness monitor's running totals
     (streaming/heartbeats.py — applyInPandasWithState op; the streaming
@@ -2494,6 +2517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,   # textstats variant
         "phrase_occurrences": q_phrase_occurrences,  # phrase scan variant
         "orders_by_segment": q_orders_by_segment,  # TPC-H demo variant
+        "events_sessions": q_events_sessions,   # native session_window op
     }
 
 
@@ -3019,6 +3043,26 @@ SELECT epoch(date_trunc('minute', ts))::BIGINT AS win_start,
        event_type, count(*)::BIGINT AS n_events,
        round(sum(value), 6) AS sum_value
 FROM events GROUP BY 1, 2, 3""",
+        "events_sessions": """
+WITH o AS (
+  SELECT ts, event_type, value,
+    CASE WHEN lag(ts) OVER (PARTITION BY event_type ORDER BY ts)
+              IS NULL
+         OR ts - lag(ts) OVER (PARTITION BY event_type ORDER BY ts)
+              >= INTERVAL 5 MINUTE
+         THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (
+  SELECT *, sum(brk) OVER (
+    PARTITION BY event_type ORDER BY ts
+    ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o)
+SELECT floor(epoch(min(ts)))::BIGINT AS session_start,
+       floor(epoch(max(ts) + INTERVAL 5 MINUTE))::BIGINT AS session_end,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM s GROUP BY event_type, sid""",
         "worker_totals": """
 SELECT event_type AS worker_id,
        floor(epoch(max(ts)))::BIGINT AS last_ts_epoch,

@@ -358,6 +358,9 @@ def main() -> None:
         ("hll_distinct_terms", E.q_hll_register_sketch),
         ("mg_heavy_hitters", E.q_term_heavy_hitters),
         ("phrase_bm25_scan", E.q_phrase_bm25),
+        ("decontaminate", E.q_decontaminate),
+        ("pii_scrub", E.q_pii_scrub),
+        ("repetition_flags", E.q_repetition_flags),
     ]:
         try:
             fn(spark, SF_DIR).collect()  # warm-up, unrecorded
@@ -385,7 +388,31 @@ def main() -> None:
         spark, corpus, index_dir, stem=True, n_buckets=64,
         bucket_groups=1, salt_bits=3, resume=True, positions=True,
     )
+    # NOTE: this resume path retrofits a sidecar onto an index whose
+    # tokens staging predates the r4 fold (no pos_blob column), so it
+    # measures the LEGACY corpus re-scan form — the honest cost of
+    # adding positions to an existing index.
     q["positions_sidecar_build"] = round(time.time() - t0, 3)
+    # the r4 fold: a FRESH positions=True build stages the blobs in the
+    # shared tokenize scan; record the tokens+positions stage walls
+    # (manifest-metered) — the sidecar-bearing pipeline's true cost
+    import json as _json
+    import shutil as _shutil
+
+    fold_dir = f"{WORK}/bench_fold_idx"
+    _shutil.rmtree(fold_dir, ignore_errors=True)
+    build_index(
+        spark, corpus, fold_dir, stem=True, n_buckets=64,
+        bucket_groups=1, salt_bits=3, positions=True,
+    )
+    _ent = _json.load(open(f"{fold_dir}/manifest.json"))
+    _ent = _ent.get("entries", _ent)
+    q["positions_fold_tok_pos"] = round(
+        (_ent["tokens"]["wall_ms"] + _ent["positions"]["wall_ms"])
+        / 1000,
+        3,
+    )
+    _shutil.rmtree(fold_dir, ignore_errors=True)
     phrase_q = f"{words[3]} {words[50]}"
     lat = []
     for _ in range(15):
@@ -400,6 +427,15 @@ def main() -> None:
         eng.search_mixed(mixed_q, k=10)
         lat.append(time.time() - t0)
     q["mixed_local_p50"] = round(statistics.median(lat), 4)
+    # Lucene NOT serving: positive 2-term query minus a mid-df term —
+    # adds one postings read + an isin mask over the shard top-(k+m)
+    not_q = f"{words[3]} {words[50]} -{words[9]}"
+    lat = []
+    for _ in range(15):
+        t0 = time.time()
+        eng.search_local(not_q, k=10, negation=True)
+        lat.append(time.time() - t0)
+    q["bm25_not_local_p50"] = round(statistics.median(lat), 4)
 
     # ---- autocomplete serving: lexicon range scan, zero Spark jobs -------
     lat = []

@@ -544,10 +544,6 @@ def main(argv=None):
                         "local or wand for tiered search"
                     )
                 teng = TieredEngine(spark, dirs)
-                if args.negation and args.path != "local":
-                    raise SystemExit(
-                        "--negation is served by the local tiered path"
-                    )
                 if args.path == "local":
                     ids = teng.search_local(
                         args.query, k=args.k, mode=args.mode,
@@ -557,7 +553,8 @@ def main(argv=None):
                     ids = [
                         (r["docid"], r["score"])
                         for r in teng.search_ids(
-                            args.query, k=args.k, mode=args.mode
+                            args.query, k=args.k, mode=args.mode,
+                            negation=args.negation,
                         ).collect()
                     ]
                 smap = dict(ids)

@@ -161,6 +161,25 @@ def test_tiered_negation_matches_single(
     for (gd, gs), (ed, es) in zip(got, exp):
         assert gd == ed
         assert gs == pytest.approx(es, rel=1e-9)
+    # DISTRIBUTED tiered path: exclusion rides the tombstone mask
+    dist = [
+        (int(r["docid"]), float(r["score"]))
+        for r in teng.search_ids(q, k=10, negation=True).collect()
+    ]
+    assert [d for d, _ in dist] == [d for d, _ in exp]
+    for (dd, ds), (ed, es) in zip(dist, exp):
+        assert ds == pytest.approx(es, rel=1e-9)
+    # AND + NOT on the distributed tiered path
+    got_and = [
+        (int(r["docid"]), float(r["score"]))
+        for r in teng.search_ids(
+            q, k=10, semantics="and", negation=True
+        ).collect()
+    ]
+    exp_and = engine.search_local(
+        q, k=10, semantics="and", negation=True
+    )
+    assert [d for d, _ in got_and] == [d for d, _ in exp_and]
 
 
 def test_negation_over_http(spark, engine, neg_query):

@@ -119,6 +119,78 @@ def test_streaming_window_agg_equals_batch(spark, tmp_path):
     assert got == expected
 
 
+def test_streaming_sessions_equal_batch(spark, tmp_path):
+    """Session windows: the streaming form (stateful session merge)
+    equals the batch form on the same data — bursts separated by
+    > gap silences must come out as distinct sessions."""
+    import datetime
+
+    import pandas as pd
+
+    from wiki_search_engine_spark.streaming.ingest import (
+        events_sessionized,
+    )
+
+    base = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    i = 0
+    for burst in range(4):  # bursts 20 min apart, events 30s apart
+        for j in range(15):
+            rows.append(
+                (
+                    i,
+                    base
+                    + datetime.timedelta(
+                        minutes=20 * burst, seconds=30 * j
+                    ),
+                    ["click", "view"][i % 2],
+                    float(i % 7),
+                )
+            )
+            i += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "event_type", "value"]
+    )
+    src = str(tmp_path / "events_sess")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+
+    batch = events_sessionized(
+        spark.read.parquet(src), gap="5 minutes"
+    )
+    expected = {
+        (r["session_start"], r["event_type"]): (
+            r["session_end"], r["n_events"], r["sum_value"],
+        )
+        for r in batch.collect()
+    }
+    # 4 bursts x 2 event types, each burst one session per type
+    assert len(expected) == 8
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value double"
+        )
+        .parquet(src)
+    )
+    agg = events_sessionized(stream, gap="5 minutes")
+    name = f"sess_{int(time.time() * 1000)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _wait(q)
+    got = {
+        (r["session_start"], r["event_type"]): (
+            r["session_end"], r["n_events"], r["sum_value"],
+        )
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    assert got == expected
+
+
 def test_worker_liveness_stateful(spark, tmp_path):
     """applyInPandasWithState liveness monitor: running totals equal the
     batch oracle across multiple micro-batches, and a worker that stops

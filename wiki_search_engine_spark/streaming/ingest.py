@@ -81,6 +81,43 @@ def ingest_corpus_incremental(
     )
 
 
+def events_sessionized(
+    events: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Session windows per event_type: consecutive events closer than
+    ``gap`` merge into one session (``F.session_window`` — the native
+    Structured Streaming sessionization; state merges windows that an
+    arriving event bridges). Works on both a streaming and a batch
+    DataFrame with the same plan, so the batch form is the oracle for
+    the streaming form — the same dual-form contract as
+    events_windowed_counts. Output session_end is LAST EVENT + gap
+    (Spark's definition; the DuckDB oracle replays it with a
+    lag/cumsum session id). At scale the aggregation is per
+    (event_type, session) with map-side partial merge; no global
+    ordering is ever required."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(
+            F.session_window("ts", gap).alias("win"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def events_windowed_counts(
     events: DataFrame,
     window: str = "1 minute",

@@ -867,7 +867,7 @@ class TieredEngine:
 
     def search_ids(
         self, query: str, k: int = 50, mode: str = "bm25",
-        semantics: str = "or",
+        semantics: str = "or", negation: bool = False,
     ):
         """DISTRIBUTED tiered top-k — the cluster path for head terms
         whose candidate lists exceed driver memory. Two jobs: phase 1
@@ -884,23 +884,74 @@ class TieredEngine:
         tombstone-aware decode + the Catalyst AND scorer
         (operators/scoring.py score_exhaustive): the intersection is
         the pruning, so block-max machinery has nothing to add —
-        identical results to the tiered local path (pytest)."""
+        identical results to the tiered local path (pytest).
+
+        ``negation=True``: Lucene NOT (-term) on the DISTRIBUTED path —
+        the excluded docids (driver read of the excluded terms' LIVE
+        postings, the same IO a positive query on them would do) ride
+        the per-segment tombstone mask into the kernel, so excluded
+        docs drop at decode time, before any top-k cut. Collection
+        stats (N/avgdl/df of positive terms) are deliberately
+        UNCHANGED — NOT narrows the candidate set, it does not shrink
+        the corpus (unlike a deletes segment)."""
+        excluded: list[str] = []
+        if negation:
+            from .engine import EmptyQueryError
+            from .functions.analyzer import split_negations
+
+            query, neg_q = split_negations(query)
+            if neg_q.strip():
+                try:
+                    excluded = self.analyze(neg_q)
+                except EmptyQueryError:
+                    excluded = []
+            if not query.strip():
+                return self.spark.createDataFrame(
+                    [], "docid long, score double"
+                )
         terms = self.analyze(query)
         if not terms:
             return self.spark.createDataFrame(
                 [], "docid long, score double"
             )
+        if excluded and set(terms) & set(excluded):
+            return self.spark.createDataFrame(
+                [], "docid long, score double"
+            )
+        tombs = self.tombstones
+        if excluded:
+            live_exc = self._live_term_postings_many(
+                list(dict.fromkeys(excluded))
+            )
+            exc_parts = [
+                d
+                for _t, (df, parts) in live_exc.items()
+                if df
+                for d, _tf, _dl in parts
+            ]
+            if exc_parts:
+                exc = np.unique(np.concatenate(exc_parts))
+                tombs = [
+                    np.union1d(t, exc) if t is not None and t.size
+                    else exc
+                    for t in self.tombstones
+                ]
         if semantics == "and":
             from .operators.scoring import score_exhaustive
 
+            uniq = list(dict.fromkeys(terms))
+            read = uniq + [
+                t for t in dict.fromkeys(excluded) if t not in uniq
+            ]
             return score_exhaustive(
-                self._decoded_live_postings(list(dict.fromkeys(terms))),
-                list(dict.fromkeys(terms)),
+                self._decoded_live_postings(read),
+                uniq,
                 self.n,
                 self.avgdl,
                 k,
                 mode,
                 semantics="and",
+                exclude_terms=excluded or None,
             )
         from .operators.wand import search_topk
 
@@ -914,7 +965,7 @@ class TieredEngine:
             mode=mode,
             df_map=df_map,
             n_shards=1 << self.engines[0].salt_bits,
-            tombstones_by_seg=self.tombstones,
+            tombstones_by_seg=tombs,
             # sound block-max bounds: each segment's stored max_score
             # was computed at ITS OWN avgdl; scale up when the live
             # avgdl is larger (merge.py pass-through lemma)
@@ -1014,7 +1065,8 @@ class TieredEngine:
                 return [
                     (r["docid"], r["score"])
                     for r in self.search_ids(
-                        query, k=k, mode=mode, semantics=semantics
+                        query, k=k, mode=mode, semantics=semantics,
+                        negation=negation,
                     ).collect()
                 ]
             return self.search_local(
@@ -1027,10 +1079,6 @@ class TieredEngine:
             # come from the driver-side SymSpell layouts
             raise ValueError(
                 "fuzzy (did-you-mean) is served by the local path"
-            )
-        if negation and path != "local":
-            raise ValueError(
-                "negation (-term) is served by the local tiered path"
             )
         # highlight/corrections analyze the POSITIVE part only — an
         # excluded term never appears in results
