@@ -347,6 +347,30 @@ def q_bm25_not_semantics(spark, sf_dir):
     )
 
 
+SYN_GROUPS = [["table", "hash"], ["scan"], ["fast"]]
+
+
+def q_synonym_bm25(spark, sf_dir):
+    """Query-time synonym groups (Lucene SynonymQuery semantics, true
+    disjunction df — operators/scoring.py score_synonyms): the
+    'table'+'hash' group scores as one pseudo-term (summed tf), plus
+    ordinary 'scan' and 'fast' contributions. Serving twin:
+    SearchEngine.search_local(synonyms=True) over the synonyms.json
+    sidecar (pytest rank identity)."""
+    from wiki_search_engine_spark.operators.scoring import (
+        score_synonyms,
+    )
+
+    tokens = _base_tokens_df(spark, sf_dir)
+    n, avgdl = _stats_scalars(tokens)
+    return score_synonyms(
+        tokens, SYN_GROUPS, n, avgdl, k=50, mode="bm25"
+    ).select(
+        F.col("docid").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def q_bm25_single_term(spark, sf_dir):
     return _score_query(spark, sf_dir, Q_ONE, 20, "bm25", "wand")
 
@@ -2518,6 +2542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_occurrences": q_phrase_occurrences,  # phrase scan variant
         "orders_by_segment": q_orders_by_segment,  # TPC-H demo variant
         "events_sessions": q_events_sessions,   # native session_window op
+        "synonym_bm25": q_synonym_bm25,        # SynonymQuery semantics (scoring-kernel family)
     }
 
 
@@ -2570,6 +2595,23 @@ FROM tf JOIN qdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s""",
         "SELECT tf.term, tf.doc_id, tf.tf, dl.doc_len "
         "FROM tf JOIN dl USING (doc_id)",
         "bm25_top50": _bm25_sql(Q_MAIN, 50, "bm25"),
+        "synonym_bm25": f'''
+WITH {SQL_TOKS}, {SQL_TF}, {SQL_DL}, {SQL_STATS},
+syn AS (SELECT * FROM (VALUES ('table', 0), ('hash', 0), ('scan', 1),
+                              ('fast', 2)) m(term, gid)),
+pd AS (
+  SELECT tf.doc_id, m.gid, sum(tf.tf) AS tf
+  FROM tf JOIN syn m USING (term) GROUP BY 1, 2),
+gdf AS (SELECT gid, count(*)::BIGINT AS df FROM pd GROUP BY 1),
+contrib AS (
+  SELECT pd.doc_id,
+    ln((s.n - g.df + 0.5)/(g.df + 0.5) + 1) * pd.tf * {K1 + 1.0}
+      / (pd.tf + {K1} * (1 - {B} + {B} * dl.doc_len / s.avgdl)) AS part
+  FROM pd JOIN gdf g USING (gid) JOIN dl USING (doc_id)
+  CROSS JOIN stats s)
+SELECT doc_id, round(sum(part), 6) AS score
+FROM contrib GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 50''',
         "bm25_not_semantics": _bm25_sql(
             Q_MAIN, 50, "bm25", exclude=Q_ONE
         ),

@@ -157,6 +157,12 @@ def main(argv=None):
         'also accept the inline syntax "a b"~N',
     )
     q.add_argument(
+        "--synonyms", action="store_true",
+        help="expand query terms with the index's synonyms.json groups "
+        "(SynonymQuery semantics: summed tf, disjunction df; no-op "
+        "without the sidecar)",
+    )
+    q.add_argument(
         "--negation", action="store_true",
         help='Lucene-style NOT: "-term" tokens exclude docs containing '
         "them (opt-in; without the flag hyphens keep the reference's "
@@ -194,6 +200,18 @@ def main(argv=None):
     sp = sub.add_parser("spellindex")
     sp.add_argument("--index", required=True)
     sp.add_argument("--max-dist", type=int, default=2)
+
+    sy = sub.add_parser(
+        "synonyms",
+        help="write the query-time synonym sidecar (synonyms.json); "
+        "groups apply on search --synonyms / &synonyms=true",
+    )
+    sy.add_argument("--index", required=True)
+    sy.add_argument(
+        "--groups", required=True,
+        help="semicolon-separated groups of comma-separated words, "
+        'e.g. "fast,quick;car,auto"; an empty string clears the sidecar',
+    )
 
     rv = sub.add_parser(
         "revindex",
@@ -360,6 +378,24 @@ def main(argv=None):
                     "N": eng.n,
                     "avgdl": round(eng.avgdl, 3),
                     "maintain_sec": round(time.time() - t0, 2),
+                }
+            )
+        )
+    elif args.cmd == "synonyms":
+        from wiki_search_engine_spark.engine import SearchEngine
+
+        groups = [
+            [w.strip() for w in grp.split(",") if w.strip()]
+            for grp in args.groups.split(";")
+            if grp.strip()
+        ]
+        eng = SearchEngine.load(spark, args.index)
+        eng.set_synonyms(groups)
+        print(
+            json.dumps(
+                {
+                    "synonyms": f"{eng.index_dir}/synonyms.json",
+                    "groups": len(groups),
                 }
             )
         )
@@ -615,6 +651,7 @@ def main(argv=None):
                     rows = eng.search(
                         args.query, k=args.k, mode=args.mode,
                         path=args.path, negation=args.negation,
+                        synonyms=args.synonyms,
                     ).collect()
         except EmptyQueryError:
             # mirror the reference's HTTP 400 body

@@ -1,0 +1,147 @@
+"""Query-time synonym groups: sidecar round-trip, serving ==
+distributed operator identity, no-op and error contracts, HTTP."""
+
+import json
+import urllib.parse
+import urllib.request
+
+import pytest
+
+from wiki_search_engine_spark.sources.synth import vocabulary
+
+
+@pytest.fixture()
+def syn_words():
+    words, _ = vocabulary(42)
+    # positive query term + its configured synonym + an ordinary term
+    return words[3], words[9], words[50]
+
+
+def _clear(engine):
+    import os
+
+    p = f"{engine.index_dir}/synonyms.json"
+    if os.path.isfile(p):
+        os.remove(p)
+    engine._syn_map = None
+
+
+def test_synonyms_noop_without_sidecar(engine, syn_words):
+    a, _b, c = syn_words
+    _clear(engine)
+    q = f"{a} {c}"
+    assert engine.search_local(q, k=10, synonyms=True) == (
+        engine.search_local(q, k=10)
+    )
+
+
+def test_synonyms_match_distributed_operator(
+    spark, engine, corpus_df, syn_words
+):
+    from wiki_search_engine_spark.operators.scoring import (
+        score_synonyms,
+    )
+    from wiki_search_engine_spark.operators.tokenize import (
+        tokenize, with_docid,
+    )
+
+    a, b, c = syn_words
+    try:
+        engine.set_synonyms([[a, b]])
+        q = f"{a} {c}"
+        got = engine.search_local(q, k=10, synonyms=True)
+        # synonyms changed the result vs the plain query
+        assert got != engine.search_local(q, k=10)
+
+        ga = engine.analyze(a) + engine.analyze(b)
+        gc = engine.analyze(c)
+        tokens = tokenize(
+            with_docid(corpus_df, "url").select("docid", "text"),
+            stem=True,
+        )
+        exp = [
+            (int(r["docid"]), float(r["score"]))
+            for r in score_synonyms(
+                tokens, [ga, gc], engine.n, engine.avgdl, k=10,
+                mode="bm25",
+            ).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in exp]
+        for (gd, gs), (ed, es) in zip(got, exp):
+            assert gs == pytest.approx(es, rel=1e-9)
+    finally:
+        _clear(engine)
+
+
+def test_synonym_group_tf_sums(engine, syn_words):
+    """A doc containing both group members must score the group as one
+    pseudo-term with SUMMED tf — strictly different from plain OR over
+    the two terms (which double-counts idf saturation)."""
+    a, b, _c = syn_words
+    try:
+        engine.set_synonyms([[a, b]])
+        syn_res = dict(
+            engine.search_local(a, k=engine.n, synonyms=True)
+        )
+        or_res = dict(engine.search_local(f"{a} {b}", k=engine.n))
+        assert syn_res  # the group matched something
+        assert syn_res != or_res
+    finally:
+        _clear(engine)
+
+
+def test_synonyms_and_raises(engine, syn_words):
+    a, b, c = syn_words
+    try:
+        engine.set_synonyms([[a, b]])
+        with pytest.raises(ValueError):
+            engine.search_local(
+                f"{a} {c}", k=5, semantics="and", synonyms=True
+            )
+    finally:
+        _clear(engine)
+
+
+def test_synonyms_compose_with_negation(engine, syn_words):
+    a, b, c = syn_words
+    try:
+        engine.set_synonyms([[a, b]])
+        got = engine.search_local(
+            f"{a} -{c}", k=10, synonyms=True, negation=True
+        )
+        exc = {
+            int(d)
+            for arr in engine._excluded_docids_by_salt(
+                engine.analyze(c)
+            ).values()
+            for d in arr
+        }
+        assert all(d not in exc for d, _ in got)
+        base = engine.search_local(a, k=engine.n, synonyms=True)
+        assert got == [(d, s) for d, s in base if d not in exc][:10]
+    finally:
+        _clear(engine)
+
+
+def test_synonyms_over_http(engine, syn_words):
+    from wiki_search_engine_spark.server import start_server
+
+    a, b, c = syn_words
+    srv = start_server(engine, port=0, path_mode="local")
+    try:
+        engine.set_synonyms([[a, b]])
+        port = srv.server_address[1]
+        q = urllib.parse.quote(f"{a} {c}")
+        base = f"http://127.0.0.1:{port}/query-stem?query={q}"
+        with urllib.request.urlopen(
+            base + "&optionName=tfidf&synonyms=true", timeout=30
+        ) as r:
+            on = json.load(r)
+        exp = engine.search_local(
+            f"{a} {c}", k=50, mode="tfidf", synonyms=True
+        )
+        got_ids = [int(x["file_id"]) for x in on["textResult"]]
+        assert got_ids == [d for d, _ in exp[: len(got_ids)]]
+    finally:
+        _clear(engine)
+        srv.shutdown()

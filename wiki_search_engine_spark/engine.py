@@ -1128,6 +1128,132 @@ class SearchEngine:
         idx = np.lexsort((cand, -pscore))[: min(k, cand.size)]
         return [(int(cand[i]), float(pscore[i])) for i in idx]
 
+    def set_synonyms(self, groups: list[list[str]]) -> None:
+        """Write the query-time synonym sidecar (``synonyms.json``:
+        RAW word groups; members are analyzed at LOAD time so the
+        index's analyzer applies — a stemmed index gets stemmed
+        synonym matching for free, same contract as every other query
+        surface). Overwrites atomically (tmp + rename); pass [] to
+        clear."""
+        import json
+        import os
+
+        path = f"{self.index_dir}/synonyms.json"
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump([list(g) for g in groups], f)
+        os.replace(tmp, path)
+        self._syn_map = None
+
+    def _load_synonyms(self) -> dict[str, list[str]]:
+        """analyzed term -> full analyzed group (cached). Missing or
+        empty sidecar -> {} (synonyms=True is then a no-op, never an
+        error — the flag is safe to set unconditionally)."""
+        if getattr(self, "_syn_map", None) is not None:
+            return self._syn_map
+        import json
+        import os
+
+        path = f"{self.index_dir}/synonyms.json"
+        out: dict[str, list[str]] = {}
+        if os.path.isfile(path):
+            with open(path) as f:
+                for group in json.load(f):
+                    analyzed = list(
+                        dict.fromkeys(
+                            t
+                            for w in group
+                            for t in analyze_query(
+                                w, stem=self.stem, analyzer=self.analyzer
+                            )
+                        )
+                    )
+                    if len(analyzed) > 1:
+                        for t in analyzed:
+                            # last-wins on overlapping groups (documented)
+                            out[t] = analyzed
+        self._syn_map = out
+        return out
+
+    def _search_local_synonyms(
+        self, terms: list[str], k: int, mode: str,
+        exc_by_salt: dict | None = None,
+    ) -> list[tuple[int, float]]:
+        """Driver-side SynonymQuery scoring: each query term's group
+        (itself + sidecar synonyms) scores as ONE pseudo-term — per-doc
+        tf summed over members, df = docs containing ANY member (the
+        true disjunction df; operators/scoring.py score_synonyms
+        docstring has the Lucene comparison). Decoded-array form like
+        the AND path; rank-identical to the distributed operator
+        (pytest)."""
+        import numpy as np
+
+        from . import B, K1
+        from .operators.codec import decode_posting_list
+        from .oracle_py.oracle import bm25_idf, tfidf_idf
+
+        syn = self._load_synonyms()
+        groups = []
+        for t in dict.fromkeys(terms):
+            groups.append(list(dict.fromkeys([t] + syn.get(t, []))))
+        need = sorted({g for grp in groups for g in grp})
+        lists = self._cached_term_lists(need)
+        all_d, all_s = [], []
+        for grp in groups:
+            ds, tfs, dls = [], [], []
+            for g in grp:
+                df, salted = lists.get(g, (0, []))
+                if df <= 0:
+                    continue
+                for _salt, blocks in salted:
+                    d, tf, dl = decode_posting_list(
+                        [
+                            b if isinstance(b, dict) else b.asDict()
+                            for b in blocks
+                        ]
+                    )
+                    ds.append(d)
+                    tfs.append(tf)
+                    dls.append(dl)
+            if not ds:
+                continue
+            d = np.concatenate(ds)
+            tf = np.concatenate(tfs).astype(np.float64)
+            dl = np.concatenate(dls).astype(np.float64)
+            uniq, inv = np.unique(d, return_inverse=True)
+            tf_sum = np.zeros(uniq.size)
+            np.add.at(tf_sum, inv, tf)
+            dl_u = np.zeros(uniq.size)
+            dl_u[inv] = dl  # constant per doc
+            df_g = int(uniq.size)
+            idf = (
+                bm25_idf(self.n, df_g)
+                if mode == "bm25"
+                else tfidf_idf(self.n, df_g)
+            )
+            if mode == "bm25":
+                s = idf * tf_sum * (K1 + 1.0) / (
+                    tf_sum
+                    + K1 * (1.0 - B + B * dl_u / self.avgdl)
+                )
+            else:
+                s = tf_sum * idf
+            all_d.append(uniq)
+            all_s.append(s)
+        if not all_d:
+            return []
+        d = np.concatenate(all_d)
+        s = np.concatenate(all_s)
+        uniq, inv = np.unique(d, return_inverse=True)
+        scores = np.zeros(uniq.size)
+        np.add.at(scores, inv, s)
+        if exc_by_salt:
+            exc = np.concatenate(list(exc_by_salt.values()))
+            keep = ~np.isin(uniq, exc)
+            uniq, scores = uniq[keep], scores[keep]
+        idx = np.lexsort((uniq, -scores))[: min(k, uniq.size)]
+        return [(int(uniq[i]), float(scores[i])) for i in idx]
+
     def _excluded_docids_by_salt(
         self, excluded: list[str]
     ) -> dict[int, "np.ndarray"]:
@@ -1161,7 +1287,7 @@ class SearchEngine:
     def search_local(
         self, query: str, k: int = 50, mode: str = "bm25",
         semantics: str = "or", fuzzy: bool = False,
-        negation: bool = False,
+        negation: bool = False, synonyms: bool = False,
     ) -> list[tuple[int, float]]:
         """Serve a query entirely on the DRIVER: pyarrow reads of the
         terms' bucket directories (row-group pruned on the term-sorted
@@ -1214,10 +1340,19 @@ class SearchEngine:
                 "path needs the lexicon side table; rebuild the index or "
                 "use path='wand'"
             )
-        lists = self._cached_term_lists(terms)
         exc_by_salt = (
             self._excluded_docids_by_salt(excluded) if excluded else {}
         )
+        if synonyms and self._load_synonyms():
+            if semantics == "and":
+                raise ValueError(
+                    "synonyms compose with OR semantics only (a "
+                    "synonym group IS a disjunction)"
+                )
+            return self._search_local_synonyms(
+                terms, k, mode, exc_by_salt
+            )
+        lists = self._cached_term_lists(terms)
         if semantics == "and":
             return self._search_local_and(
                 lists, terms, k, mode, exc_by_salt
@@ -1323,6 +1458,7 @@ class SearchEngine:
         path: str = "wand",
         semantics: str = "or",
         negation: bool = False,
+        synonyms: bool = False,
     ) -> DataFrame:
         """Top-k (docid, score). ``path``: 'wand' = block-max pruned kernel;
         'exhaustive' = decode + Catalyst aggregation (oracle path);
@@ -1336,6 +1472,11 @@ class SearchEngine:
         reference's bag behavior): served local (per-shard filtered
         top-k) or exhaustive (LEFT ANTI join before the cut); a 'wand'
         request downgrades to exhaustive."""
+        if synonyms and path != "local":
+            raise ValueError(
+                "synonym expansion is served by the local path (the "
+                "distributed twin is operators/scoring.score_synonyms)"
+            )
         excluded: list[str] = []
         if negation and path != "local":
             from .functions.analyzer import split_negations
@@ -1371,7 +1512,7 @@ class SearchEngine:
             rows = [
                 (int(d), float(s)) for d, s in self.search_local(
                     query, k=k, mode=mode, semantics=semantics,
-                    negation=negation,
+                    negation=negation, synonyms=synonyms,
                 )
             ]
             return self.spark.createDataFrame(
@@ -1494,6 +1635,7 @@ class SearchEngine:
         path: str = "wand",
         with_images: bool = False,
         negation: bool = False,
+        synonyms: bool = False,
     ) -> DataFrame:
         """Hydrated top-k: (docid, url, title, snippet, score) — the
         reference's result-fetch join (mongoService.js:75-113: $in over
@@ -1511,7 +1653,8 @@ class SearchEngine:
         id_rows = [
             (int(r["docid"]), float(r["score"]))
             for r in self.search_ids(
-                query, k=k, mode=mode, path=path, negation=negation
+                query, k=k, mode=mode, path=path, negation=negation,
+                synonyms=synonyms,
             ).collect()
         ]
         docs = self.spark.read.parquet(f"{self.index_dir}/docs")
@@ -1554,6 +1697,7 @@ class SearchEngine:
         fuzzy: bool = False,
         highlight: bool = False,
         negation: bool = False,
+        synonyms: bool = False,
     ) -> dict:
         """The reference's full HTTP response shape
         (backend/controllers/queryController.js:11-59):
@@ -1608,12 +1752,17 @@ class SearchEngine:
                 ]
             return self.search_local(
                 query, k=k, mode=mode, semantics=semantics, fuzzy=fuzzy,
-                negation=negation,
+                negation=negation, synonyms=synonyms,
             )
 
         if fuzzy and path != "local":
             raise ValueError(
                 "fuzzy (did-you-mean) is served by the local path"
+            )
+        if synonyms and path != "local":
+            raise ValueError(
+                "synonym expansion is served by the local path (the "
+                "distributed twin is operators/scoring.score_synonyms)"
             )
         # highlight/corrections analyze the POSITIVE part only — an
         # excluded term never appears in results

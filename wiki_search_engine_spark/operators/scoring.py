@@ -112,3 +112,59 @@ def score_exhaustive(
     if k is None:
         return agg
     return agg.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+
+
+def score_synonyms(
+    tokens: DataFrame,
+    groups: list[list[str]],
+    n: int,
+    avgdl: float,
+    k: int | None = 50,
+    mode: str = "bm25",
+) -> DataFrame:
+    """Top-k with query-time synonym groups: each group of analyzed
+    terms scores as ONE pseudo-term whose per-doc tf is the SUM of the
+    group's tfs and whose df is the DOC FREQUENCY OF THE DISJUNCTION
+    (count of docs containing any group member).
+
+    This is Lucene's SynonymQuery semantics with one deliberate
+    difference: Lucene approximates the group df with the max member
+    df (cheap from per-term stats); here the true disjunction df is
+    one extra hash aggregate over rows the query already touched, and
+    it is what the BM25 saturation actually means — a synonym group
+    behaves exactly like a single vocabulary item.
+
+    Plan shape: broadcast the (term -> gid) mapping (query-sized),
+    one hash aggregate to (docid, gid) with map-side partial combine,
+    one group-sized aggregate for df, broadcast it back, then the
+    standard accumulate + TakeOrderedAndProject — no corpus-sized
+    shuffle beyond the per-(doc, gid) rows the matched terms produce."""
+    mapping = [
+        (t, gid) for gid, terms in enumerate(groups) for t in set(terms)
+    ]
+    if not mapping:
+        return tokens.sparkSession.createDataFrame(
+            [], "docid long, score double"
+        )
+    mdf = tokens.sparkSession.createDataFrame(
+        mapping, "term string, gid int"
+    )
+    per_doc = (
+        tokens.join(F.broadcast(mdf), "term")
+        .groupBy("docid", "gid")
+        .agg(
+            F.sum("tf").cast("int").alias("tf"),
+            # doc_len is constant per doc
+            F.first("doc_len").alias("doc_len"),
+        )
+    )
+    gdf = per_doc.groupBy("gid").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    scored = per_doc.join(F.broadcast(gdf), "gid").withColumn(
+        "partial", score_expr(mode, n, avgdl)
+    )
+    agg = scored.groupBy("docid").agg(F.sum("partial").alias("score"))
+    if k is None:
+        return agg
+    return agg.orderBy(F.desc("score"), F.asc("docid")).limit(k)

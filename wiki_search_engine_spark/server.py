@@ -132,9 +132,26 @@ class _Handler(BaseHTTPRequestHandler):
         negation = (qs.get("negation") or ["false"])[0].lower() in (
             "1", "true", "yes",
         )
+        # &synonyms=true — query-time synonym groups from the index's
+        # synonyms.json sidecar (no-op when the sidecar is absent)
+        synonyms = (qs.get("synonyms") or ["false"])[0].lower() in (
+            "1", "true", "yes",
+        )
         kwargs = {}
         if negation:
             kwargs["negation"] = True
+        if synonyms:
+            if not hasattr(self.server.engine, "set_synonyms"):
+                self._send(
+                    400,
+                    {
+                        "success": False, "result": [],
+                        "error": "synonym expansion is single-index "
+                        "only",
+                    },
+                )
+                return
+            kwargs["synonyms"] = True
         if highlight and hasattr(self.server.engine, "fuzzy_terms"):
             kwargs["highlight"] = True
         if fuzzy:
