@@ -347,6 +347,19 @@ def q_bm25_not_semantics(spark, sf_dir):
     )
 
 
+def q_bigram_pmi(spark, sf_dir):
+    """Collocation mining: top-25 adjacent bigrams by PMI, min_count=5
+    (operators/collocations.py — one codegen pair explode, two hash
+    aggs, AQE-planned joins)."""
+    from wiki_search_engine_spark.operators.collocations import (
+        bigram_pmi,
+    )
+
+    return bigram_pmi(
+        _docs(spark, sf_dir), min_count=5, k=25
+    )
+
+
 SYN_GROUPS = [["table", "hash"], ["scan"], ["fast"]]
 
 
@@ -2543,6 +2556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_by_segment": q_orders_by_segment,  # TPC-H demo variant
         "events_sessions": q_events_sessions,   # native session_window op
         "synonym_bm25": q_synonym_bm25,        # SynonymQuery semantics (scoring-kernel family)
+        "bigram_pmi": q_bigram_pmi,             # collocation mining (agg family)
     }
 
 
@@ -2595,6 +2609,32 @@ FROM tf JOIN qdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s""",
         "SELECT tf.term, tf.doc_id, tf.tf, dl.doc_len "
         "FROM tf JOIN dl USING (doc_id)",
         "bm25_top50": _bm25_sql(Q_MAIN, 50, "bm25"),
+        "bigram_pmi": r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents),
+uni AS (
+  SELECT unnest(t) AS w FROM tok),
+uc AS (SELECT w, count(*)::BIGINT AS c FROM uni GROUP BY 1),
+tot AS (SELECT sum(c)::DOUBLE AS T FROM uc),
+pairs AS (
+  SELECT unnest([struct_pack(w1 := t[i], w2 := t[i+1])
+                 for i in range(1, len(t))]) AS p
+  FROM tok WHERE len(t) >= 2),
+pc AS (
+  SELECT p.w1 AS w1, p.w2 AS w2, count(*)::BIGINT AS n_pair
+  FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5),
+ptot AS (SELECT count(*)::DOUBLE AS P FROM pairs)
+SELECT pc.w1, pc.w2, pc.n_pair,
+  round(ln((pc.n_pair / ptot.P)
+           / ((u1.c / tot.T) * (u2.c / tot.T))), 6) AS pmi
+FROM pc
+JOIN uc u1 ON u1.w = pc.w1
+JOIN uc u2 ON u2.w = pc.w2
+CROSS JOIN tot CROSS JOIN ptot
+ORDER BY pmi DESC, w1, w2 LIMIT 25""",
         "synonym_bm25": f'''
 WITH {SQL_TOKS}, {SQL_TF}, {SQL_DL}, {SQL_STATS},
 syn AS (SELECT * FROM (VALUES ('table', 0), ('hash', 0), ('scan', 1),

@@ -123,6 +123,48 @@ def test_synonyms_compose_with_negation(engine, syn_words):
         _clear(engine)
 
 
+def test_tiered_synonyms_match_compacted(
+    spark, engine, corpus_df, syn_words, tmp_path
+):
+    """A 2-segment tiered view serves synonym queries identically to
+    the compacted index; the NEWEST segment's sidecar wins."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from wiki_search_engine_spark.engine import SearchEngine
+    from wiki_search_engine_spark.tiered import TieredEngine
+
+    a, b, c = syn_words
+    try:
+        engine.set_synonyms([[a, b]])
+        half = corpus_df.count() // 2
+        w = corpus_df.withColumn(
+            "_r", F.row_number().over(Window.orderBy("url"))
+        )
+        ea = SearchEngine.build(
+            spark, w.filter(F.col("_r") <= half).drop("_r"),
+            str(tmp_path / "syn_a"), stem=True,
+            n_buckets=16, bucket_groups=1, salt_bits=2,
+        )
+        eb = SearchEngine.build(
+            spark, w.filter(F.col("_r") > half).drop("_r"),
+            str(tmp_path / "syn_b"), stem=True,
+            n_buckets=16, bucket_groups=1, salt_bits=2,
+        )
+        # sidecar only on the NEWEST segment
+        eb.set_synonyms([[a, b]])
+        teng = TieredEngine(spark, [ea.index_dir, eb.index_dir])
+        q = f"{a} {c}"
+        got = teng.search_local(q, k=10, synonyms=True)
+        exp = engine.search_local(q, k=10, synonyms=True)
+        assert len(got) == len(exp) and got
+        for (gd, gs), (ed, es) in zip(got, exp):
+            assert gd == ed
+            assert gs == pytest.approx(es, rel=1e-9)
+    finally:
+        _clear(engine)
+
+
 def test_synonyms_over_http(engine, syn_words):
     from wiki_search_engine_spark.server import start_server
 

@@ -141,13 +141,13 @@ class _Handler(BaseHTTPRequestHandler):
         if negation:
             kwargs["negation"] = True
         if synonyms:
-            if not hasattr(self.server.engine, "set_synonyms"):
+            if not hasattr(self.server.engine, "_load_synonyms"):
                 self._send(
                     400,
                     {
                         "success": False, "result": [],
-                        "error": "synonym expansion is single-index "
-                        "only",
+                        "error": "synonym expansion is unsupported by "
+                        "this engine",
                     },
                 )
                 return

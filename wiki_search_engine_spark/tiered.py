@@ -348,10 +348,103 @@ class TieredEngine:
                 out[t] = (df, parts)
         return out
 
+    def _load_synonyms(self) -> dict[str, list[str]]:
+        """Query-time synonym map over a segment list: the NEWEST
+        segment carrying a ``synonyms.json`` wins (same delta-wins rule
+        as every other tiered override); {} when none has one. Cached
+        per TieredEngine instance."""
+        if getattr(self, "_syn_map", None) is not None:
+            return self._syn_map
+        out: dict[str, list[str]] = {}
+        for eng in reversed(self.engines):
+            import os
+
+            if os.path.isfile(f"{eng.index_dir}/synonyms.json"):
+                out = eng._load_synonyms()
+                break
+        self._syn_map = out
+        return out
+
+    def _search_local_synonyms(
+        self, terms: list[str], k: int, mode: str,
+        excluded: list[str] | None = None,
+    ) -> list[tuple[int, float]]:
+        """Tiered SynonymQuery scoring: per query term, the group's
+        LIVE postings (tombstone-subtracted, newest-segment-wins)
+        merge into one pseudo-term — per-doc tf summed across members
+        AND segments, df = live docs containing any member. Scores use
+        the live n/avgdl, so results equal the compacted index's
+        synonym path (pytest)."""
+        syn = self._load_synonyms()
+        groups = [
+            list(dict.fromkeys([t] + syn.get(t, [])))
+            for t in dict.fromkeys(terms)
+        ]
+        need = sorted({g for grp in groups for g in grp})
+        live = self._live_term_postings_many(need)
+        all_d, all_s = [], []
+        for grp in groups:
+            ds, tfs, dls = [], [], []
+            for g in grp:
+                df, parts = live.get(g, (0, []))
+                if not df:
+                    continue
+                for d, tf, dl in parts:
+                    ds.append(d)
+                    tfs.append(tf)
+                    dls.append(dl)
+            if not ds:
+                continue
+            d = np.concatenate(ds)
+            tf = np.concatenate(tfs).astype(np.float64)
+            dl = np.concatenate(dls).astype(np.float64)
+            uniq, inv = np.unique(d, return_inverse=True)
+            tf_sum = np.zeros(uniq.size)
+            np.add.at(tf_sum, inv, tf)
+            dl_u = np.zeros(uniq.size)
+            dl_u[inv] = dl
+            df_g = int(uniq.size)
+            idf = (
+                bm25_idf(self.n, df_g)
+                if mode == "bm25"
+                else tfidf_idf(self.n, df_g)
+            )
+            if mode == "bm25":
+                s = idf * tf_sum * (K1 + 1.0) / (
+                    tf_sum + K1 * (1.0 - B + B * dl_u / self.avgdl)
+                )
+            else:
+                s = tf_sum * idf
+            all_d.append(uniq)
+            all_s.append(s)
+        if not all_d:
+            return []
+        d = np.concatenate(all_d)
+        s = np.concatenate(all_s)
+        uniq, inv = np.unique(d, return_inverse=True)
+        scores = np.zeros(uniq.size)
+        np.add.at(scores, inv, s)
+        if excluded:
+            live_exc = self._live_term_postings_many(
+                list(dict.fromkeys(excluded))
+            )
+            exc_parts = [
+                dd
+                for _t, (df, parts) in live_exc.items()
+                if df
+                for dd, _tf, _dl in parts
+            ]
+            if exc_parts:
+                exc = np.unique(np.concatenate(exc_parts))
+                keep = ~np.isin(uniq, exc)
+                uniq, scores = uniq[keep], scores[keep]
+        idx = np.lexsort((uniq, -scores))[: min(k, uniq.size)]
+        return [(int(uniq[i]), float(scores[i])) for i in idx]
+
     def search_local(
         self, query: str, k: int = 50, mode: str = "bm25",
         semantics: str = "or", fuzzy: bool = False,
-        negation: bool = False,
+        negation: bool = False, synonyms: bool = False,
     ) -> list[tuple[int, float]]:
         """Driver-side tiered top-k, rank- and score-identical to the
         compacted index (exact live df/N/avgdl — see module doc).
@@ -384,6 +477,15 @@ class TieredEngine:
             terms, _ = self.fuzzy_terms(terms)
         if excluded and set(terms) & set(excluded):
             return []  # boolean contradiction: +t AND -t
+        if synonyms and self._load_synonyms():
+            if semantics == "and":
+                raise ValueError(
+                    "synonyms compose with OR semantics only (a "
+                    "synonym group IS a disjunction)"
+                )
+            return self._search_local_synonyms(
+                terms, k, mode, excluded=excluded or None
+            )
         all_d, all_s = [], []
         and_common = None
         live = self._live_term_postings_many(list(dict.fromkeys(terms)))
@@ -1025,6 +1127,7 @@ class TieredEngine:
         page: int | None = None, per_page: int = 10,
         phrase: bool = False, fuzzy: bool = False,
         highlight: bool = False, negation: bool = False,
+        synonyms: bool = False,
     ) -> dict:
         """The reference HTTP response shape over tiered serving — the
         shared assembler (engine.py assemble_reference_response) with
@@ -1071,7 +1174,7 @@ class TieredEngine:
                 ]
             return self.search_local(
                 query, k=k, mode=mode, semantics=semantics, fuzzy=fuzzy,
-                negation=negation,
+                negation=negation, synonyms=synonyms,
             )
 
         if fuzzy and path != "local":
@@ -1079,6 +1182,10 @@ class TieredEngine:
             # come from the driver-side SymSpell layouts
             raise ValueError(
                 "fuzzy (did-you-mean) is served by the local path"
+            )
+        if synonyms and path != "local":
+            raise ValueError(
+                "synonym expansion is served by the local tiered path"
             )
         # highlight/corrections analyze the POSITIVE part only — an
         # excluded term never appears in results
