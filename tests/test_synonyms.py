@@ -165,6 +165,35 @@ def test_tiered_synonyms_match_compacted(
         _clear(engine)
 
 
+def test_carry_synonyms_through_merge(tmp_path):
+    """Lifecycle ops keep the sidecar: delta wins when both inputs
+    carry one; base's survives a delete; absent stays absent."""
+    import json
+    import os
+
+    from wiki_search_engine_spark.plans.merge import _carry_synonyms
+
+    base, delta, out = (
+        str(tmp_path / d) for d in ("base", "delta", "out")
+    )
+    for d in (base, delta, out):
+        os.makedirs(d)
+    json.dump([["a", "b"]], open(f"{base}/synonyms.json", "w"))
+    json.dump([["c", "d"]], open(f"{delta}/synonyms.json", "w"))
+    _carry_synonyms(base, delta, out)
+    assert json.load(open(f"{out}/synonyms.json")) == [["c", "d"]]
+    # delete path: no delta — base's config survives
+    os.remove(f"{out}/synonyms.json")
+    _carry_synonyms(base, None, out)
+    assert json.load(open(f"{out}/synonyms.json")) == [["a", "b"]]
+    # neither input has one -> none written
+    os.remove(f"{out}/synonyms.json")
+    os.remove(f"{base}/synonyms.json")
+    os.remove(f"{delta}/synonyms.json")
+    _carry_synonyms(base, delta, out)
+    assert not os.path.exists(f"{out}/synonyms.json")
+
+
 def test_synonyms_over_http(engine, syn_words):
     from wiki_search_engine_spark.server import start_server
 

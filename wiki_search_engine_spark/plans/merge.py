@@ -160,6 +160,24 @@ def _read_avgdl(index_dir: str) -> float:
 DOCID_BROADCAST_LIMIT = 100_000_000
 
 
+def _carry_synonyms(
+    base_dir: str, delta_dir: str | None, out_dir: str
+) -> None:
+    """Synonyms are query-time CONFIG, not lexicon-derived data — a
+    merge/delete/compact output keeps serving the same groups. Delta
+    wins when both inputs carry a sidecar (the same newest-wins rule
+    tiered serving applies to segment sidecars)."""
+    import shutil
+
+    for src in (delta_dir, base_dir):
+        if src is None:
+            continue
+        p = f"{src}/synonyms.json"
+        if os.path.isfile(p):
+            shutil.copyfile(p, f"{out_dir}/synonyms.json")
+            return
+
+
 def merge_indexes(
     spark: SparkSession,
     base_dir: str,
@@ -207,6 +225,7 @@ def merge_indexes(
     os.makedirs(out_dir, exist_ok=True)
     with open(f"{out_dir}/meta.json", "w") as f:
         json.dump({**meta_b, "positions": carry_positions}, f)
+    _carry_synonyms(base_dir, delta_dir, out_dir)
 
     # the delta's corpus universe = its docs side table (includes docs
     # whose new version has zero indexed terms — their stale base
@@ -404,6 +423,7 @@ def delete_docs(
     os.makedirs(out_dir, exist_ok=True)
     with open(f"{out_dir}/meta.json", "w") as f:
         json.dump({**meta_b, "positions": carry_positions}, f)
+    _carry_synonyms(base_dir, None, out_dir)
 
     updated_df = _docid_df(spark, updated)
     big_delete = updated.size > docid_broadcast_limit

@@ -154,7 +154,7 @@ def events_windowed_counts(
 # entries a complete index snapshot may contain (enrollment move list)
 INDEX_ENTRIES = (
     "meta.json", "manifest.json", "postings", "docs", "doc_stats",
-    "stats", "term_stats", "positions", "spell",
+    "stats", "term_stats", "positions", "spell", "synonyms.json",
 )
 
 
