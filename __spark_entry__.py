@@ -739,6 +739,26 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_decontaminate_xx64(spark, sf_dir):
+    """Production decontamination mode: grams join on xxhash64 (8-byte
+    keys) instead of strings — bench line only; the string mode is the
+    oracle gate (candidate-superset pytest covers this one)."""
+    from wiki_search_engine_spark.operators.decontaminate import (
+        contaminated_docs, ws_token_array,
+    )
+
+    docs = _docs(spark, sf_dir)
+    toks = ws_token_array(F.col("text"))
+    eval_df = docs.filter(
+        (F.col("doc_id") % 17 == 3) & (F.size(toks) >= 25)
+    ).select(F.array_join(F.slice(toks, 6, 20), " ").alias("text"))
+    return (
+        contaminated_docs(docs, eval_df, n=13, join_on="xxhash64")
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "n_hits")
+        .orderBy("doc_id")
+    )
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction pass: emails/IPv4/phones injected deterministically
     by doc_id residue, then counted and masked by the codegen regexp
@@ -2557,7 +2577,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,   # native session_window op
         "synonym_bm25": q_synonym_bm25,        # SynonymQuery semantics (scoring-kernel family)
         "bigram_pmi": q_bigram_pmi,             # collocation mining (agg family)
+        "decontaminate_xx64": q_decontaminate_xx64,  # hash-join production mode
     }
+
+
+_DECONTAM_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents),
+ev AS (
+  SELECT DISTINCT array_to_string(t[6:25], ' ') AS q
+  FROM tok WHERE doc_id % 17 = 3 AND len(t) >= 25),
+evt AS (
+  SELECT list_filter(regexp_split_to_array(lower(q), '\s+'),
+                     x -> x <> '') AS et
+  FROM ev),
+evg AS (
+  SELECT DISTINCT unnest(
+    [array_to_string(et[i+1:i+13], ' ') for i in range(0, len(et)-12)]
+  ) AS gram
+  FROM evt WHERE len(et) >= 13),
+dg AS (
+  SELECT doc_id, unnest(
+    [array_to_string(t[i+1:i+13], ' ') for i in range(0, len(t)-12)]
+  ) AS gram
+  FROM tok WHERE len(t) >= 13)
+SELECT dg.doc_id, count(DISTINCT dg.gram)::BIGINT AS n_hits
+FROM dg JOIN evg USING (gram)
+GROUP BY dg.doc_id
+ORDER BY doc_id"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3011,33 +3061,8 @@ FROM d WHERE round(dp / (na * nb), 6) >= {NEARDUP_T}""",
 WITH {SQL_POS_TOKS}, {SQL_SHINGLES}
 SELECT doc_id, min(md5(shingle)) AS fingerprint
 FROM sh GROUP BY doc_id""",
-        "decontaminate": r"""
-WITH tok AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\s+'),
-                     x -> x <> '') AS t
-  FROM documents),
-ev AS (
-  SELECT DISTINCT array_to_string(t[6:25], ' ') AS q
-  FROM tok WHERE doc_id % 17 = 3 AND len(t) >= 25),
-evt AS (
-  SELECT list_filter(regexp_split_to_array(lower(q), '\s+'),
-                     x -> x <> '') AS et
-  FROM ev),
-evg AS (
-  SELECT DISTINCT unnest(
-    [array_to_string(et[i+1:i+13], ' ') for i in range(0, len(et)-12)]
-  ) AS gram
-  FROM evt WHERE len(et) >= 13),
-dg AS (
-  SELECT doc_id, unnest(
-    [array_to_string(t[i+1:i+13], ' ') for i in range(0, len(t)-12)]
-  ) AS gram
-  FROM tok WHERE len(t) >= 13)
-SELECT dg.doc_id, count(DISTINCT dg.gram)::BIGINT AS n_hits
-FROM dg JOIN evg USING (gram)
-GROUP BY dg.doc_id
-ORDER BY doc_id""",
+        "decontaminate": _DECONTAM_SQL,
+        "decontaminate_xx64": _DECONTAM_SQL,
         "pii_scrub": r"""
 WITH injected AS (
   SELECT doc_id,

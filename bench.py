@@ -359,6 +359,7 @@ def main() -> None:
         ("mg_heavy_hitters", E.q_term_heavy_hitters),
         ("phrase_bm25_scan", E.q_phrase_bm25),
         ("decontaminate", E.q_decontaminate),
+        ("decontaminate_xx64", E.q_decontaminate_xx64),
         ("pii_scrub", E.q_pii_scrub),
         ("repetition_flags", E.q_repetition_flags),
     ]:

@@ -69,6 +69,32 @@ def test_contaminated_docs_vs_bruteforce(spark, pipe_docs):
     assert 3 not in got and 5 not in got
 
 
+def test_contaminated_hash_mode_superset(spark, pipe_docs):
+    """xxhash64 production mode: flagged set is a superset of the
+    string mode's (collisions only add), and on real data equal."""
+    eval_df = spark.createDataFrame(
+        [
+            ("alpha beta gamma delta epsilon zeta eta theta iota "
+             "kappa lambda mu nu",),
+        ],
+        ["text"],
+    )
+    exact = {
+        r["doc_id"]: r["n_hits"]
+        for r in contaminated_docs(pipe_docs, eval_df, n=13).collect()
+    }
+    hashed = {
+        r["doc_id"]: r["n_hits"]
+        for r in contaminated_docs(
+            pipe_docs, eval_df, n=13, join_on="xxhash64"
+        ).collect()
+    }
+    assert set(hashed) >= set(exact)
+    for d, c in exact.items():
+        assert hashed[d] >= c
+    assert hashed == exact  # no collisions at this scale
+
+
 def test_contaminated_docs_short_docs_safe(spark, pipe_docs):
     # docs shorter than n must not crash Spark's sequence()
     eval_df = spark.createDataFrame([("short doc",)], ["text"])

@@ -69,21 +69,40 @@ def contaminated_docs(
     n: int = 13,
     doc_id_col: str = "doc_id",
     text_col: str = "text",
+    join_on: str = "gram",
 ) -> DataFrame:
     """(doc_id, n_hits) for every training doc that shares at least one
     n-gram with the eval set; n_hits = DISTINCT overlapping grams.
 
     Plan: corpus scan -> codegen gram explode -> BroadcastHashJoin
     against the distinct eval grams -> partial + final count per doc.
-    Docs with zero overlap never leave the map side."""
+    Docs with zero overlap never leave the map side.
+
+    ``join_on``: 'gram' (default) joins on the gram STRING — the
+    DuckDB-oracle-exact mode; 'xxhash64' joins on the 8-byte JVM
+    xxhash64 of the gram — the production mode at 100 TB (the exploded
+    rows and the broadcast table shrink from ~13-token strings to one
+    long each; same md5-vs-xxhash64 trade as operators/dedup.py). Hash
+    collisions can only ADD candidates (~2^-64 each), never lose one —
+    the candidate-superset pytest gates it."""
+    if join_on not in ("gram", "xxhash64"):
+        raise ValueError(f"unknown join_on: {join_on}")
     toks = ws_token_array(F.col(text_col))
     doc_grams = docs.select(
         F.col(doc_id_col).alias("doc_id"),
         F.explode(ngrams_col(toks, n)).alias("gram"),
     )
-    ev = F.broadcast(eval_ngrams(eval_df, n=n, text_col=text_col))
+    ev = eval_ngrams(eval_df, n=n, text_col=text_col)
+    if join_on == "xxhash64":
+        doc_grams = doc_grams.select(
+            "doc_id", F.xxhash64("gram").alias("g")
+        )
+        ev = ev.select(F.xxhash64("gram").alias("g")).distinct()
+        key = "g"
+    else:
+        key = "gram"
     return (
-        doc_grams.join(ev, "gram")
+        doc_grams.join(F.broadcast(ev), key)
         .groupBy("doc_id")
-        .agg(F.count_distinct("gram").cast("long").alias("n_hits"))
+        .agg(F.count_distinct(key).cast("long").alias("n_hits"))
     )
