@@ -212,3 +212,43 @@ def test_negation_over_http(spark, engine, neg_query):
         assert off["textResult"] != on["textResult"]
     finally:
         srv.shutdown()
+
+
+def test_tiered_wildcard_matches_single(
+    spark, engine, corpus_df, tmp_path
+):
+    """Append-only segment list: wildcard expansion (summed stored df
+    == live df) and scoring equal the compacted index."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from wiki_search_engine_spark.engine import SearchEngine
+    from wiki_search_engine_spark.sources.synth import vocabulary
+    from wiki_search_engine_spark.tiered import TieredEngine
+
+    half = corpus_df.count() // 2
+    w = corpus_df.withColumn(
+        "_r", F.row_number().over(Window.orderBy("url"))
+    )
+    ea = SearchEngine.build(
+        spark, w.filter(F.col("_r") <= half).drop("_r"),
+        str(tmp_path / "wc_a"), stem=True,
+        n_buckets=16, bucket_groups=1, salt_bits=2,
+    )
+    eb = SearchEngine.build(
+        spark, w.filter(F.col("_r") > half).drop("_r"),
+        str(tmp_path / "wc_b"), stem=True,
+        n_buckets=16, bucket_groups=1, salt_bits=2,
+    )
+    teng = TieredEngine(spark, [ea.index_dir, eb.index_dir])
+    words, _ = vocabulary(42)
+    pattern = words[3][:2] + "*"
+    assert teng.expand_wildcard(pattern) == engine.expand_wildcard(
+        pattern
+    )
+    q = f"{pattern} {words[50]}"
+    got = teng.search_local(q, k=10)
+    exp = engine.search_local(q, k=10)
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (gd, gs), (ed, es) in zip(got, exp):
+        assert gs == pytest.approx(es, rel=1e-9)

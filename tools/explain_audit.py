@@ -356,6 +356,46 @@ def main() -> None:
         must_not=[r"SortMergeJoin"],
     )
 
+    # ---- Lucene NOT: the exclusion must be an ANTI join BEFORE the
+    # top-k cut (a post-cut filter under-fills k), and the excluded
+    # side must stay an aggregate of the token relation — never a
+    # second corpus-wide sort
+    from wiki_search_engine_spark.operators.scoring import (
+        score_exhaustive,
+    )
+    from wiki_search_engine_spark.operators.tokenize import tokenize
+
+    from wiki_search_engine_spark.operators.tokenize import with_docid
+
+    toks_not = tokenize(
+        with_docid(synth_corpus(spark, 200, partitions=4), "url")
+        .select("docid", "text"),
+        stem=True,
+    )
+    not_df = score_exhaustive(
+        toks_not, ["tabl", "scan"], 1000, 50.0, k=10,
+        exclude_terms=["fast"],
+    )
+    nplan = plan_of(not_df)
+    check(
+        "not_anti_join_before_topk",
+        nplan,
+        must=[r"(?i)anti", r"TakeOrderedAndProject"],
+    )
+    # the anti join must appear ABOVE (earlier plan id than) the top-k
+    anti_pos = re.search(r"(?i)anti", nplan)
+    topk_pos = re.search(r"TakeOrderedAndProject", nplan)
+    if anti_pos and topk_pos and anti_pos.start() > topk_pos.start():
+        # formatted plans print root (TakeOrdered) first, so the anti
+        # join must appear AFTER it textually == below the cut in the
+        # tree == applied before it at runtime
+        print("PASS not_filter_below_cut")
+    else:
+        FAILURES.append(
+            "bm25_not: anti join not below the top-k cut in the plan"
+        )
+        print("FAIL not_filter_below_cut")
+
     spark.stop()
     if FAILURES:
         print("\n".join("AUDIT FAIL: " + f for f in FAILURES))

@@ -348,6 +348,50 @@ class TieredEngine:
                 out[t] = (df, parts)
         return out
 
+    def expand_wildcard(
+        self, pattern: str, cap: int | None = None
+    ) -> list[tuple[str, int]]:
+        """Tiered wildcard expansion: each segment's lexicon expands
+        the pattern UNCAPPED (the forward/reversed range scan of
+        engine.expand_wildcard — a per-segment cap-then-union would
+        starve terms ranked below cap in every segment), stored dfs
+        sum across segments, top-``cap`` by (df desc, term asc).
+
+        Honesty note: summed STORED df is an upper bound on live df
+        when overrides/tombstones exist, so the cap boundary can admit
+        a term the compacted index's expansion would rank just below
+        it (scoring itself stays exact-live for whichever terms
+        expand; fully-tombstoned terms score zero and drop). On
+        append-only segment lists stored == live and the expansion is
+        identical to the compacted index (pytest)."""
+        from .engine import SearchEngine
+
+        cap = cap or SearchEngine.MAX_WILDCARD_EXPANSIONS
+        agg: dict[str, int] = {}
+        for eng in self.engines:
+            for t, df in eng.expand_wildcard(pattern, cap=1 << 30):
+                agg[t] = agg.get(t, 0) + int(df)
+        ranked = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:cap]
+
+    def expand_query_terms(self, query: str) -> list[str]:
+        """Wildcard-aware tiered query analysis — the segment-list
+        twin of SearchEngine.expand_query_terms (same token split,
+        same skip-on-unanchored contract)."""
+        from .engine import EmptyQueryError
+
+        parts = (query or "").split()
+        wild = [p for p in parts if "*" in p and len(p) > 1]
+        rest = " ".join(p for p in parts if p not in set(wild))
+        terms = self.analyze(rest) if rest.strip() else []
+        for w in wild:
+            try:
+                matches = self.expand_wildcard(w)
+            except EmptyQueryError:
+                continue
+            terms.extend(t for t, _df in matches)
+        return list(dict.fromkeys(terms))
+
     def _load_synonyms(self) -> dict[str, list[str]]:
         """Query-time synonym map over a segment list: the NEWEST
         segment carrying a ``synonyms.json`` wins (same delta-wins rule
@@ -470,7 +514,12 @@ class TieredEngine:
                     excluded = []
             if not query.strip():
                 return []
-        terms = self.analyze(query)
+        terms = (
+            # wildcard tokens expand over the union of segment lexicons
+            self.expand_query_terms(query)
+            if "*" in (query or "")
+            else self.analyze(query)
+        )
         if not terms or not self.n:
             return []
         if fuzzy:
@@ -1011,7 +1060,11 @@ class TieredEngine:
                 return self.spark.createDataFrame(
                     [], "docid long, score double"
                 )
-        terms = self.analyze(query)
+        terms = (
+            self.expand_query_terms(query)
+            if "*" in (query or "")
+            else self.analyze(query)
+        )
         if not terms:
             return self.spark.createDataFrame(
                 [], "docid long, score double"
