@@ -437,6 +437,20 @@ def main() -> None:
         eng.search_local(not_q, k=10, negation=True)
         lat.append(time.time() - t0)
     q["bm25_not_local_p50"] = round(statistics.median(lat), 4)
+    # synonym-group serving: one extra postings read per group member +
+    # the per-group numpy merge (SynonymQuery semantics)
+    eng.set_synonyms([[words[3], words[9]]])
+    syn_q = f"{words[3]} {words[50]}"
+    lat = []
+    for _ in range(15):
+        t0 = time.time()
+        eng.search_local(syn_q, k=10, synonyms=True)
+        lat.append(time.time() - t0)
+    q["synonym_local_p50"] = round(statistics.median(lat), 4)
+    import os as _os
+
+    _os.remove(f"{eng.index_dir}/synonyms.json")
+    eng._syn_map = None
 
     # ---- autocomplete serving: lexicon range scan, zero Spark jobs -------
     lat = []

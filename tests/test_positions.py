@@ -619,3 +619,41 @@ def test_tiered_phrase_matches_compacted(
     tm = [(d, round(s, 9)) for d, s in tiered.search_mixed(q, k=50)]
     cm = [(d, round(s, 9)) for d, s in merged.search_mixed(q, k=50)]
     assert tm == cm
+
+
+def test_mixed_negation_compose(spark, pos_index):
+    """&negation composes with mixed quoted routing: quoted spans stay
+    conjunctive, -terms drop docs before the cut."""
+    from wiki_search_engine_spark.functions.analyzer import full_tokens
+    from wiki_search_engine_spark.sources.synth import vocabulary
+
+    eng = pos_index
+    words, _ = vocabulary(42)
+    # a phrase guaranteed present: adjacent analyzed tokens of a
+    # head-term result's snippet
+    phrase = None
+    for r in eng.lookup_docs(
+        [d for d, _s in eng.search_local(words[0], k=3)]
+    ):
+        toks = full_tokens(r["snippet"])
+        if len(toks) >= 2:
+            phrase = f"{toks[0]} {toks[1]}"
+            break
+    assert phrase is not None
+    neg = words[0]
+    q = f'"{phrase}" -{neg}'
+    resp = eng.query_response(
+        q, option_name="bm25", k=10, negation=True
+    )
+    got = [int(x["file_id"]) for x in resp["textResult"]]
+    exc = {
+        int(d)
+        for a in eng._excluded_docids_by_salt(
+            eng.analyze(neg)
+        ).values()
+        for d in a
+    }
+    base = eng.search_mixed(f'"{phrase}"', k=eng.n, mode="bm25")
+    exp = [d for d, _s in base if d not in exc][:10]
+    assert got == exp
+    assert all(d not in exc for d in got)

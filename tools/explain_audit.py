@@ -396,6 +396,33 @@ def main() -> None:
         )
         print("FAIL not_filter_below_cut")
 
+    # ---- training-data pipeline shapes: contamination joins must be
+    # broadcast (the corpus side stays map-only), repetition metrics
+    # must not shuffle at all (per-doc metric == zero Exchange)
+    from wiki_search_engine_spark.operators.decontaminate import (
+        contaminated_docs,
+    )
+    from wiki_search_engine_spark.operators.repetition import (
+        repetition_metrics,
+    )
+
+    docs_tbl = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "c d e f g")], ["doc_id", "text"]
+    )
+    ev_tbl = spark.createDataFrame([("a b c",)], ["text"])
+    check(
+        "decontaminate_broadcast_join",
+        plan_of(contaminated_docs(docs_tbl, ev_tbl, n=3)),
+        must=[r"BroadcastHashJoin"],
+        must_not=[r"SortMergeJoin"],
+    )
+    check(
+        "repetition_map_only",
+        plan_of(repetition_metrics(docs_tbl)),
+        must=[r"MapInPandas"],
+        must_not=[r"Exchange"],
+    )
+
     spark.stop()
     if FAILURES:
         print("\n".join("AUDIT FAIL: " + f for f in FAILURES))

@@ -1741,6 +1741,33 @@ class SearchEngine:
                     )
                 ]
             if mixed:
+                if negation:
+                    # NOT composes with mixed quoted queries: strip
+                    # the -terms, run mixed to top-(k + |excluded|)
+                    # (exact — at most that many results can drop),
+                    # then filter. Quoted spans themselves are never
+                    # negated (Lucene parity: NOT applies to terms).
+                    from .functions.analyzer import split_negations
+
+                    pos_q, neg_q = split_negations(query)
+                    exc: set[int] = set()
+                    if neg_q.strip():
+                        try:
+                            exc = {
+                                int(d)
+                                for a in self._excluded_docids_by_salt(
+                                    self.analyze(neg_q)
+                                ).values()
+                                for d in a
+                            }
+                        except EmptyQueryError:
+                            exc = set()
+                    res = self.search_mixed(
+                        pos_q, k=k + len(exc), mode=mode
+                    )
+                    return [
+                        (d, s) for d, s in res if d not in exc
+                    ][:k]
                 return self.search_mixed(query, k=k, mode=mode)
             if path != "local":
                 return [

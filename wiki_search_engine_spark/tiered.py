@@ -1216,6 +1216,36 @@ class TieredEngine:
                     for d, s, _tf in self.search_phrase(query, k=k)
                 ]
             if mixed:
+                if negation:
+                    # same composition as SearchEngine: strip -terms,
+                    # over-fetch by |excluded live docids|, filter
+                    from .engine import EmptyQueryError
+                    from .functions.analyzer import split_negations
+
+                    pos_q, neg_q = split_negations(query)
+                    exc: set[int] = set()
+                    if neg_q.strip():
+                        try:
+                            ex_terms = self.analyze(neg_q)
+                        except EmptyQueryError:
+                            ex_terms = []
+                        if ex_terms:
+                            live_exc = self._live_term_postings_many(
+                                list(dict.fromkeys(ex_terms))
+                            )
+                            exc = {
+                                int(x)
+                                for _t, (df, parts) in live_exc.items()
+                                if df
+                                for d, _tf, _dl in parts
+                                for x in d
+                            }
+                    res = self.search_mixed(
+                        pos_q, k=k + len(exc), mode=mode
+                    )
+                    return [
+                        (d, s) for d, s in res if d not in exc
+                    ][:k]
                 return self.search_mixed(query, k=k, mode=mode)
             if path == "wand":
                 return [
