@@ -347,6 +347,54 @@ def q_bm25_not_semantics(spark, sf_dir):
     )
 
 
+def q_training_mix(spark, sf_dir):
+    """END-TO-END training-data mix: Gopher repetition filter (drop
+    flagged docs) -> benchmark decontamination (drop any doc sharing a
+    13-gram with the eval suite) -> deterministic per-language token
+    budget pack (2000 tokens/lang, seed 7). One composed plan: the
+    map-only repetition kernel and the broadcast contamination join
+    both ride the same corpus scan; only the pack's two-phase cutoff
+    aggregates. (PII scrub composes the same way — map-only — but the
+    synthetic corpus carries no PII so it is exercised by its own
+    entry, not repeated here.)"""
+    from wiki_search_engine_spark.operators.decontaminate import (
+        contaminated_docs, ws_token_array,
+    )
+    from wiki_search_engine_spark.operators.repetition import (
+        repetition_metrics,
+    )
+    from wiki_search_engine_spark.operators.sampling import (
+        pack_token_budget,
+    )
+
+    docs = _docs(spark, sf_dir)
+    keep = repetition_metrics(docs).filter(
+        ~F.col("flagged")
+    ).select("doc_id")
+    toks = ws_token_array(F.col("text"))
+    eval_df = docs.filter(
+        (F.col("doc_id") % 17 == 3) & (F.size(toks) >= 25)
+    ).select(F.array_join(F.slice(toks, 6, 20), " ").alias("text"))
+    cont = contaminated_docs(docs, eval_df, n=13).select("doc_id")
+    clean = (
+        docs.join(keep, "doc_id")
+        .join(cont, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            "lang",
+            F.size(F.split(F.trim("text"), r"\s+")).alias("n_toks"),
+        )
+    )
+    return pack_token_budget(
+        clean, strata_col="lang", key_col="doc_id",
+        tokens_col="n_toks", budget=2000, seed=7,
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.col("n_toks").cast("long").alias("n_toks"),
+    )
+
+
 def q_bigram_pmi(spark, sf_dir):
     """Collocation mining: top-25 adjacent bigrams by PMI, min_count=5
     (operators/collocations.py — one codegen pair explode, two hash
@@ -2578,6 +2626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_bm25": q_synonym_bm25,        # SynonymQuery semantics (scoring-kernel family)
         "bigram_pmi": q_bigram_pmi,             # collocation mining (agg family)
         "decontaminate_xx64": q_decontaminate_xx64,  # hash-join production mode
+        "training_mix": q_training_mix,         # composed pipeline (filter -> decontam -> pack)
     }
 
 
@@ -3061,6 +3110,75 @@ FROM d WHERE round(dp / (na * nb), 6) >= {NEARDUP_T}""",
 WITH {SQL_POS_TOKS}, {SQL_SHINGLES}
 SELECT doc_id, min(md5(shingle)) AS fingerprint
 FROM sh GROUP BY doc_id""",
+        "training_mix": r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents),
+lt AS (
+  SELECT doc_id,
+    CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+  FROM documents),
+g AS (
+  SELECT doc_id, n, unnest(
+    [array_to_string(t[i+1:i+n], ' ') for i in range(0, len(t)-n+1)]
+  ) AS gram
+  FROM lt, (VALUES (2), (3)) AS ns(n)
+  WHERE len(t) >= n),
+c AS (
+  SELECT doc_id, n, max(cnt) AS topc
+  FROM (SELECT doc_id, n, gram, count(*) AS cnt
+        FROM g GROUP BY 1, 2, 3)
+  GROUP BY 1, 2),
+piv AS (
+  SELECT doc_id,
+    coalesce(max(CASE WHEN n = 2 THEN topc END), 0) AS top2,
+    coalesce(max(CASE WHEN n = 3 THEN topc END), 0) AS top3
+  FROM c GROUP BY doc_id),
+flagged AS (
+  SELECT lt.doc_id
+  FROM lt LEFT JOIN piv USING (doc_id)
+  WHERE (coalesce(top2, 0) >= 2
+         AND coalesce(top2, 0) * 2.0 / greatest(len(t), 1) > 0.20)
+     OR (coalesce(top3, 0) >= 2
+         AND coalesce(top3, 0) * 3.0 / greatest(len(t), 1) > 0.18)),
+ev AS (
+  SELECT DISTINCT array_to_string(t[6:25], ' ') AS q
+  FROM tok WHERE doc_id % 17 = 3 AND len(t) >= 25),
+evt AS (
+  SELECT list_filter(regexp_split_to_array(lower(q), '\s+'),
+                     x -> x <> '') AS et
+  FROM ev),
+evg AS (
+  SELECT DISTINCT unnest(
+    [array_to_string(et[i+1:i+13], ' ') for i in range(0, len(et)-12)]
+  ) AS gram
+  FROM evt WHERE len(et) >= 13),
+dg AS (
+  SELECT doc_id, unnest(
+    [array_to_string(t[i+1:i+13], ' ') for i in range(0, len(t)-12)]
+  ) AS gram
+  FROM tok WHERE len(t) >= 13),
+contaminated AS (
+  SELECT DISTINCT dg.doc_id FROM dg JOIN evg USING (gram)),
+clean AS (
+  SELECT d.doc_id, d.lang,
+         len(regexp_split_to_array(trim(d.text), '\s+'))::BIGINT
+           AS n_toks
+  FROM documents d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM flagged)
+    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+runs AS (
+  SELECT doc_id, lang, n_toks,
+         coalesce(sum(n_toks) OVER (
+           PARTITION BY lang ORDER BY md5('7|' || doc_id::VARCHAR)
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS pre
+  FROM clean)
+SELECT doc_id::BIGINT AS doc_id, lang, n_toks
+FROM runs WHERE pre < 2000""",
         "decontaminate": _DECONTAM_SQL,
         "decontaminate_xx64": _DECONTAM_SQL,
         "pii_scrub": r"""
