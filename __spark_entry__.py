@@ -106,6 +106,7 @@ def _sql_terms(terms: list[str]) -> str:
 def _bm25_sql(
     terms: list[str], k: int, mode: str = "bm25", semantics: str = "or",
     exclude: list[str] | None = None,
+    must: list[str] | None = None,
 ) -> str:
     if mode == "bm25":
         part = (
@@ -119,6 +120,12 @@ def _bm25_sql(
         if semantics == "and"
         else ""
     )
+    if must and semantics != "and":
+        m_in = ", ".join("'" + t + "'" for t in sorted(set(must)))
+        having = (
+            "\nHAVING count(DISTINCT CASE WHEN term IN (" + m_in
+            + ") THEN term END) = " + str(len(set(must)))
+        )
     anti = ""
     if exclude:
         inner = ", ".join(f"'{t}'" for t in exclude)
@@ -210,6 +217,7 @@ def _score_query(
     path: str = "exhaustive",
     semantics: str = "or",
     exclude: list[str] | None = None,
+    required: list[str] | None = None,
 ) -> DataFrame:
     from wiki_search_engine_spark.operators.postings import build_postings
     from wiki_search_engine_spark.operators.scoring import score_exhaustive
@@ -224,6 +232,7 @@ def _score_query(
         res = score_exhaustive(
             tokens, terms, n, avgdl, k=None, mode=mode,
             semantics=semantics, exclude_terms=exclude,
+            required_terms=required,
         )
     return (
         res.select(
@@ -429,6 +438,18 @@ def q_synonym_bm25(spark, sf_dir):
     ).select(
         F.col("docid").cast("long").alias("doc_id"),
         F.round("score", 6).alias("score"),
+    )
+
+
+def q_bm25_must_semantics(spark, sf_dir):
+    """Lucene MUST: Q_MAIN scored as OR but only docs containing the
+    +term (Q_MAIN[0]) survive — the SHOULD terms still contribute
+    (operators/scoring.py required_terms: the same single hash
+    aggregate as AND with a required-subset gate; serving surface:
+    '+term' under --negation / &negation=true)."""
+    return _score_query(
+        spark, sf_dir, Q_MAIN, 50, "bm25", "exhaustive",
+        required=[Q_MAIN[0]],
     )
 
 
@@ -2609,6 +2630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_batch": q_bm25_batch,             # scoring kernel, N queries in one plan
         "bm25_mid_wand": q_bm25_mid,            # wand kernel, mid-df terms
         "bm25_and_semantics": q_bm25_and_semantics,  # OR kernel + conjunctive filter
+        "bm25_must_semantics": q_bm25_must_semantics,  # +term MUST gate on the OR kernel
         "indexed_phrase_bm25": q_indexed_phrase_bm25,  # exact sidecar path (slop=0 ≡; slop+mixed in window)
         "bm25_stemmed": q_bm25_stemmed,         # porter path (also exercised by every engine-built entry)
         "wildcard_bm25": q_wildcard_bm25,       # trailing-* expansion (leading-* variant in window)
@@ -2751,6 +2773,9 @@ contrib AS (
 SELECT doc_id, round(sum(part), 6) AS score
 FROM contrib GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT 50''',
+        "bm25_must_semantics": _bm25_sql(
+            Q_MAIN, 50, "bm25", must=[Q_MAIN[0]]
+        ),
         "bm25_not_semantics": _bm25_sql(
             Q_MAIN, 50, "bm25", exclude=Q_ONE
         ),

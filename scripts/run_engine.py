@@ -164,9 +164,9 @@ def main(argv=None):
     )
     q.add_argument(
         "--negation", action="store_true",
-        help='Lucene-style NOT: "-term" tokens exclude docs containing '
-        "them (opt-in; without the flag hyphens keep the reference's "
-        "bag-of-words reading)",
+        help='Lucene boolean prefixes: "-term" excludes docs, "+term" '
+        "requires them (others stay SHOULD); opt-in — without the flag "
+        "prefixes keep the reference's bag-of-words reading",
     )
     q.add_argument(
         "--snapshot", default=None,

@@ -252,3 +252,101 @@ def test_tiered_wildcard_matches_single(
     assert [d for d, _ in got] == [d for d, _ in exp]
     for (gd, gs), (ed, es) in zip(got, exp):
         assert gs == pytest.approx(es, rel=1e-9)
+
+
+def test_must_semantics_all_paths(engine, neg_query):
+    """+term MUST: OR scoring gated on required-term membership —
+    brute-force identity, local == exhaustive == wand-downgrade,
+    MUST+NOT composition, absent-+term empties."""
+    pos, neg = neg_query
+    w3, w50 = pos.split()
+    q = f"+{w3} {w50}"
+    got = engine.search_local(q, k=10, negation=True)
+    base = engine.search_local(pos, k=engine.n)
+    req_docs = {d for d, _ in engine.search_local(w3, k=engine.n)}
+    exp = [(d, s) for d, s in base if d in req_docs][:10]
+    assert got == exp
+    # the gate provably bites with a rare +term: only the handful of
+    # docs containing it survive, while plain OR backfills to k
+    rare_docs = {
+        d for d, _ in engine.search_local("rare7x0", k=engine.n)
+    }
+    assert 0 < len(rare_docs) < 10
+    gated = engine.search_local(
+        f"+rare7x0 {pos}", k=10, negation=True
+    )
+    assert {d for d, _ in gated} <= rare_docs
+    assert len(engine.search_local(f"rare7x0 {pos}", k=10)) == 10
+    dist = [
+        (int(r["docid"]), float(r["score"]))
+        for r in engine.search_ids(
+            q, k=10, path="exhaustive", negation=True
+        ).collect()
+    ]
+    assert [d for d, _ in dist] == [d for d, _ in got]
+    for (dd, ds), (gd, gs) in zip(dist, got):
+        assert ds == pytest.approx(gs, rel=1e-9)
+    wand = [
+        int(r["docid"])
+        for r in engine.search_ids(
+            q, k=10, path="wand", negation=True
+        ).collect()
+    ]
+    assert wand == [d for d, _ in got]
+    # MUST + NOT compose
+    exc = {
+        int(d)
+        for a in engine._excluded_docids_by_salt(
+            engine.analyze(neg)
+        ).values()
+        for d in a
+    }
+    got2 = engine.search_local(f"{q} -{neg}", k=10, negation=True)
+    exp2 = [
+        (d, s) for d, s in base if d in req_docs and d not in exc
+    ][:10]
+    assert got2 == exp2
+    # absent required term empties
+    assert engine.search_local(
+        f"+zzznotaterm {w50}", k=5, negation=True
+    ) == []
+
+
+def test_must_tiered_matches_single(
+    spark, engine, corpus_df, neg_query, tmp_path
+):
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from wiki_search_engine_spark.engine import SearchEngine
+    from wiki_search_engine_spark.tiered import TieredEngine
+
+    pos, _neg = neg_query
+    w3, w50 = pos.split()
+    half = corpus_df.count() // 2
+    w = corpus_df.withColumn(
+        "_r", F.row_number().over(Window.orderBy("url"))
+    )
+    ea = SearchEngine.build(
+        spark, w.filter(F.col("_r") <= half).drop("_r"),
+        str(tmp_path / "must_a"), stem=True,
+        n_buckets=16, bucket_groups=1, salt_bits=2,
+    )
+    eb = SearchEngine.build(
+        spark, w.filter(F.col("_r") > half).drop("_r"),
+        str(tmp_path / "must_b"), stem=True,
+        n_buckets=16, bucket_groups=1, salt_bits=2,
+    )
+    teng = TieredEngine(spark, [ea.index_dir, eb.index_dir])
+    q = f"+{w3} {w50}"
+    exp = engine.search_local(q, k=10, negation=True)
+    got = teng.search_local(q, k=10, negation=True)
+    assert len(got) == len(exp) and got
+    for (gd, gs), (ed, es) in zip(got, exp):
+        assert gd == ed
+        assert gs == pytest.approx(es, rel=1e-9)
+    dist = [
+        (int(r["docid"]), float(r["score"]))
+        for r in teng.search_ids(q, k=10, negation=True).collect()
+    ]
+    assert [d for d, _ in dist] == [d for d, _ in exp]

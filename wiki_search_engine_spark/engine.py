@@ -1308,16 +1308,25 @@ class SearchEngine:
         from .operators.wand import merge_topk, score_shard_topk
 
         excluded: list[str] = []
+        required: list[str] = []
         if negation:
-            from .functions.analyzer import split_negations
+            # the flag enables BOTH Lucene prefix operators: -term
+            # (NOT) and +term (MUST); bare terms stay SHOULD
+            from .functions.analyzer import split_boolean
 
-            query, neg_q = split_negations(query)
+            should_q, must_q, neg_q = split_boolean(query)
             if neg_q.strip():
                 try:
                     excluded = self.analyze(neg_q)
                 except EmptyQueryError:
                     excluded = []
-            if not query.strip():
+            if must_q.strip():
+                try:
+                    required = self.analyze(must_q)
+                except EmptyQueryError:
+                    required = []
+            query = f"{should_q} {must_q}".strip()
+            if not query:
                 return []  # pure-NOT query ranks nothing
         terms = (
             # trailing-* tokens expand to their top-df lexicon matches
@@ -1344,18 +1353,21 @@ class SearchEngine:
             self._excluded_docids_by_salt(excluded) if excluded else {}
         )
         if synonyms and self._load_synonyms():
-            if semantics == "and":
+            if semantics == "and" or required:
                 raise ValueError(
-                    "synonyms compose with OR semantics only (a "
+                    "synonyms compose with OR/SHOULD semantics only (a "
                     "synonym group IS a disjunction)"
                 )
             return self._search_local_synonyms(
                 terms, k, mode, exc_by_salt
             )
         lists = self._cached_term_lists(terms)
-        if semantics == "and":
+        if semantics == "and" or required:
             return self._search_local_and(
-                lists, terms, k, mode, exc_by_salt
+                lists, terms, k, mode, exc_by_salt,
+                required=(
+                    None if semantics == "and" else required
+                ),
             )
         by_salt: dict[int, list[dict]] = {}
         for _t, (df, salted) in lists.items():
@@ -1383,23 +1395,31 @@ class SearchEngine:
     def _search_local_and(
         self, lists: dict, terms: list[str], k: int, mode: str,
         exc_by_salt: dict | None = None,
+        required: list[str] | None = None,
     ) -> list[tuple[int, float]]:
         """Conjunctive retrieval on the driver-local path: decode the
         candidate lists (already in hand from the cache/pyarrow read),
-        keep docs present in EVERY query term's postings, score those.
-        Block-max pruning has nothing to add here — the intersection is
-        the pruning. Results equal the exhaustive AND path (pytest)."""
+        keep docs present in every REQUIRED term's postings, score
+        those over ALL query terms. ``required=None`` = every term
+        (semantics='and'); a subset = Lucene's ``+term`` MUST with the
+        rest as SHOULD (optional terms add to the score where present
+        via a masked gather). Block-max pruning has nothing to add
+        here — the intersection is the pruning. Results equal the
+        exhaustive path (pytest)."""
         import numpy as np
 
         from . import B, K1
         from .operators.codec import decode_posting_list
         from .oracle_py.oracle import bm25_idf, tfidf_idf
 
+        req = set(required) if required is not None else set(terms)
         per_term = []
         for t in dict.fromkeys(terms):
             df, salted = lists.get(t, (0, []))
             if df <= 0:
-                return []  # a term absent from the corpus empties AND
+                if t in req:
+                    return []  # an absent required term empties MUST
+                continue  # absent SHOULD term contributes nothing
             parts = [
                 decode_posting_list(
                     [
@@ -1412,10 +1432,13 @@ class SearchEngine:
             d = np.concatenate([p[0] for p in parts])
             tf = np.concatenate([p[1] for p in parts])
             dl = np.concatenate([p[2] for p in parts])
-            per_term.append((df, d, tf, dl))
-        # docs containing every term
-        common = per_term[0][1]
-        for _df, d, _tf, _dl in per_term[1:]:
+            per_term.append((t in req, df, d, tf, dl))
+        req_lists = [d for is_r, _df, d, _tf, _dl in per_term if is_r]
+        if not req_lists:
+            return []
+        # docs containing every required term
+        common = req_lists[0]
+        for d in req_lists[1:]:
             common = common[np.isin(common, d, assume_unique=True)]
             if common.size == 0:
                 return []
@@ -1429,10 +1452,16 @@ class SearchEngine:
                 return []
         common = np.sort(common)
         scores = np.zeros(common.size, dtype=np.float64)
-        for df, d, tf, dl in per_term:
+        for _is_r, df, d, tf, dl in per_term:
             order = np.argsort(d)
-            pos = np.searchsorted(d[order], common)
+            ds = d[order]
+            pos = np.minimum(
+                np.searchsorted(ds, common), ds.size - 1
+            )
             sel = order[pos]
+            present = ds[pos] == common  # all-True for required terms
+            if not present.any():
+                continue
             idf = (
                 bm25_idf(self.n, int(df))
                 if mode == "bm25"
@@ -1440,13 +1469,14 @@ class SearchEngine:
             )
             tfd = tf[sel].astype(np.float64)
             if mode == "bm25":
-                scores += idf * tfd * (K1 + 1.0) / (
+                contrib = idf * tfd * (K1 + 1.0) / (
                     tfd
                     + K1
                     * (1.0 - B + B * dl[sel].astype(np.float64) / self.avgdl)
                 )
             else:
-                scores += tfd * idf
+                contrib = tfd * idf
+            scores[present] += contrib[present]
         idx = np.lexsort((common, -scores))[: min(k, common.size)]
         return [(int(common[i]), float(scores[i])) for i in idx]
 
@@ -1478,20 +1508,27 @@ class SearchEngine:
                 "distributed twin is operators/scoring.score_synonyms)"
             )
         excluded: list[str] = []
+        required: list[str] = []
         if negation and path != "local":
-            from .functions.analyzer import split_negations
+            from .functions.analyzer import split_boolean
 
-            query, neg_q = split_negations(query)
+            should_q, must_q, neg_q = split_boolean(query)
             if neg_q.strip():
                 try:
                     excluded = self.analyze(neg_q)
                 except EmptyQueryError:
                     excluded = []
-            if not query.strip():
+            if must_q.strip():
+                try:
+                    required = self.analyze(must_q)
+                except EmptyQueryError:
+                    required = []
+            query = f"{should_q} {must_q}".strip()
+            if not query:
                 return self.spark.createDataFrame(
                     [], "docid long, score double"
                 )
-            if excluded and path == "wand":
+            if (excluded or required) and path == "wand":
                 path = "exhaustive"
         if semantics == "and" and path == "wand":
             path = "exhaustive"
@@ -1536,6 +1573,7 @@ class SearchEngine:
         return score_exhaustive(
             flat, terms, self.n, self.avgdl, k, mode,
             semantics=semantics, exclude_terms=excluded or None,
+            required_terms=required or None,
         )
 
     def search_many(

@@ -374,6 +374,25 @@ def tokens_for(text: str, analyzer: str = "porter") -> list[str]:
     raise ValueError(f"unknown analyzer: {analyzer}")
 
 
+def split_boolean(query: str) -> tuple[str, str, str]:
+    """Split a raw query into (should text, must text, not text):
+    Lucene prefix operators — ``+term`` is REQUIRED (MUST), ``-term``
+    is excluded (NOT), bare terms are optional (SHOULD). Same opt-in
+    and intra-word-hyphen rules as split_negations (which this
+    supersedes on surfaces that accept ``+``): parsing only happens
+    under the boolean/negation flag, so legacy queries keep the
+    reference's bag reading."""
+    should, must, neg = [], [], []
+    for tok in (query or "").split():
+        if tok.startswith("-") and len(tok) > 1:
+            neg.append(tok[1:])
+        elif tok.startswith("+") and len(tok) > 1:
+            must.append(tok[1:])
+        else:
+            should.append(tok)
+    return " ".join(should), " ".join(must), " ".join(neg)
+
+
 def split_negations(query: str) -> tuple[str, str]:
     """Split a raw query into (positive text, excluded text): a
     whitespace token starting with ``-`` and carrying at least one more

@@ -51,6 +51,7 @@ def score_exhaustive(
     mode: str = "bm25",
     semantics: str = "or",
     exclude_terms: list[str] | None = None,
+    required_terms: list[str] | None = None,
 ) -> DataFrame:
     """Top-k (docid, score) over a token/posting relation.
 
@@ -99,7 +100,30 @@ def score_exhaustive(
             .drop("_nt")
         )
     elif semantics == "or":
-        agg = scored.groupBy("docid").agg(F.sum("partial").alias("score"))
+        if required_terms:
+            # Lucene MUST subset: same single hash aggregate as AND,
+            # but only the required terms gate membership (SHOULD
+            # terms still contribute to the sum)
+            # an absent required term can never be counted, so the
+            # filter empties the result — correct MUST semantics
+            req = sorted(set(required_terms))
+            agg = (
+                scored.groupBy("docid")
+                .agg(
+                    F.sum("partial").alias("score"),
+                    F.count_distinct(
+                        F.when(
+                            F.col("term").isin(req), F.col("term")
+                        )
+                    ).alias("_req"),
+                )
+                .filter(F.col("_req") == len(req))
+                .drop("_req")
+            )
+        else:
+            agg = scored.groupBy("docid").agg(
+                F.sum("partial").alias("score")
+            )
     else:
         raise ValueError(f"unknown semantics: {semantics}")
     if exclude_terms:

@@ -126,9 +126,9 @@ class _Handler(BaseHTTPRequestHandler):
         highlight = (qs.get("highlight") or ["false"])[0].lower() in (
             "1", "true", "yes",
         )
-        # &negation=true — Lucene-style NOT: "-term" tokens exclude
-        # docs (opt-in so legacy hyphenated queries keep the
-        # reference's bag-of-words reading)
+        # &negation=true — Lucene boolean prefixes: "-term" excludes
+        # docs, "+term" requires them (opt-in so legacy queries keep
+        # the reference's bag-of-words reading)
         negation = (qs.get("negation") or ["false"])[0].lower() in (
             "1", "true", "yes",
         )

@@ -502,17 +502,24 @@ class TieredEngine:
         excluded term drop BEFORE the top-k cut — tombstoned docs never
         contribute to the NOT set any more than to scores."""
         excluded: list[str] = []
+        required: list[str] = []
         if negation:
             from .engine import EmptyQueryError
-            from .functions.analyzer import split_negations
+            from .functions.analyzer import split_boolean
 
-            query, neg_q = split_negations(query)
+            should_q, must_q, neg_q = split_boolean(query)
             if neg_q.strip():
                 try:
                     excluded = self.analyze(neg_q)
                 except EmptyQueryError:
                     excluded = []
-            if not query.strip():
+            if must_q.strip():
+                try:
+                    required = self.analyze(must_q)
+                except EmptyQueryError:
+                    required = []
+            query = f"{should_q} {must_q}".strip()
+            if not query:
                 return []
         terms = (
             # wildcard tokens expand over the union of segment lexicons
@@ -527,22 +534,27 @@ class TieredEngine:
         if excluded and set(terms) & set(excluded):
             return []  # boolean contradiction: +t AND -t
         if synonyms and self._load_synonyms():
-            if semantics == "and":
+            if semantics == "and" or required:
                 raise ValueError(
-                    "synonyms compose with OR semantics only (a "
-                    "synonym group IS a disjunction)"
+                    "synonyms compose with OR/SHOULD semantics only "
+                    "(a synonym group IS a disjunction)"
                 )
             return self._search_local_synonyms(
                 terms, k, mode, excluded=excluded or None
             )
         all_d, all_s = [], []
         and_common = None
+        # terms gating membership: every term under AND, the +terms
+        # under MUST, none under plain OR
+        req = (
+            set(terms) if semantics == "and" else set(required)
+        )
         live = self._live_term_postings_many(list(dict.fromkeys(terms)))
         for t in dict.fromkeys(terms):
             df, parts = live[t]
             if not df:
-                if semantics == "and":
-                    return []  # an absent term empties the AND result
+                if t in req:
+                    return []  # an absent required term empties MUST
                 continue
             idf = (
                 bm25_idf(self.n, df)
@@ -563,7 +575,7 @@ class TieredEngine:
                 all_d.append(d)
                 all_s.append(s)
                 term_d.append(d)
-            if semantics == "and":
+            if t in req:
                 td = np.concatenate(term_d)
                 and_common = (
                     td
@@ -581,7 +593,7 @@ class TieredEngine:
         uniq, inv = np.unique(d, return_inverse=True)
         acc = np.zeros(uniq.size, dtype=np.float64)
         np.add.at(acc, inv, s)
-        if semantics == "and" and and_common is not None:
+        if req and and_common is not None:
             keep = np.isin(uniq, and_common, assume_unique=True)
             uniq, acc = uniq[keep], acc[keep]
         if excluded:
@@ -1046,17 +1058,24 @@ class TieredEngine:
         UNCHANGED — NOT narrows the candidate set, it does not shrink
         the corpus (unlike a deletes segment)."""
         excluded: list[str] = []
+        required: list[str] = []
         if negation:
             from .engine import EmptyQueryError
-            from .functions.analyzer import split_negations
+            from .functions.analyzer import split_boolean
 
-            query, neg_q = split_negations(query)
+            should_q, must_q, neg_q = split_boolean(query)
             if neg_q.strip():
                 try:
                     excluded = self.analyze(neg_q)
                 except EmptyQueryError:
                     excluded = []
-            if not query.strip():
+            if must_q.strip():
+                try:
+                    required = self.analyze(must_q)
+                except EmptyQueryError:
+                    required = []
+            query = f"{should_q} {must_q}".strip()
+            if not query:
                 return self.spark.createDataFrame(
                     [], "docid long, score double"
                 )
@@ -1091,7 +1110,7 @@ class TieredEngine:
                     else exc
                     for t in self.tombstones
                 ]
-        if semantics == "and":
+        if semantics == "and" or required:
             from .operators.scoring import score_exhaustive
 
             uniq = list(dict.fromkeys(terms))
@@ -1105,8 +1124,11 @@ class TieredEngine:
                 self.avgdl,
                 k,
                 mode,
-                semantics="and",
+                semantics=semantics,
                 exclude_terms=excluded or None,
+                required_terms=(
+                    required if semantics != "and" else None
+                ) or None,
             )
         from .operators.wand import search_topk
 
