@@ -201,6 +201,40 @@ def main(argv=None):
     sp.add_argument("--index", required=True)
     sp.add_argument("--max-dist", type=int, default=2)
 
+    pl = sub.add_parser(
+        "pipeline",
+        help="training-data cleaning pass over a documents parquet: "
+        "repetition filter -> decontamination -> PII scrub -> "
+        "per-language token-budget pack, one composed Spark plan",
+    )
+    pl.add_argument("--input", required=True)
+    pl.add_argument("--out", required=True)
+    pl.add_argument("--id-col", default="doc_id")
+    pl.add_argument("--text-col", default="text")
+    pl.add_argument("--lang-col", default="lang")
+    pl.add_argument(
+        "--eval", default=None,
+        help="eval-suite parquet (text column): drop docs sharing any "
+        "13-gram with it",
+    )
+    pl.add_argument(
+        "--eval-ngram", type=int, default=13,
+        help="decontamination n-gram size (default 13, GPT-3 app. C)",
+    )
+    pl.add_argument(
+        "--no-repetition-filter", action="store_true",
+        help="keep Gopher-flagged repetitive docs",
+    )
+    pl.add_argument(
+        "--scrub-pii", action="store_true",
+        help="mask emails/IPv4/phones with typed placeholders",
+    )
+    pl.add_argument(
+        "--budget", type=int, default=0,
+        help="per-language token budget (0 = keep all surviving docs)",
+    )
+    pl.add_argument("--seed", type=int, default=42)
+
     sy = sub.add_parser(
         "synonyms",
         help="write the query-time synonym sidecar (synonyms.json); "
@@ -378,6 +412,86 @@ def main(argv=None):
                     "N": eng.n,
                     "avgdl": round(eng.avgdl, 3),
                     "maintain_sec": round(time.time() - t0, 2),
+                }
+            )
+        )
+    elif args.cmd == "pipeline":
+        from pyspark.sql import functions as F
+
+        from wiki_search_engine_spark.operators.decontaminate import (
+            contaminated_docs,
+        )
+        from wiki_search_engine_spark.operators.repetition import (
+            repetition_metrics,
+        )
+        from wiki_search_engine_spark.operators.sampling import (
+            pack_token_budget,
+        )
+        from wiki_search_engine_spark.functions.pii import scrub_pii
+
+        t0 = time.time()
+        docs = spark.read.parquet(args.input)
+        idc, txc, lgc = args.id_col, args.text_col, args.lang_col
+        if not args.no_repetition_filter:
+            keep = repetition_metrics(
+                docs, doc_id_col=idc, text_col=txc
+            ).filter(~F.col("flagged")).select(
+                F.col("doc_id").alias(idc)
+            )
+            docs = docs.join(keep, idc)
+        if args.eval:
+            cont = contaminated_docs(
+                docs,
+                spark.read.parquet(args.eval),
+                n=args.eval_ngram,
+                doc_id_col=idc,
+                text_col=txc,
+            ).select(F.col("doc_id").alias(idc))
+            docs = docs.join(cont, idc, "left_anti")
+        if args.scrub_pii:
+            docs = docs.withColumn(txc, scrub_pii(F.col(txc)))
+        docs = docs.withColumn(
+            "n_toks",
+            F.size(F.split(F.trim(F.col(txc)), r"\s+")),
+        )
+        if args.budget > 0:
+            docs = pack_token_budget(
+                docs, strata_col=lgc, key_col=idc,
+                tokens_col="n_toks", budget=args.budget,
+                seed=args.seed,
+            )
+        docs.write.mode("overwrite").parquet(args.out)
+        # summary from the written footers: zero extra Spark jobs
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        rows = tot = 0
+        for fpath in _glob.glob(f"{args.out}/**/*.parquet",
+                                recursive=True):
+            pf = _pq.ParquetFile(fpath)
+            rows += pf.metadata.num_rows
+            tbl = _pq.read_table(fpath, columns=["n_toks"])
+            tot += int(
+                tbl.column("n_toks").to_numpy(
+                    zero_copy_only=False
+                ).sum()
+            ) if len(tbl) else 0
+        print(
+            json.dumps(
+                {
+                    "out": args.out,
+                    "docs_out": rows,
+                    "tokens_out": tot,
+                    "pipeline_sec": round(time.time() - t0, 2),
+                    "stages": {
+                        "repetition_filter": (
+                            not args.no_repetition_filter
+                        ),
+                        "decontaminate": bool(args.eval),
+                        "scrub_pii": args.scrub_pii,
+                        "budget": args.budget,
+                    },
                 }
             )
         )
