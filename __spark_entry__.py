@@ -356,6 +356,44 @@ def q_bm25_not_semantics(spark, sf_dir):
     )
 
 
+def q_source_quality_report(spark, sf_dir):
+    """Domain-level filtering signals (RefinedWeb-style): per source,
+    doc count, mean quality score, and the INTRA-SOURCE near-dup rate
+    (1 - distinct min-hash fingerprints / docs — boilerplate farms
+    duplicate across their own pages first). flagged = dup_frac > 0.5
+    OR avg_quality < 0.3: the drop-the-domain rule a 100 TB pipeline
+    applies before per-doc filtering (one groupBy(source) with
+    map-side partial aggs; fingerprints ride the same scan)."""
+    from wiki_search_engine_spark.functions.textstats import (
+        doc_fingerprint, quality_score,
+    )
+
+    docs = _docs(spark, sf_dir)
+    per_doc = docs.select(
+        "source",
+        quality_score(F.col("text")).alias("q"),
+        doc_fingerprint(F.col("text")).alias("fp"),
+    )
+    rep = per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("q"), 6).alias("avg_quality"),
+        F.round(
+            1.0
+            - F.count_distinct("fp").cast("double") / F.count("*"),
+            6,
+        ).alias("dup_frac"),
+    )
+    return rep.select(
+        "source",
+        "n_docs",
+        "avg_quality",
+        "dup_frac",
+        (
+            (F.col("dup_frac") > 0.5) | (F.col("avg_quality") < 0.3)
+        ).alias("flagged"),
+    ).orderBy("source")
+
+
 def q_training_mix(spark, sf_dir):
     """END-TO-END training-data mix: Gopher repetition filter (drop
     flagged docs) -> benchmark decontamination (drop any doc sharing a
@@ -2649,6 +2687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_pmi": q_bigram_pmi,             # collocation mining (agg family)
         "decontaminate_xx64": q_decontaminate_xx64,  # hash-join production mode
         "training_mix": q_training_mix,         # composed pipeline (filter -> decontam -> pack)
+        "source_quality_report": q_source_quality_report,  # domain-level filtering signals
     }
 
 
@@ -3135,6 +3174,44 @@ FROM d WHERE round(dp / (na * nb), 6) >= {NEARDUP_T}""",
 WITH {SQL_POS_TOKS}, {SQL_SHINGLES}
 SELECT doc_id, min(md5(shingle)) AS fingerprint
 FROM sh GROUP BY doc_id""",
+        "source_quality_report": f"""
+WITH {SQL_POS_TOKS}, {SQL_SHINGLES},
+fp AS (SELECT doc_id, min(md5(shingle)) AS f FROM sh GROUP BY doc_id),
+base AS (
+  SELECT doc_id, source, text,
+    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(text), '\\s+') END AS wtoks,
+    CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS ltoks
+  FROM documents),
+m AS (
+  SELECT doc_id, source,
+    len(wtoks)::BIGINT AS ws_tokens,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE (length(text) - length(regexp_replace(text,
+           '[^a-zA-Z0-9 	
+]', '', 'g'))) * 1.0 / length(text)
+    END AS praw,
+    CASE WHEN len(ltoks) = 0 THEN 0.0
+         ELSE len(list_filter(ltoks, t -> t IN ('the','a','an','and','or',
+           'of','to','in','is','it'))) * 1.0 / len(ltoks)
+    END AS sraw
+  FROM base),
+q AS (
+  SELECT m.doc_id, m.source,
+    round(0.5 * least(ws_tokens / 100.0, 1.0)
+          + 0.3 * (1.0 - least(praw * 5.0, 1.0))
+          + 0.2 * least(sraw * 4.0, 1.0), 6) AS qs,
+    fp.f AS f
+  FROM m LEFT JOIN fp USING (doc_id))
+SELECT source,
+  count(*)::BIGINT AS n_docs,
+  round(avg(qs), 6) AS avg_quality,
+  round(1.0 - count(DISTINCT f) * 1.0 / count(*), 6) AS dup_frac,
+  ((1.0 - count(DISTINCT f) * 1.0 / count(*)) > 0.5
+   OR avg(qs) < 0.3) AS flagged
+FROM q GROUP BY source
+ORDER BY source""",
         "training_mix": r"""
 WITH tok AS (
   SELECT doc_id,
