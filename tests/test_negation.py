@@ -350,3 +350,37 @@ def test_must_tiered_matches_single(
         for r in teng.search_ids(q, k=10, negation=True).collect()
     ]
     assert [d for d, _ in dist] == [d for d, _ in exp]
+
+
+def test_split_boolean_partition_property():
+    """Every whitespace token lands in exactly one bucket, prefix
+    stripped, order preserved — fuzzed over prefix-heavy alphabets."""
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    from wiki_search_engine_spark.functions.analyzer import (
+        split_boolean,
+    )
+
+    @given(
+        st.lists(
+            st.text(alphabet="ab+-", min_size=1, max_size=4),
+            max_size=8,
+        )
+    )
+    def check(tokens):
+        q = " ".join(tokens)
+        should, must, neg = split_boolean(q)
+        exp_should, exp_must, exp_neg = [], [], []
+        for t in tokens:
+            if t.startswith("-") and len(t) > 1:
+                exp_neg.append(t[1:])
+            elif t.startswith("+") and len(t) > 1:
+                exp_must.append(t[1:])
+            else:
+                exp_should.append(t)
+        assert should.split() == [s for s in exp_should if s]
+        assert must.split() == exp_must
+        assert neg.split() == exp_neg
+
+    check()
