@@ -42,21 +42,20 @@ def bigram_pmi(
     ordered (pmi desc, w1 asc, w2 asc); pairs rarer than ``min_count``
     are dropped before ranking."""
     toks = _tok_col(text_col)
+    # Adjacent pairs as arrays_zip over two shifted slices (the
+    # functions/textstats.py shingles shape) — NOT element_at(toks, i+j)
+    # inside a transform lambda: HOF lambdas are interpreted, and a
+    # lambda that references the captured computed ``toks`` re-splits
+    # the text per element AND element_at scans to position i, so the
+    # pair explode was O(tokens^2) per doc (219x slower at 2k-token
+    # docs). Slices of length max(size-1, 0) make the <2-token case an
+    # empty array for free.
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
     pairs = docs.select(
         F.explode(
-            F.when(
-                F.size(toks) >= 2,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - 2),
-                    lambda i: F.struct(
-                        F.element_at(toks, i + 1).alias("w1"),
-                        F.element_at(toks, i + 2).alias("w2"),
-                    ),
-                ),
-            ).otherwise(
-                F.array().cast(
-                    "array<struct<w1:string,w2:string>>"
-                )
+            F.arrays_zip(
+                F.slice(toks, 1, m).alias("w1"),
+                F.slice(toks, 2, m).alias("w2"),
             )
         ).alias("p")
     ).select("p.w1", "p.w2")

@@ -40,15 +40,24 @@ def ws_token_array(col):
 
 def ngrams_col(toks, n: int):
     """array<string> of space-joined n-grams of a token array (empty
-    when the doc is shorter than n — guards Spark's descending
-    sequence() on a negative stop)."""
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    when the doc is shorter than n).
+
+    Formulated as arrays_zip over n shifted slices — the same shape as
+    functions/textstats.py shingles — NOT slice(toks, i+1, n) inside a
+    transform lambda: HOF lambdas are interpreted, and a lambda body
+    that references the CAPTURED computed expression ``toks``
+    re-evaluates the whole tokenizing split per element, O(tokens^2)
+    per document (29x slower at 2k-token docs). Here the lambda touches
+    only its own struct argument; ``toks`` is evaluated O(n) times per
+    ROW (once per shifted slice)."""
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(toks, j + 1, m).alias(f"t{j}") for j in range(n)]
+    )
+    return F.transform(
+        zipped,
+        lambda s: F.concat_ws(" ", *[s[f"t{j}"] for j in range(n)]),
+    )
 
 
 def eval_ngrams(
