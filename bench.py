@@ -378,6 +378,77 @@ def main() -> None:
         .select("term").distinct().count()
     )
 
+    # ---- long-doc corpus: per-doc compute guards --------------------------
+    # r4's O(tokens^2) HOF-lambda gram explode passed every gate because
+    # the sf synthetic docs are short. These lines run the per-doc
+    # operators over a seeded 1,000-doc x 2,000-token corpus (real
+    # web-page length) so any per-doc compute blowup — quadratic gram
+    # explode, per-element re-eval of a captured expression — is visible
+    # to the round gate forever: the linear forms stay in single-digit
+    # seconds here; the r4 trap measured 27s (13-gram) / 61s (bigram)
+    # on this exact shape before the arrays_zip fix.
+    import random as _random
+
+    from wiki_search_engine_spark.functions.pii import scrub_pii
+    from wiki_search_engine_spark.operators.collocations import bigram_pmi
+    from wiki_search_engine_spark.operators.decontaminate import (
+        contaminated_docs,
+        ws_token_array,
+    )
+    from wiki_search_engine_spark.operators.repetition import (
+        repetition_metrics,
+    )
+    from wiki_search_engine_spark.operators.tokenize import tokenize
+
+    _rng = _random.Random(7)
+    _ld_vocab = [f"w{i}" for i in range(5000)]
+    longdocs = spark.createDataFrame(
+        [
+            (i, " ".join(_rng.choice(_ld_vocab) for _ in range(2000)))
+            for i in range(1000)
+        ],
+        "doc_id long, text string",
+    ).repartition(CPUS).cache()
+    longdocs.count()  # materialize once; every line below is warm
+
+    _ld_toks = ws_token_array(F.col("text"))
+    _ld_eval = longdocs.filter(F.col("doc_id") % 17 == 3).select(
+        F.array_join(F.slice(_ld_toks, 6, 20), " ").alias("text")
+    )
+    for name, fn in [
+        (
+            "longdoc_decontaminate",
+            lambda: contaminated_docs(longdocs, _ld_eval, n=13).count(),
+        ),
+        (
+            "longdoc_collocations",
+            lambda: bigram_pmi(longdocs, min_count=5, k=50).collect(),
+        ),
+        (
+            "longdoc_repetition",
+            lambda: repetition_metrics(longdocs).count(),
+        ),
+        (
+            "longdoc_pii",
+            lambda: longdocs.agg(
+                F.sum(F.length(scrub_pii(F.col("text"))))
+            ).collect(),
+        ),
+        (
+            "longdoc_tokenize",
+            lambda: tokenize(
+                longdocs.select(F.col("doc_id").alias("docid"), "text"),
+                stem=True,
+            ).count(),
+        ),
+    ]:
+        try:
+            fn()  # warm-up, unrecorded (same policy as the op loop)
+            q[name] = timed(fn)
+        except Exception:
+            q[name] = -1.0
+    longdocs.unpersist()
+
     # ---- positional sidecar: incremental build cost + phrase serving -----
     # resume=True re-enters the finished build and runs ONLY the
     # positions stage, so this line isolates the sidecar's cost on the
