@@ -2600,6 +2600,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # near-duplicate VARIANTS of an in-window family (same kernel,
     # different query shape), each re-checkable any time via
     # `python tools/selfcheck.py <sf_dir> <name>`.
+    # ROTATION (r5): kernels that debuted past the cap in r4 are now in
+    # the window (synonym_bm25, bm25_must_semantics, events_sessions,
+    # bigram_pmi); four true variants rotated out (time_travel_bm25 ==
+    # tiered_deleted_bm25's tombstone machinery, ann_lsh_multitable ==
+    # ann_lsh_top10's probing, phrase_slop_bm25 == phrase_bm25's window
+    # widened, tfidf_top50 == bm25_top50's exhaustive kernel with a
+    # different weighting mode). Additionally the FULL entry list is
+    # selfchecked and committed as SELFCHECK_ALL.json each round, so
+    # past-cap entries are never permanently unchecked.
     return {
         # -- index build core ------------------------------------------
         "tokenize_tf": q_tokenize_tf,
@@ -2611,19 +2620,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- scoring / serving -----------------------------------------
         "bm25_top50": q_bm25_top50,
         "bm25_top50_wand": q_bm25_top50_wand,
-        "tfidf_top50": q_tfidf_top50,
+        "synonym_bm25": q_synonym_bm25,
         "search_hydrated": q_search_hydrated,
         # -- index lifecycle: merge / tiers / deletes / time travel -----
         "merged_index_bm25": q_merged_index_bm25,
         "tiered_bm25": q_tiered_bm25,
         "tiered_deleted_bm25": q_tiered_deleted_bm25,
-        "time_travel_bm25": q_time_travel_bm25,
         # -- query language --------------------------------------------
         "fuzzy_term_match": q_fuzzy_term_match,
         "bm25_not_semantics": q_bm25_not_semantics,
+        "bm25_must_semantics": q_bm25_must_semantics,
         "phrase_bm25": q_phrase_bm25,
         "mixed_phrase_bm25": q_mixed_phrase_bm25,
-        "phrase_slop_bm25": q_phrase_slop_bm25,
         "wildcard_leading_bm25": q_wildcard_leading_bm25,
         "term_prefix_topk": q_term_prefix_topk,
         # -- dedup family ----------------------------------------------
@@ -2636,18 +2644,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- similarity / ANN ------------------------------------------
         "cosine_top10": q_cosine_top10,
         "ann_lsh_top10": q_ann_lsh_top10,
-        "ann_lsh_multitable": q_ann_lsh_multitable,
         "ann_ivf_trained": q_ann_ivf_trained,
         "ann_ivf_pruned": q_ann_ivf_pruned,
         # -- text analysis ---------------------------------------------
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
+        "bigram_pmi": q_bigram_pmi,
         # -- training-data pipeline --------------------------------------
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
         "repetition_flags": q_repetition_flags,
         # -- streaming -------------------------------------------------
         "events_window_agg": q_events_window_agg,
+        "events_sessions": q_events_sessions,
         "worker_totals": q_worker_totals,
         # -- relational demo -------------------------------------------
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
@@ -2668,7 +2677,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_batch": q_bm25_batch,             # scoring kernel, N queries in one plan
         "bm25_mid_wand": q_bm25_mid,            # wand kernel, mid-df terms
         "bm25_and_semantics": q_bm25_and_semantics,  # OR kernel + conjunctive filter
-        "bm25_must_semantics": q_bm25_must_semantics,  # +term MUST gate on the OR kernel
+        "tfidf_top50": q_tfidf_top50,           # bm25_top50's exhaustive kernel, tfidf mode (r5 demotion)
+        "time_travel_bm25": q_time_travel_bm25,  # tiered_deleted_bm25's tombstone machinery on a snapshot (r5 demotion)
+        "phrase_slop_bm25": q_phrase_slop_bm25,  # phrase_bm25 with a widened window (r5 demotion)
+        "ann_lsh_multitable": q_ann_lsh_multitable,  # ann_lsh_top10 probing variant (r5 demotion)
         "indexed_phrase_bm25": q_indexed_phrase_bm25,  # exact sidecar path (slop=0 ≡; slop+mixed in window)
         "bm25_stemmed": q_bm25_stemmed,         # porter path (also exercised by every engine-built entry)
         "wildcard_bm25": q_wildcard_bm25,       # trailing-* expansion (leading-* variant in window)
@@ -2682,9 +2694,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,   # textstats variant
         "phrase_occurrences": q_phrase_occurrences,  # phrase scan variant
         "orders_by_segment": q_orders_by_segment,  # TPC-H demo variant
-        "events_sessions": q_events_sessions,   # native session_window op
-        "synonym_bm25": q_synonym_bm25,        # SynonymQuery semantics (scoring-kernel family)
-        "bigram_pmi": q_bigram_pmi,             # collocation mining (agg family)
         "decontaminate_xx64": q_decontaminate_xx64,  # hash-join production mode
         "training_mix": q_training_mix,         # composed pipeline (filter -> decontam -> pack)
         "source_quality_report": q_source_quality_report,  # domain-level filtering signals

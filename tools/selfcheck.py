@@ -2,11 +2,18 @@
 __spark_entry__ query on Spark AND its oracle SQL on DuckDB at sf0.01,
 compare row count, schema (column names), and an order-insensitive value
 hash. Usage: python tools/selfcheck.py [sf_dir] [only_query ...]
+
+A FULL run (no query subset) also writes ``SELFCHECK_ALL.json`` at the
+repo root — the committed companion to the driver's 50-entry
+CORRECTNESS gate, proving the past-cap variant entries were
+value-checked this round too.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
+import os
 import sys
 import time
 
@@ -56,6 +63,7 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -66,9 +74,11 @@ def main():
             srows = [r.asDict() for r in sdf.collect()]
         except Exception as e:
             failures.append((name, f"SPARK ERROR {type(e).__name__}: {e}"))
+            report[name] = {"status": "FAIL", "err": f"spark: {e}"[:300]}
             print(f"FAIL {name}: spark error {e}")
             continue
         if name not in oracles:
+            report[name] = {"status": "rows-only", "rows": len(srows)}
             print(
                 f"rows-only {name}: {len(srows)} rows, cols={scols} "
                 f"({time.time() - t0:.1f}s)"
@@ -80,6 +90,7 @@ def main():
             orows = [dict(zip(ocols, r)) for r in rel.fetchall()]
         except Exception as e:
             failures.append((name, f"DUCKDB ERROR: {e}"))
+            report[name] = {"status": "FAIL", "err": f"duckdb: {e}"[:300]}
             print(f"FAIL {name}: duckdb error {e}")
             continue
         problems = []
@@ -97,14 +108,36 @@ def main():
                 problems.append(f"value hash; first diffs: {diffs}")
         if problems:
             failures.append((name, "; ".join(problems)))
+            report[name] = {
+                "status": "FAIL", "err": "; ".join(problems)[:300],
+            }
             print(f"FAIL {name}: {'; '.join(problems)}")
         else:
+            report[name] = {
+                "status": "PASS",
+                "rows": len(srows),
+                "sec": round(time.time() - t0, 1),
+            }
             print(
                 f"PASS {name}: {len(srows)} rows ({time.time() - t0:.1f}s)"
             )
     print(f"\n{len(failures)} failures")
     for name, msg in failures:
         print(f"  {name}: {msg[:300]}")
+    if not only:
+        out = os.path.join(os.path.dirname(__file__), "..",
+                           "SELFCHECK_ALL.json")
+        with open(out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "entries": len(report),
+                    "failures": len(failures),
+                    "results": report,
+                },
+                f, indent=1,
+            )
+        print(f"wrote {os.path.normpath(out)} ({len(report)} entries)")
     spark.stop()
     sys.exit(1 if failures else 0)
 
