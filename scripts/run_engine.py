@@ -698,6 +698,7 @@ def main(argv=None):
                     ids = teng.search_local(
                         args.query, k=args.k, mode=args.mode,
                         negation=args.negation,
+                        synonyms=args.synonyms,
                     )
                 else:
                     ids = [
@@ -705,6 +706,7 @@ def main(argv=None):
                         for r in teng.search_ids(
                             args.query, k=args.k, mode=args.mode,
                             negation=args.negation,
+                            synonyms=args.synonyms,
                         ).collect()
                     ]
                 smap = dict(ids)

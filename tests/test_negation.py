@@ -384,3 +384,102 @@ def test_split_boolean_partition_property():
         assert neg.split() == exp_neg
 
     check()
+
+
+@pytest.fixture()
+def overlap_terms():
+    """(excluded, other): a mid-tail exclusion that removes some of
+    other's docs but not all (the Zipf-head term would legitimately
+    empty an 80-doc corpus)."""
+    from wiki_search_engine_spark.sources.synth import vocabulary
+
+    words, _ = vocabulary(42)
+    return words[20], words[50]
+
+
+def test_should_overlap_drops_term_keeps_exclusion(
+    engine, overlap_terms
+):
+    """Lucene overlap rule: 'a b -a' is NOT a contradiction — 'a' drops
+    from the SHOULD set and the exclusion stands, so the query behaves
+    exactly like 'b -a' (stemming collisions like 'run -runs' must not
+    silently empty valid queries)."""
+    neg, other = overlap_terms
+    got = engine.search_local(
+        f"{neg} {other} -{neg}", k=10, negation=True
+    )
+    exp = engine.search_local(f"{other} -{neg}", k=10, negation=True)
+    assert got == exp and got  # non-empty: the b-only docs survive
+    # distributed paths agree
+    for path in ("exhaustive", "wand"):
+        dist = [
+            (int(r["docid"]), float(r["score"]))
+            for r in engine.search_ids(
+                f"{neg} {other} -{neg}", k=10, path=path,
+                negation=True,
+            ).collect()
+        ]
+        assert [d for d, _ in dist] == [d for d, _ in got]
+
+
+def test_required_overlap_is_contradiction(engine, overlap_terms):
+    """'+t ... -t' IS a genuine contradiction (term required and
+    excluded): empty result on every path; same under semantics='and'
+    where every term is implicitly required."""
+    neg, other = overlap_terms
+    q = f"+{neg} {other} -{neg}"
+    assert engine.search_local(q, k=10, negation=True) == []
+    assert (
+        engine.search_ids(
+            q, k=10, path="exhaustive", negation=True
+        ).count()
+        == 0
+    )
+    assert (
+        engine.search_local(
+            f"{neg} {other} -{neg}", k=10, semantics="and",
+            negation=True,
+        )
+        == []
+    )
+
+
+def test_overlap_rule_tiered(
+    spark, engine, corpus_df, overlap_terms, tmp_path
+):
+    """The overlap rule holds on tiered local AND tiered distributed."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from wiki_search_engine_spark.engine import SearchEngine
+    from wiki_search_engine_spark.tiered import TieredEngine
+
+    neg, other = overlap_terms
+    half = corpus_df.count() // 2
+    w = corpus_df.withColumn(
+        "_r", F.row_number().over(Window.orderBy("url"))
+    )
+    ea = SearchEngine.build(
+        spark, w.filter(F.col("_r") <= half).drop("_r"),
+        str(tmp_path / "ov_a"), stem=True,
+        n_buckets=16, bucket_groups=1, salt_bits=2,
+    )
+    eb = SearchEngine.build(
+        spark, w.filter(F.col("_r") > half).drop("_r"),
+        str(tmp_path / "ov_b"), stem=True,
+        n_buckets=16, bucket_groups=1, salt_bits=2,
+    )
+    teng = TieredEngine(spark, [ea.index_dir, eb.index_dir])
+    q = f"{neg} {other} -{neg}"
+    got = teng.search_local(q, k=10, negation=True)
+    exp = engine.search_local(q, k=10, negation=True)
+    assert [d for d, _ in got] == [d for d, _ in exp] and got
+    dist = [
+        (int(r["docid"]), float(r["score"]))
+        for r in teng.search_ids(q, k=10, negation=True).collect()
+    ]
+    assert [d for d, _ in dist] == [d for d, _ in exp]
+    # contradiction still contradicts on both tiered paths
+    qc = f"+{neg} {other} -{neg}"
+    assert teng.search_local(qc, k=10, negation=True) == []
+    assert teng.search_ids(qc, k=10, negation=True).count() == 0

@@ -216,3 +216,155 @@ def test_synonyms_over_http(engine, syn_words):
     finally:
         _clear(engine)
         srv.shutdown()
+
+
+def test_synonyms_distributed_paths_identity(engine, syn_words):
+    """search_ids serves synonyms on EVERY path now: exhaustive routes
+    through operators/scoring.score_synonyms, a wand request downgrades
+    to the same aggregation form; both rank- and score-identical to the
+    local kernel (VERDICT r4 item 5 — the ValueError guards are gone)."""
+    a, b, c = syn_words
+    try:
+        engine.set_synonyms([[a, b]])
+        q = f"{a} {c}"
+        exp = engine.search_local(q, k=10, synonyms=True)
+        assert exp
+        for path in ("exhaustive", "wand"):
+            got = [
+                (int(r["docid"]), float(r["score"]))
+                for r in engine.search_ids(
+                    q, k=10, path=path, synonyms=True
+                ).collect()
+            ]
+            assert [d for d, _ in got] == [d for d, _ in exp]
+            for (gd, gs), (ed, es) in zip(got, exp):
+                assert gs == pytest.approx(es, rel=1e-9)
+    finally:
+        _clear(engine)
+
+
+def test_synonyms_distributed_compose_with_negation(engine, syn_words):
+    a, b, c = syn_words
+    try:
+        engine.set_synonyms([[a, b]])
+        q = f"{a} -{c}"
+        exp = engine.search_local(
+            q, k=10, synonyms=True, negation=True
+        )
+        got = [
+            (int(r["docid"]), float(r["score"]))
+            for r in engine.search_ids(
+                q, k=10, path="wand", synonyms=True, negation=True
+            ).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in exp]
+    finally:
+        _clear(engine)
+
+
+def test_synonyms_distributed_and_raises(engine, syn_words):
+    a, b, c = syn_words
+    try:
+        engine.set_synonyms([[a, b]])
+        with pytest.raises(ValueError):
+            engine.search_ids(
+                f"{a} {c}", k=5, path="exhaustive",
+                semantics="and", synonyms=True,
+            )
+    finally:
+        _clear(engine)
+
+
+def test_tiered_distributed_synonyms(
+    spark, engine, corpus_df, syn_words, tmp_path
+):
+    """TieredEngine.search_ids serves synonyms over the LIVE postings,
+    identical to the tiered local path (newest segment's sidecar)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from wiki_search_engine_spark.engine import SearchEngine
+    from wiki_search_engine_spark.tiered import TieredEngine
+
+    a, b, c = syn_words
+    half = corpus_df.count() // 2
+    w = corpus_df.withColumn(
+        "_r", F.row_number().over(Window.orderBy("url"))
+    )
+    ea = SearchEngine.build(
+        spark, w.filter(F.col("_r") <= half).drop("_r"),
+        str(tmp_path / "synd_a"), stem=True,
+        n_buckets=16, bucket_groups=1, salt_bits=2,
+    )
+    eb = SearchEngine.build(
+        spark, w.filter(F.col("_r") > half).drop("_r"),
+        str(tmp_path / "synd_b"), stem=True,
+        n_buckets=16, bucket_groups=1, salt_bits=2,
+    )
+    eb.set_synonyms([[a, b]])
+    teng = TieredEngine(spark, [ea.index_dir, eb.index_dir])
+    q = f"{a} {c}"
+    exp = teng.search_local(q, k=10, synonyms=True)
+    assert exp
+    got = [
+        (int(r["docid"]), float(r["score"]))
+        for r in teng.search_ids(q, k=10, synonyms=True).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (gd, gs), (ed, es) in zip(got, exp):
+        assert gs == pytest.approx(es, rel=1e-9)
+
+
+def test_synonyms_http_distributed_parity(engine, syn_words):
+    """&synonyms=true works on a wand-path server (used to 500) and
+    matches the local serving ranks."""
+    from wiki_search_engine_spark.server import start_server
+
+    a, b, c = syn_words
+    srv = start_server(engine, port=0, path_mode="wand")
+    try:
+        engine.set_synonyms([[a, b]])
+        port = srv.server_address[1]
+        q = urllib.parse.quote(f"{a} {c}")
+        url = (
+            f"http://127.0.0.1:{port}/query-stem?query={q}"
+            "&optionName=bm25&synonyms=true"
+        )
+        with urllib.request.urlopen(url, timeout=60) as r:
+            resp = json.load(r)
+        exp = engine.search_local(f"{a} {c}", k=50, synonyms=True)
+        got_ids = [int(x["file_id"]) for x in resp["textResult"]]
+        assert got_ids == [d for d, _ in exp[: len(got_ids)]]
+    finally:
+        _clear(engine)
+        srv.shutdown()
+
+
+def test_synonyms_and_combination_is_http_400(engine, syn_words):
+    """synonyms + semantics=and is CLIENT input: the server answers 400
+    with the standard error body, not a 500 (ADVICE r4)."""
+    import urllib.error
+
+    from wiki_search_engine_spark.server import start_server
+
+    a, b, c = syn_words
+    srv = start_server(engine, port=0, path_mode="local")
+    try:
+        engine.set_synonyms([[a, b]])
+        port = srv.server_address[1]
+        q = urllib.parse.quote(f"{a} {c}")
+        url = (
+            f"http://127.0.0.1:{port}/query-stem?query={q}"
+            "&synonyms=true&semantics=and"
+        )
+        try:
+            urllib.request.urlopen(url, timeout=30)
+            assert False, "expected HTTP error"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            body = json.load(e)
+            assert body["success"] is False
+            assert "synonym" in body["error"]
+    finally:
+        _clear(engine)
+        srv.shutdown()

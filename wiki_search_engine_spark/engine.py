@@ -1341,8 +1341,16 @@ class SearchEngine:
             # correction before retrieval (fuzzy_terms; needs the
             # SymSpell layout)
             terms, _ = self.fuzzy_terms(terms)
-        if excluded and set(terms) & set(excluded):
-            return []  # Lucene boolean contradiction: +t AND -t
+        from .functions.analyzer import resolve_boolean_overlap
+
+        terms, contradiction = resolve_boolean_overlap(
+            terms,
+            terms if semantics == "and" else required,
+            excluded,
+        )
+        if contradiction or not terms:
+            return []  # +t -t contradiction, or nothing positive left
+        required = [t for t in required if t in terms]
         if not os.path.isdir(f"{self.index_dir}/term_stats"):
             raise FileNotFoundError(
                 f"{self.index_dir}/term_stats missing — the local serving "
@@ -1382,13 +1390,14 @@ class SearchEngine:
         shard_results = []
         for salt, tls in by_salt.items():
             exc = exc_by_salt.get(salt)
-            # top-(k + |excluded in shard|) BEFORE the NOT filter is
-            # exact: at most |exc| of the shard's top entries can drop
-            k_eff = k + (int(exc.size) if exc is not None else 0)
-            d, s = score_shard_topk(tls, self.n, self.avgdl, k_eff, mode)
-            if exc is not None and d.size:
-                keep = ~np.isin(d, exc)
-                d, s = d[keep], s[keep]
+            if exc is not None and exc.size:
+                # excluded docids ride the kernel's decode-time tombs
+                # mask (sorted-unique by construction): NOT docs drop
+                # BEFORE the top-k cut, so the heap stays k-sized no
+                # matter how common the excluded term is — the same
+                # mechanism tiered distributed serving uses
+                tls = [{**tl, "tombs": exc} for tl in tls]
+            d, s = score_shard_topk(tls, self.n, self.avgdl, k, mode)
             shard_results.append((d, s))
         return merge_topk(shard_results, k)
 
@@ -1501,12 +1510,12 @@ class SearchEngine:
         as Lucene NOT (opt-in so legacy hyphenated queries keep the
         reference's bag behavior): served local (per-shard filtered
         top-k) or exhaustive (LEFT ANTI join before the cut); a 'wand'
-        request downgrades to exhaustive."""
-        if synonyms and path != "local":
-            raise ValueError(
-                "synonym expansion is served by the local path (the "
-                "distributed twin is operators/scoring.score_synonyms)"
-            )
+        request downgrades to exhaustive. ``synonyms=True`` is served on
+        EVERY path: local uses the driver kernel, the distributed paths
+        route through operators/scoring.score_synonyms (a 'wand' request
+        downgrades — the group's summed-tf saturation is an aggregation,
+        which block-max skipping cannot express); rank-identical across
+        paths (pytest)."""
         excluded: list[str] = []
         required: list[str] = []
         if negation and path != "local":
@@ -1541,10 +1550,18 @@ class SearchEngine:
         )
         if not terms:
             return self.spark.createDataFrame([], "docid long, score double")
-        if excluded and set(terms) & set(excluded):
+        from .functions.analyzer import resolve_boolean_overlap
+
+        terms, contradiction = resolve_boolean_overlap(
+            terms,
+            terms if semantics == "and" else required,
+            excluded,
+        )
+        if contradiction or not terms:
             return self.spark.createDataFrame(
                 [], "docid long, score double"
             )
+        required = [t for t in required if t in terms]
         if path == "local":
             rows = [
                 (int(d), float(s)) for d, s in self.search_local(
@@ -1555,6 +1572,45 @@ class SearchEngine:
             return self.spark.createDataFrame(
                 rows, "docid long, score double"
             )
+        syn = self._load_synonyms() if synonyms else {}
+        if syn:
+            if semantics == "and" or required:
+                raise ValueError(
+                    "synonyms compose with OR/SHOULD semantics only (a "
+                    "synonym group IS a disjunction)"
+                )
+            from .operators.scoring import score_synonyms
+
+            # each query term's group (itself + sidecar synonyms) scores
+            # as ONE pseudo-term: summed tf, TRUE disjunction df — the
+            # distributed twin of _search_local_synonyms, same sidecar
+            groups = [
+                list(dict.fromkeys([t] + syn.get(t, [])))
+                for t in dict.fromkeys(terms)
+            ]
+            need = sorted({g for grp in groups for g in grp})
+            flat = decode_postings_df(
+                self._postings(need + excluded).filter(
+                    F.col("term").isin(need + excluded)
+                )
+            )
+            # df is computed over ALL docs the groups match (exclusion
+            # narrows candidates, not collection stats) — score with
+            # k=None, anti-join the NOT set, then cut, mirroring the
+            # local kernel's order of operations exactly
+            res = score_synonyms(
+                flat.filter(F.col("term").isin(need)),
+                groups, self.n, self.avgdl, k=None, mode=mode,
+            )
+            if excluded:
+                exc_docs = (
+                    flat.filter(F.col("term").isin(excluded))
+                    .select("docid").distinct()
+                )
+                res = res.join(exc_docs, "docid", "left_anti")
+            return res.orderBy(
+                F.desc("score"), F.asc("docid")
+            ).limit(k)
         postings = self._postings(terms + excluded)
         if path == "wand":
             import os
@@ -1800,12 +1856,29 @@ class SearchEngine:
                             }
                         except EmptyQueryError:
                             exc = set()
-                    res = self.search_mixed(
-                        pos_q, k=k + len(exc), mode=mode
-                    )
-                    return [
-                        (d, s) for d, s in res if d not in exc
-                    ][:k]
+                    # over-fetch is CAPPED then iteratively deepened:
+                    # excluding a high-df term must not grow the top-k
+                    # heap (and the driver-side result list) by its
+                    # whole posting count up front. Exact: we only stop
+                    # shallow when the filtered page is already full or
+                    # the engine returned fewer rows than asked (no
+                    # deeper matches exist).
+                    k_full = k + len(exc)
+                    k_eff = min(k_full, max(4 * k, k + 64))
+                    while True:
+                        res = self.search_mixed(
+                            pos_q, k=k_eff, mode=mode
+                        )
+                        out = [
+                            (d, s) for d, s in res if d not in exc
+                        ][:k]
+                        if (
+                            len(out) >= k
+                            or len(res) < k_eff
+                            or k_eff >= k_full
+                        ):
+                            return out
+                        k_eff = min(k_full, 4 * k_eff)
                 return self.search_mixed(query, k=k, mode=mode)
             if path != "local":
                 return [
@@ -1813,6 +1886,7 @@ class SearchEngine:
                     for r in self.search_ids(
                         query, k=k, mode=mode, path=path,
                         semantics=semantics, negation=negation,
+                        synonyms=synonyms,
                     ).collect()
                 ]
             return self.search_local(
@@ -1823,11 +1897,6 @@ class SearchEngine:
         if fuzzy and path != "local":
             raise ValueError(
                 "fuzzy (did-you-mean) is served by the local path"
-            )
-        if synonyms and path != "local":
-            raise ValueError(
-                "synonym expansion is served by the local path (the "
-                "distributed twin is operators/scoring.score_synonyms)"
             )
         # highlight/corrections analyze the POSITIVE part only — an
         # excluded term never appears in results

@@ -393,6 +393,35 @@ def split_boolean(query: str) -> tuple[str, str, str]:
     return " ".join(should), " ".join(must), " ".join(neg)
 
 
+def resolve_boolean_overlap(
+    terms: list[str],
+    required: list[str] | None,
+    excluded: list[str],
+) -> tuple[list[str], bool]:
+    """Lucene's rule for a term appearing on both sides of a boolean
+    query AFTER analysis (stemming makes collisions easy: ``run -runs``
+    both analyze to ``run``):
+
+    - a REQUIRED (+t) term that is also excluded (-t) is a genuine
+      contradiction — the query matches nothing;
+    - a SHOULD term that is also excluded is simply DROPPED from the
+      positive set and the exclusion kept (``a b -a`` returns docs
+      matching ``b`` without ``a`` — it must not silently empty).
+
+    Returns ``(positive_terms, contradiction)``; the caller returns an
+    empty result when ``contradiction`` is True or no positive terms
+    remain. Callers with ``semantics='and'`` pass ``required=terms``
+    (conjunctive retrieval makes every term required)."""
+    if not excluded:
+        return terms, False
+    overlap = set(terms) & set(excluded)
+    if not overlap:
+        return terms, False
+    if set(required or ()) & overlap:
+        return [], True
+    return [t for t in terms if t not in overlap], False
+
+
 def split_negations(query: str) -> tuple[str, str]:
     """Split a raw query into (positive text, excluded text): a
     whitespace token starting with ``-`` and carrying at least one more

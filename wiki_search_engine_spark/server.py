@@ -190,6 +190,14 @@ class _Handler(BaseHTTPRequestHandler):
                 400, {"success": False, "result": [], "error": str(e)}
             )
             return
+        except ValueError as e:
+            # an invalid flag COMBINATION (synonyms+and, fuzzy on a
+            # non-local path, ...) is client input, not a server fault —
+            # same 400 contract as the other invalid-request bodies
+            self._send(
+                400, {"success": False, "result": [], "error": str(e)}
+            )
+            return
         except Exception as e:  # mirror the controller's 500 catch
             self._send(500, {"success": False, "error": str(e)})
             return

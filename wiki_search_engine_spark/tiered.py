@@ -531,8 +531,16 @@ class TieredEngine:
             return []
         if fuzzy:
             terms, _ = self.fuzzy_terms(terms)
-        if excluded and set(terms) & set(excluded):
-            return []  # boolean contradiction: +t AND -t
+        from .functions.analyzer import resolve_boolean_overlap
+
+        terms, contradiction = resolve_boolean_overlap(
+            terms,
+            terms if semantics == "and" else required,
+            excluded,
+        )
+        if contradiction or not terms:
+            return []  # +t -t contradiction, or nothing positive left
+        required = [t for t in required if t in terms]
         if synonyms and self._load_synonyms():
             if semantics == "and" or required:
                 raise ValueError(
@@ -1031,6 +1039,7 @@ class TieredEngine:
     def search_ids(
         self, query: str, k: int = 50, mode: str = "bm25",
         semantics: str = "or", negation: bool = False,
+        synonyms: bool = False,
     ):
         """DISTRIBUTED tiered top-k — the cluster path for head terms
         whose candidate lists exceed driver memory. Two jobs: phase 1
@@ -1088,10 +1097,55 @@ class TieredEngine:
             return self.spark.createDataFrame(
                 [], "docid long, score double"
             )
-        if excluded and set(terms) & set(excluded):
+        from .functions.analyzer import resolve_boolean_overlap
+
+        terms, contradiction = resolve_boolean_overlap(
+            terms,
+            terms if semantics == "and" else required,
+            excluded,
+        )
+        if contradiction or not terms:
             return self.spark.createDataFrame(
                 [], "docid long, score double"
             )
+        required = [t for t in required if t in terms]
+        syn = self._load_synonyms() if synonyms else {}
+        if syn:
+            if semantics == "and" or required:
+                raise ValueError(
+                    "synonyms compose with OR/SHOULD semantics only "
+                    "(a synonym group IS a disjunction)"
+                )
+            from pyspark.sql import functions as F
+
+            from .operators.scoring import score_synonyms
+
+            # distributed tiered synonyms: group scoring over the LIVE
+            # postings (tombstones dropped at decode) — same sidecar
+            # rule as the tiered local path (newest segment wins), same
+            # kernel as the single-index distributed path
+            groups = [
+                list(dict.fromkeys([t] + syn.get(t, [])))
+                for t in dict.fromkeys(terms)
+            ]
+            need = sorted({g for grp in groups for g in grp})
+            read = need + [
+                t for t in dict.fromkeys(excluded) if t not in need
+            ]
+            flat = self._decoded_live_postings(read)
+            res = score_synonyms(
+                flat.filter(F.col("term").isin(need)),
+                groups, self.n, self.avgdl, k=None, mode=mode,
+            )
+            if excluded:
+                exc_docs = (
+                    flat.filter(F.col("term").isin(excluded))
+                    .select("docid").distinct()
+                )
+                res = res.join(exc_docs, "docid", "left_anti")
+            return res.orderBy(
+                F.desc("score"), F.asc("docid")
+            ).limit(k)
         tombs = self.tombstones
         if excluded:
             live_exc = self._live_term_postings_many(
