@@ -697,3 +697,29 @@ def test_wildcard_leading_search_paths_agree(engine):
         ]
         got.sort(key=lambda r: (-r[1], r[0]))
         assert got == exp, path
+
+
+def test_lexicon_rev_staleness_detected(engine):
+    """A lexicon_rev left behind after term_stats changed must FAIL
+    LOUDLY at leading-wildcard time, not silently expand against the
+    old vocabulary (ADVICE r4): the sidecar carries a fingerprint of
+    the term_stats files, checked once per engine instance."""
+    import glob
+    import os
+
+    engine.build_lexicon_rev()
+    engine._lexrev_stamp_ok = None
+    assert engine.expand_wildcard("*ing")  # fresh: serves fine
+    # simulate an in-place lexicon rewrite: bump a term_stats mtime
+    part = sorted(
+        glob.glob(f"{engine.index_dir}/term_stats/**/*.parquet",
+                  recursive=True)
+    )[0]
+    st = os.stat(part)
+    os.utime(part, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    engine._lexrev_stamp_ok = None
+    with pytest.raises(FileNotFoundError, match="STALE"):
+        engine.expand_wildcard("*ing")
+    # rebuild restamps and serving resumes
+    engine.build_lexicon_rev()
+    assert engine.expand_wildcard("*ing")

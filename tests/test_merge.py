@@ -1049,3 +1049,69 @@ def test_tiered_suggest_correct_over_http(spark, merged_and_full):
         assert body.get("corrections", {}).get(typo)
     finally:
         srv.shutdown()
+
+
+def test_tiered_wildcard_exact_under_heavy_tombstones(spark, tmp_path):
+    """VERDICT r4 item 6: with tombstones AND cap pressure, the tiered
+    wildcard expansion refines the cap boundary with LIVE df and picks
+    exactly the compacted index's expansions — stored-df ranking alone
+    would keep the heavily-tombstoned term and starve the live one."""
+    import datetime
+
+    from wiki_search_engine_spark.engine import SearchEngine
+    from wiki_search_engine_spark.tiered import (
+        TieredEngine, write_deletes_segment,
+    )
+
+    # wilda: 10 docs (5 tombstoned -> live 5); wildc: 9; wildb: 8.
+    # stored ranking: wilda(10), wildc(9) | live: wildc(9), wildb(8)
+    rows = []
+    for i in range(27):
+        term = "wilda" if i < 10 else ("wildc" if i < 19 else "wildb")
+        rows.append(
+            {
+                "url": f"https://example.org/wc{i:03d}",
+                "warc_ts": datetime.datetime(2024, 1, 1, 0, 0, i),
+                "html": b"",
+                "text": f"{term} common filler textbody",
+                "lang": "en",
+            }
+        )
+    df = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string",
+    )
+    base = SearchEngine.build(
+        spark, df, str(tmp_path / "wcb"), stem=True,
+        n_buckets=8, bucket_groups=1, salt_bits=2,
+    )
+    victims = [
+        r["docid"]
+        for r in spark.createDataFrame(
+            [(rows[i]["url"],) for i in range(5)], "url string"
+        )
+        .withColumn(
+            "docid", F.shiftrightunsigned(F.xxhash64("url"), 1)
+        )
+        .collect()
+    ]
+    del_seg = write_deletes_segment(
+        str(tmp_path / "wcdel"), docids=victims
+    )
+    tiered = TieredEngine(spark, [base.index_dir, del_seg])
+    expected = SearchEngine.delete(
+        spark, base.index_dir, str(tmp_path / "wcc"), docids=victims
+    )
+    assert tiered.overridden > 0  # the refinement path actually runs
+    got = tiered.expand_wildcard("wild*", cap=2)
+    exp = expected.expand_wildcard("wild*", cap=2)
+    assert got == exp == [("wildc", 9), ("wildb", 8)]
+    # uncapped: all three expand, wilda at its LIVE df
+    assert tiered.expand_wildcard("wild*", cap=10) == (
+        expected.expand_wildcard("wild*", cap=10)
+    )
+    # and serving through the capped expansion matches the compacted
+    got_ids = tiered.search_local("wild* common", k=10)
+    exp_ids = expected.search_local("wild* common", k=10)
+    assert [d for d, _ in got_ids] == [d for d, _ in exp_ids]

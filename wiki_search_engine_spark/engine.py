@@ -548,7 +548,13 @@ class SearchEngine:
         (range repartition + in-partition sort — scales to a 10^9-term
         lexicon because the sort is distributed); afterwards leading
         and infix wildcards serve driver-side with zero Spark jobs.
-        Derived purely from term_stats: rebuild after merge/delete."""
+        Derived purely from term_stats: a ``_SOURCE_STAMP.json``
+        fingerprint of the term_stats files is written alongside and
+        checked at read time, so a sidecar left behind by a superseded
+        lexicon FAILS LOUDLY (rebuild remedy) instead of silently
+        expanding wildcards against ghost or missing terms."""
+        import json as _json
+
         from pyspark.sql import functions as F
 
         out = f"{self.index_dir}/lexicon_rev"
@@ -564,7 +570,57 @@ class SearchEngine:
             .write.mode("overwrite")
             .parquet(out)
         )
+        with open(f"{out}/_SOURCE_STAMP.json", "w") as f:
+            _json.dump({"term_stats": self._term_stats_fingerprint()}, f)
         self._datasets.pop("lexicon_rev", None)
+        self._lexrev_stamp_ok = None
+
+    def _term_stats_fingerprint(self) -> str:
+        """Deterministic fingerprint of the term_stats dataset files
+        (relative name, size, mtime_ns) — changes whenever the lexicon
+        is rewritten, cheap to compute (directory metadata only)."""
+        import hashlib
+        import os
+
+        root = f"{self.index_dir}/term_stats"
+        entries = []
+        for dirpath, _dirs, files in sorted(os.walk(root)):
+            rel = os.path.relpath(dirpath, root)
+            for name in sorted(files):
+                if name.startswith(("_", ".")):
+                    continue
+                st = os.stat(os.path.join(dirpath, name))
+                entries.append(f"{rel}/{name}:{st.st_size}:{st.st_mtime_ns}")
+        return hashlib.md5("\n".join(entries).encode()).hexdigest()
+
+    def _check_lexicon_rev_fresh(self) -> None:
+        """Raise when lexicon_rev predates the current term_stats (e.g.
+        after an in-place merge/delete rewrote the lexicon): a stale
+        reversed sidecar would silently expand leading/infix wildcards
+        against the OLD vocabulary. Verified once per engine instance
+        (the fingerprint is directory metadata; an engine instance is
+        pinned to one index state anyway)."""
+        import json as _json
+        import os
+
+        if getattr(self, "_lexrev_stamp_ok", None):
+            return
+        stamp_path = f"{self.index_dir}/lexicon_rev/_SOURCE_STAMP.json"
+        stale_msg = (
+            f"{self.index_dir}/lexicon_rev is STALE (term_stats changed "
+            "since it was built) — leading/infix wildcard expansion "
+            "would use the old vocabulary; rerun "
+            "engine.build_lexicon_rev() (CLI: revindex)"
+        )
+        if os.path.isfile(stamp_path):
+            with open(stamp_path) as f:
+                stamp = _json.load(f).get("term_stats")
+            if stamp != self._term_stats_fingerprint():
+                raise FileNotFoundError(stale_msg)
+        # pre-stamp sidecars (built by an older engine) can't be
+        # verified — trust them as before rather than breaking
+        # existing indexes
+        self._lexrev_stamp_ok = True
 
     def _term_range(
         self, dataset_name: str, sort_col: str, prefix: str
@@ -637,6 +693,7 @@ class SearchEngine:
                     "sidecar; run engine.build_lexicon_rev() (CLI: "
                     "revindex)"
                 )
+            self._check_lexicon_rev_fresh()
             cands = self._term_range(
                 "lexicon_rev", "term_rev", suffix[::-1]
             )

@@ -357,13 +357,19 @@ class TieredEngine:
         starve terms ranked below cap in every segment), stored dfs
         sum across segments, top-``cap`` by (df desc, term asc).
 
-        Honesty note: summed STORED df is an upper bound on live df
-        when overrides/tombstones exist, so the cap boundary can admit
-        a term the compacted index's expansion would rank just below
-        it (scoring itself stays exact-live for whichever terms
-        expand; fully-tombstoned terms score zero and drop). On
-        append-only segment lists stored == live and the expansion is
-        identical to the compacted index (pytest)."""
+        Under tombstones/overrides the summed STORED df is only an
+        UPPER bound on live df, so when the match set exceeds the cap
+        the boundary is refined with suggest-style LIVE df: candidates
+        decode in stored-df order (chunked — one batched lexicon +
+        postings read per segment per chunk, the same IO a query on
+        them would do) until the cap-th best live df seen strictly
+        exceeds the next candidate's stored bound — no unseen term can
+        then displace the selection (live <= stored). Expansion (terms,
+        dfs AND order) is therefore IDENTICAL to the compacted index's
+        (pytest), and fully-tombstoned terms drop. The refinement IO is
+        bounded by the cap (+ boundary ties) and is postings the query
+        on the expansion would read anyway; append-only segment lists
+        (``overridden == 0``) skip it entirely: stored == live there."""
         from .engine import SearchEngine
 
         cap = cap or SearchEngine.MAX_WILDCARD_EXPANSIONS
@@ -372,7 +378,27 @@ class TieredEngine:
             for t, df in eng.expand_wildcard(pattern, cap=1 << 30):
                 agg[t] = agg.get(t, 0) + int(df)
         ranked = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))
-        return ranked[:cap]
+        if self.overridden == 0:
+            return ranked[:cap]
+        by_live: list[tuple[str, int]] = []
+        i, chunk = 0, 64
+        while i < len(ranked):
+            if len(by_live) >= cap:
+                kth = sorted(
+                    by_live, key=lambda kv: (-kv[1], kv[0])
+                )[cap - 1][1]
+                # strict >: a tied unseen candidate could still win the
+                # (df desc, term asc) tie-break, so equal-bound
+                # candidates keep decoding (bounded by the tie class)
+                if kth > ranked[i][1]:
+                    break
+            names = [t for t, _ in ranked[i:i + chunk]]
+            lp = self._live_term_postings_many(names)
+            by_live.extend(
+                (t, lp[t][0]) for t in names if lp[t][0] > 0
+            )
+            i += chunk
+        return sorted(by_live, key=lambda kv: (-kv[1], kv[0]))[:cap]
 
     def expand_query_terms(self, query: str) -> list[str]:
         """Wildcard-aware tiered query analysis — the segment-list
