@@ -146,6 +146,54 @@ FROM contrib{anti} GROUP BY doc_id{having}
 ORDER BY score DESC, doc_id LIMIT {k}"""
 
 
+def _bm25f_sql(terms: list[str], k: int, w: float = 2.0) -> str:
+    """DuckDB replay of operators/scoring.py score_bm25f over the
+    documents table: pseudo-title = first 8 raw whitespace tokens,
+    analyzed by the same base chain; tf' = tf_b + (w-1)*tf_t; df =
+    docs with tf' > 0; body doc_len normalization throughout."""
+    part = (
+        f"ln((s.n - q.df + 0.5)/(q.df + 0.5) + 1) * m.tfp * {K1 + 1.0} "
+        f"/ (m.tfp + {K1} * (1 - {B} + {B} * m.doc_len / s.avgdl))"
+    )
+    return f"""
+WITH {SQL_TOKS}, {SQL_TF}, {SQL_DL}, {SQL_STATS}, {_sql_terms(terms)},
+tdoc AS (
+  SELECT doc_id,
+         array_to_string(
+           (regexp_split_to_array(trim(text), '\\s+'))[1:8], ' ') AS text
+  FROM documents),
+ttoks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(
+             trim(lower(regexp_replace(text, '[^a-zA-Z0-9 \t\n\r]', ' ', 'g'))),
+             '\\s+')) AS tok
+    FROM tdoc) t
+  WHERE tok <> ''
+    AND NOT (regexp_matches(tok, '^[0-9]+$') AND length(tok) > 4)),
+ttf AS (SELECT doc_id, tok AS term, count(*)::BIGINT AS tf
+        FROM ttoks GROUP BY 1, 2),
+merged AS (
+  SELECT coalesce(b.doc_id, t.doc_id) AS doc_id,
+         coalesce(b.term, t.term) AS term,
+         coalesce(b.tf, 0) + {w - 1.0} * coalesce(t.tf, 0) AS tfp,
+         dl.doc_len AS doc_len
+  FROM (SELECT * FROM tf
+        WHERE term IN (SELECT term FROM qterms)) b
+  FULL JOIN (SELECT * FROM ttf
+             WHERE term IN (SELECT term FROM qterms)) t
+    ON b.doc_id = t.doc_id AND b.term = t.term
+  JOIN dl ON dl.doc_id = coalesce(b.doc_id, t.doc_id)
+  WHERE coalesce(b.tf, 0) + {w - 1.0} * coalesce(t.tf, 0) > 0),
+qdf AS (SELECT term, count(*)::BIGINT AS df FROM merged GROUP BY 1),
+contrib AS (
+  SELECT m.doc_id, {part} AS part
+  FROM merged m JOIN qdf q USING (term) CROSS JOIN stats s)
+SELECT doc_id, round(sum(part), 6) AS score
+FROM contrib GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
 def _live_corpus_bm25_sql(deleted: tuple = ()) -> str:
     """BM25 over the live corpus after the re-crawl (docs < 300
     original, >= 300 with appended delta terms) — the shared oracle for
@@ -328,6 +376,44 @@ def q_bm25_top50_wand(spark, sf_dir):
 
 def q_tfidf_top50(spark, sf_dir):
     return _score_query(spark, sf_dir, Q_MAIN, 50, "tfidf", "exhaustive")
+
+
+def q_bm25f_top50(spark, sf_dir):
+    """BM25F with a weight-2 TITLE field (operators/scoring.py
+    score_bm25f): tf' = tf_body + (w-1)*tf_title through the standard
+    saturation, df = docs with tf' > 0 (== body df at w=1, the
+    rank-identity gate). The documents table has no title column, so
+    the pseudo-title is the first 8 raw whitespace tokens of text —
+    the analogue of the reference's doc format, which stores the title
+    as line 1 of every document (Crawler/crawler.py:401-406) while its
+    ranking ignores field structure entirely."""
+    from wiki_search_engine_spark.operators.scoring import score_bm25f
+    from wiki_search_engine_spark.operators.tokenize import tokenize
+
+    tokens = _base_tokens_df(spark, sf_dir)
+    n, avgdl = _stats_scalars(tokens)
+    titles = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("docid"),
+        F.array_join(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8), " "
+        ).alias("text"),
+    )
+    title_tf = (
+        tokenize(titles, stem=False)
+        .select("docid", "term", "tf")
+        .join(_doc_stats(tokens).select("docid", "doc_len"), "docid")
+    )
+    res = score_bm25f(
+        tokens, title_tf, Q_MAIN, n, avgdl, k=None, title_weight=2.0
+    )
+    return (
+        res.select(
+            F.col("docid").cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(50)
+    )
 
 
 def q_bm25_mid(spark, sf_dir):
@@ -2620,6 +2706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- scoring / serving -----------------------------------------
         "bm25_top50": q_bm25_top50,
         "bm25_top50_wand": q_bm25_top50_wand,
+        "bm25f_top50": q_bm25f_top50,
         "synonym_bm25": q_synonym_bm25,
         "search_hydrated": q_search_hydrated,
         # -- index lifecycle: merge / tiers / deletes / time travel -----
@@ -2647,7 +2734,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained": q_ann_ivf_trained,
         "ann_ivf_pruned": q_ann_ivf_pruned,
         # -- text analysis ---------------------------------------------
-        "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "bigram_pmi": q_bigram_pmi,
         # -- training-data pipeline --------------------------------------
@@ -2694,6 +2780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,   # textstats variant
         "phrase_occurrences": q_phrase_occurrences,  # phrase scan variant
         "orders_by_segment": q_orders_by_segment,  # TPC-H demo variant
+        "lang_id": q_lang_id,                   # textstats codegen family (rep: quality_scores; r5 demotion for bm25f_top50)
         "decontaminate_xx64": q_decontaminate_xx64,  # hash-join production mode
         "training_mix": q_training_mix,         # composed pipeline (filter -> decontam -> pack)
         "source_quality_report": q_source_quality_report,  # domain-level filtering signals
@@ -2778,6 +2865,7 @@ FROM tf JOIN qdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s""",
         "SELECT tf.term, tf.doc_id, tf.tf, dl.doc_len "
         "FROM tf JOIN dl USING (doc_id)",
         "bm25_top50": _bm25_sql(Q_MAIN, 50, "bm25"),
+        "bm25f_top50": _bm25f_sql(Q_MAIN, 50, 2.0),
         "bigram_pmi": r"""
 WITH tok AS (
   SELECT doc_id,
@@ -3199,7 +3287,8 @@ m AS (
     CASE WHEN length(text) = 0 THEN 0.0
          ELSE (length(text) - length(regexp_replace(text,
            '[^a-zA-Z0-9 	
-]', '', 'g'))) * 1.0 / length(text)
+
+]', '', 'g'))) * 1.0 / length(text)
     END AS praw,
     CASE WHEN len(ltoks) = 0 THEN 0.0
          ELSE len(list_filter(ltoks, t -> t IN ('the','a','an','and','or',

@@ -140,7 +140,12 @@ def main(argv=None):
     q.add_argument("--index", required=True)
     q.add_argument("--query", required=True)
     q.add_argument("--k", type=int, default=50)
-    q.add_argument("--mode", choices=["bm25", "tfidf"], default="bm25")
+    q.add_argument(
+        "--mode", choices=["bm25", "tfidf", "bm25f"], default="bm25",
+        help="bm25f = title-boosted BM25 (weight-2 title field; needs "
+        "the title_tf sidecar — new builds write it, old indexes run "
+        "`titleindex`)",
+    )
     q.add_argument(
         "--path", choices=["wand", "exhaustive", "local"], default="wand"
     )
@@ -255,6 +260,13 @@ def main(argv=None):
         "merge/delete (it derives from term_stats)",
     )
     rv.add_argument("--index", required=True)
+
+    ti = sub.add_parser(
+        "titleindex",
+        help="materialize the BM25F title-field sidecar (title_tf) on "
+        "an existing index; new builds write it as a standard stage",
+    )
+    ti.add_argument("--index", required=True)
 
     sn = sub.add_parser("snapshots")
     sn.add_argument("--index", required=True)
@@ -539,6 +551,20 @@ def main(argv=None):
                 {
                     "lexicon_rev": f"{eng.index_dir}/lexicon_rev",
                     "revindex_sec": round(time.time() - t0, 2),
+                }
+            )
+        )
+    elif args.cmd == "titleindex":
+        from wiki_search_engine_spark.engine import SearchEngine
+
+        t0 = time.time()
+        eng = SearchEngine.load(spark, args.index)
+        eng.build_title_tf()
+        print(
+            json.dumps(
+                {
+                    "title_tf": f"{eng.index_dir}/title_tf",
+                    "titleindex_sec": round(time.time() - t0, 2),
                 }
             )
         )

@@ -133,7 +133,7 @@ def assemble_reference_response(
     import time
 
     mode = (option_name or "tfidf").lower()
-    if mode not in ("tfidf", "bm25"):
+    if mode not in ("tfidf", "bm25", "bm25f"):
         mode = "tfidf"
     t_all = time.time()
     measures = []
@@ -536,6 +536,180 @@ class SearchEngine:
     # (suggest already ranks by df desc), so a short prefix over a
     # 10^9-term lexicon can't explode the query
     MAX_WILDCARD_EXPANSIONS = 128
+
+    # BM25F title-field weight (mode='bm25f'): a title occurrence
+    # counts this many times (weight 1 == plain BM25 exactly; see
+    # operators/scoring.py score_bm25f for the formula and the
+    # reference parity notes)
+    DEFAULT_TITLE_WEIGHT = 2.0
+
+    def build_title_tf(self, analyzer: str | None = None) -> None:
+        """Materialize the title-field sidecar (``title_tf/``) on an
+        existing index — the retrofit path for indexes built before
+        BM25F existed (CLI: ``titleindex``). New builds write it as a
+        standard stage (plans/build.py write_title_tf)."""
+        from .plans.build import write_title_tf
+
+        write_title_tf(
+            self.spark, self.index_dir, self.n_buckets,
+            analyzer=analyzer or self.analyzer,
+        )
+        self._title_cache = {}
+
+    def _title_rows(self, terms: list[str]) -> dict:
+        """term -> (docids, title_tfs, body_doc_lens) numpy arrays from
+        the title_tf sidecar — pyarrow over the terms' bucket
+        directories (term-sorted row groups), no Spark job, same read
+        shape as term_df. Missing sidecar raises with the titleindex
+        remedy."""
+        import os
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from .operators.postings import term_bucket
+
+        root = f"{self.index_dir}/title_tf"
+        if not os.path.isdir(root):
+            raise FileNotFoundError(
+                f"{root} missing — BM25F needs the title-field sidecar; "
+                "run engine.build_title_tf() (CLI: titleindex) or "
+                "rebuild the index"
+            )
+        cache = getattr(self, "_title_cache", None)
+        if cache is None:
+            cache = self._title_cache = {}
+        out: dict = {}
+        by_bucket: dict[int, list[str]] = {}
+        for t in dict.fromkeys(terms):
+            if t in cache:
+                out[t] = cache[t]
+            else:
+                by_bucket.setdefault(
+                    term_bucket(t, self.n_buckets), []
+                ).append(t)
+        empty = (
+            np.empty(0, np.int64),
+            np.empty(0, np.float64),
+            np.empty(0, np.float64),
+        )
+        for t in (t for ts in by_bucket.values() for t in ts):
+            out[t] = empty
+        for b, ts in by_bucket.items():
+            d = f"{root}/bucket={b}"
+            if not os.path.isdir(d):
+                continue
+            tbl = pq.read_table(
+                d, columns=["term", "docid", "tf", "doc_len"],
+                filters=[("term", "in", ts)],
+            )
+            terms_a = tbl.column("term").to_pylist()
+            did = tbl.column("docid").to_numpy()
+            tf = tbl.column("tf").to_numpy().astype(np.float64)
+            dl = tbl.column("doc_len").to_numpy().astype(np.float64)
+            for t in ts:
+                sel = np.fromiter(
+                    (x == t for x in terms_a), bool, len(terms_a)
+                )
+                td, ttf, tdl = did[sel], tf[sel], dl[sel]
+                order = np.argsort(td, kind="stable")
+                out[t] = (td[order], ttf[order], tdl[order])
+        for t, v in out.items():
+            cache[t] = v
+        return out
+
+    def _search_local_bm25f(
+        self, terms: list[str], k: int, exc_by_salt: dict | None = None,
+        title_weight: float | None = None,
+    ) -> list[tuple[int, float]]:
+        """Driver-side BM25F: per term, body postings merge with the
+        title sidecar rows — tf' = tf + (w-1)*tf_title, title-only
+        matches normalize against their stored BODY length, df = docs
+        with tf' > 0 (== body df at w == 1, preserving the plain-BM25
+        identity). Exclusion (NOT) applies to body-posting membership
+        after accumulation, like the synonyms kernel. Rank-identical
+        to the distributed operator (pytest)."""
+        import numpy as np
+
+        from . import B, K1
+        from .operators.codec import decode_posting_list
+        from .oracle_py.oracle import bm25_idf
+
+        w = (
+            self.DEFAULT_TITLE_WEIGHT
+            if title_weight is None
+            else float(title_weight)
+        )
+        lists = self._cached_term_lists(terms)
+        trows = self._title_rows(terms)
+        all_d, all_s = [], []
+        for t in dict.fromkeys(terms):
+            _df, salted = lists.get(t, (0, []))
+            ds, tfs, dls = [], [], []
+            for _salt, blocks in salted:
+                d_, tf_, dl_ = decode_posting_list(
+                    [
+                        b if isinstance(b, dict) else b.asDict()
+                        for b in blocks
+                    ]
+                )
+                ds.append(d_)
+                tfs.append(tf_)
+                dls.append(dl_)
+            if ds:
+                d = np.concatenate(ds)
+                tf = np.concatenate(tfs).astype(np.float64)
+                dl = np.concatenate(dls).astype(np.float64)
+                order = np.argsort(d, kind="stable")
+                d, tf, dl = d[order], tf[order], dl[order]
+            else:
+                d = np.empty(0, np.int64)
+                tf = dl = np.empty(0, np.float64)
+            td, ttf, tdl = trows.get(
+                t,
+                (
+                    np.empty(0, np.int64),
+                    np.empty(0, np.float64),
+                    np.empty(0, np.float64),
+                ),
+            )
+            if w != 1.0 and td.size:
+                pos = np.searchsorted(d, td)
+                safe = np.minimum(pos, max(d.size - 1, 0))
+                in_body = (
+                    (pos < d.size) & (d[safe] == td)
+                    if d.size
+                    else np.zeros(td.size, bool)
+                )
+                tf = tf.copy()
+                tf[pos[in_body]] += (w - 1.0) * ttf[in_body]
+                d = np.concatenate([d, td[~in_body]])
+                tf = np.concatenate([tf, (w - 1.0) * ttf[~in_body]])
+                dl = np.concatenate([dl, tdl[~in_body]])
+            keep = tf > 0
+            d, tf, dl = d[keep], tf[keep], dl[keep]
+            if not d.size:
+                continue
+            idf = bm25_idf(self.n, int(d.size))
+            s = (
+                idf * tf * (K1 + 1.0)
+                / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
+            )
+            all_d.append(d)
+            all_s.append(s)
+        if not all_d:
+            return []
+        d = np.concatenate(all_d)
+        s = np.concatenate(all_s)
+        uniq, inv = np.unique(d, return_inverse=True)
+        scores = np.zeros(uniq.size)
+        np.add.at(scores, inv, s)
+        if exc_by_salt:
+            exc = np.concatenate(list(exc_by_salt.values()))
+            keep = ~np.isin(uniq, exc)
+            uniq, scores = uniq[keep], scores[keep]
+        idx = np.lexsort((uniq, -scores))[: min(k, uniq.size)]
+        return [(int(uniq[i]), float(scores[i])) for i in idx]
 
     def build_lexicon_rev(self, partitions: int | None = None) -> None:
         """Materialize the REVERSED-term lexicon sidecar under
@@ -1423,9 +1597,22 @@ class SearchEngine:
                     "synonyms compose with OR/SHOULD semantics only (a "
                     "synonym group IS a disjunction)"
                 )
+            if mode == "bm25f":
+                raise ValueError(
+                    "bm25f does not compose with synonym groups yet — "
+                    "pick one of mode=bm25f / synonyms=true"
+                )
             return self._search_local_synonyms(
                 terms, k, mode, exc_by_salt
             )
+        if mode == "bm25f":
+            if semantics == "and" or required:
+                raise ValueError(
+                    "bm25f serves OR/SHOULD semantics (title-boosted "
+                    "accumulation); AND/MUST composition is not "
+                    "supported"
+                )
+            return self._search_local_bm25f(terms, k, exc_by_salt)
         lists = self._cached_term_lists(terms)
         if semantics == "and" or required:
             return self._search_local_and(
@@ -1658,6 +1845,55 @@ class SearchEngine:
             res = score_synonyms(
                 flat.filter(F.col("term").isin(need)),
                 groups, self.n, self.avgdl, k=None, mode=mode,
+            )
+            if excluded:
+                exc_docs = (
+                    flat.filter(F.col("term").isin(excluded))
+                    .select("docid").distinct()
+                )
+                res = res.join(exc_docs, "docid", "left_anti")
+            return res.orderBy(
+                F.desc("score"), F.asc("docid")
+            ).limit(k)
+        if mode == "bm25f":
+            import os as _os
+
+            if semantics == "and" or required:
+                raise ValueError(
+                    "bm25f serves OR/SHOULD semantics (title-boosted "
+                    "accumulation); AND/MUST composition is not "
+                    "supported"
+                )
+            if not _os.path.isdir(f"{self.index_dir}/title_tf"):
+                raise FileNotFoundError(
+                    f"{self.index_dir}/title_tf missing — BM25F needs "
+                    "the title-field sidecar; run "
+                    "engine.build_title_tf() (CLI: titleindex)"
+                )
+            from .operators.postings import term_bucket
+            from .operators.scoring import score_bm25f
+
+            # wand downgrades: block maxima were computed for the
+            # UNboosted tf, so pruning bounds would be unsound under
+            # the title boost — same aggregation-form downgrade as
+            # synonyms/AND
+            flat = decode_postings_df(
+                self._postings(terms + excluded).filter(
+                    F.col("term").isin(terms + excluded)
+                )
+            )
+            tbuckets = sorted(
+                {term_bucket(t, self.n_buckets) for t in terms}
+            )
+            title = (
+                self.spark.read.parquet(f"{self.index_dir}/title_tf")
+                .filter(F.col("bucket").isin(tbuckets))
+                .select("docid", "term", "tf", "doc_len")
+            )
+            res = score_bm25f(
+                flat.filter(F.col("term").isin(terms)),
+                title, terms, self.n, self.avgdl, k=None,
+                title_weight=self.DEFAULT_TITLE_WEIGHT,
             )
             if excluded:
                 exc_docs = (

@@ -192,3 +192,81 @@ def score_synonyms(
     if k is None:
         return agg
     return agg.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+
+
+def score_bm25f(
+    tokens: DataFrame,
+    title_tokens: DataFrame,
+    query_terms: list[str],
+    n: int,
+    avgdl: float,
+    k: int | None = 50,
+    title_weight: float = 2.0,
+) -> DataFrame:
+    """Top-k BM25F with a weighted TITLE field: per-(doc, term) the
+    effective tf is
+
+        tf' = tf_body + (title_weight - 1) * tf_title
+
+    scored through the standard BM25 saturation against the BODY
+    length normalization. ``title_weight == 1`` is EXACTLY plain BM25
+    (rank-identity pytest); 2.0 (default) counts a title occurrence
+    twice — the classic "matches in the title rank higher" upgrade the
+    reference's ranking lacks even though its doc format puts the
+    title on line 1 of every document (Crawler/crawler.py:401-406) and
+    its doc store keys results by title
+    (mongodb_scripts/insertScript.py:95-103).
+
+    ``tokens``: (docid, term, tf, doc_len); ``title_tokens``: (docid,
+    term, tf [title occurrences], doc_len [BODY length]) — the outer
+    side covers title-only matches (a term in the title but not the
+    body still scores, with tf' = (w-1)*tf_title). df is recomputed
+    live (SURVEY §8.Q7) as the count of docs with tf' > 0, which at
+    w == 1 collapses to the body df — preserving the identity.
+
+    Plan shape: both sides filter to the query terms BEFORE the join
+    (query-sized relations), full-outer hash join on (docid, term),
+    window df count, one hash aggregate, TakeOrderedAndProject."""
+    if not query_terms:
+        return tokens.sparkSession.createDataFrame(
+            [], "docid long, score double"
+        )
+    w = float(title_weight)
+    body = tokens.filter(F.col("term").isin(query_terms)).select(
+        "docid", "term",
+        F.col("tf").cast("double").alias("tf_b"),
+        F.col("doc_len").cast("double").alias("dl_b"),
+    )
+    title = title_tokens.filter(
+        F.col("term").isin(query_terms)
+    ).select(
+        "docid", "term",
+        F.col("tf").cast("double").alias("tf_t"),
+        F.col("doc_len").cast("double").alias("dl_t"),
+    )
+    merged = body.join(title, ["docid", "term"], "full_outer").select(
+        "docid",
+        "term",
+        (
+            F.coalesce(F.col("tf_b"), F.lit(0.0))
+            + F.lit(w - 1.0) * F.coalesce(F.col("tf_t"), F.lit(0.0))
+        ).alias("tfp"),
+        F.coalesce(F.col("dl_b"), F.col("dl_t")).alias("doc_len"),
+    ).filter(F.col("tfp") > 0)
+    from pyspark.sql import Window
+
+    df_w = Window.partitionBy("term")
+    merged = merged.withColumn("df", F.count("*").over(df_w))
+    tfp = F.col("tfp")
+    dfc = F.col("df").cast("double")
+    idf = F.log((F.lit(float(n)) - dfc + 0.5) / (dfc + 0.5) + 1.0)
+    denom = tfp + F.lit(K1) * (
+        1.0 - B + F.lit(B) * F.col("doc_len") / F.lit(avgdl)
+    )
+    scored = merged.withColumn(
+        "partial", idf * tfp * F.lit(K1 + 1.0) / denom
+    )
+    agg = scored.groupBy("docid").agg(F.sum("partial").alias("score"))
+    if k is None:
+        return agg
+    return agg.orderBy(F.desc("score"), F.asc("docid")).limit(k)

@@ -507,6 +507,7 @@ def _build_stages(
             wall_ms=int(1000 * (time.time() - t0)),
         )
     write_term_stats(spark, index_dir, n_buckets, manifest)
+    write_title_tf(spark, index_dir, n_buckets, manifest, analyzer=analyzer)
 
     # --- stage: positional sidecar (opt-in) -------------------------------
     if positions and not manifest.is_done("positions"):
@@ -551,6 +552,77 @@ def _build_stages(
 
     manifest.mark("all", status="done")
     return manifest
+
+
+def write_title_tf(
+    spark,
+    index_dir: str,
+    n_buckets: int,
+    manifest: Manifest | None = None,
+    analyzer: str | None = None,
+) -> None:
+    """TITLE-field sidecar for BM25F scoring (operators/scoring.py
+    score_bm25f): (term, docid, tf, doc_len), partitioned by the SAME
+    term bucket as postings/term_stats and term-sorted within file, so
+    query-time reads prune to the query terms' bucket directories +
+    row groups exactly like the lexicon.
+
+    tf counts the term's occurrences in the doc-store TITLE (docs/
+    side table, analyzed with the index analyzer — query/index
+    symmetry holds for the title field too); doc_len is the BODY
+    length from doc_stats, so title-only matches normalize against the
+    document's real length. Rows per doc ~ title tokens (a handful):
+    the sidecar is orders smaller than postings; its one build join
+    (title tokens x doc_stats on docid) is doc_stats-sized, far below
+    the tokens staging shuffle the build already paid. ``analyzer``
+    defaults from the index meta.json (retrofit path: CLI
+    ``titleindex`` / engine.build_title_tf on a pre-r5 index)."""
+    if manifest is not None and manifest.is_done("title_tf"):
+        return
+    t0 = time.time()
+    from ..operators.postings import term_bucket_col
+    from ..operators.tokenize import tokenize
+
+    if analyzer is None:
+        import json as _json
+        import os as _os
+
+        meta_path = f"{index_dir}/meta.json"
+        if _os.path.isfile(meta_path):
+            with open(meta_path) as f:
+                meta = _json.load(f)
+            analyzer = meta.get(
+                "analyzer", "porter" if meta.get("stem", True) else "base"
+            )
+        else:
+            analyzer = "porter"
+    titles = spark.read.parquet(f"{index_dir}/docs").select(
+        "docid", F.col("title").alias("text")
+    )
+    ttok = tokenize(titles, analyzer=analyzer).select(
+        "docid", "term", "tf"
+    )
+    dl = spark.read.parquet(f"{index_dir}/doc_stats").select(
+        "docid", "doc_len"
+    )
+    np_ = min(n_buckets, spark.sparkContext.defaultParallelism)
+    (
+        ttok.join(dl, "docid")
+        .withColumn("bucket", term_bucket_col(F.col("term"), n_buckets))
+        .repartition(np_, "bucket")
+        .sortWithinPartitions("bucket", "term")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{index_dir}/title_tf")
+    )
+    if manifest is not None:
+        rows, nbytes, files = _parquet_lineage(f"{index_dir}/title_tf")
+        manifest.mark(
+            "title_tf",
+            rows_out=rows,
+            bytes_out=nbytes,
+            wall_ms=int(1000 * (time.time() - t0)),
+        )
 
 
 def write_term_stats(

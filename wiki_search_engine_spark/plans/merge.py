@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.merge import merge_postings_tables
-from .build import _parquet_lineage, write_term_stats
+from .build import _parquet_lineage, write_term_stats, write_title_tf
 from .manifest import Manifest
 
 _META_COMPAT_KEYS = ("n_buckets", "salt_bits", "stem", "analyzer",
@@ -364,6 +364,7 @@ def merge_indexes(
 
     # --- stage: term_stats ------------------------------------------------
     write_term_stats(spark, out_dir, n_buckets, manifest)
+    write_title_tf(spark, out_dir, n_buckets, manifest)
 
     # --- stage: positional sidecar (when both inputs carry one) -----------
     if carry_positions:
@@ -530,6 +531,7 @@ def delete_docs(
         )
 
     write_term_stats(spark, out_dir, n_buckets, manifest)
+    write_title_tf(spark, out_dir, n_buckets, manifest)
     if carry_positions:
         _merge_positions_stage(
             spark, manifest, out_dir, updated, base_dir, None
