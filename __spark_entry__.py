@@ -2720,7 +2720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_bm25": q_phrase_bm25,
         "mixed_phrase_bm25": q_mixed_phrase_bm25,
         "wildcard_leading_bm25": q_wildcard_leading_bm25,
-        "term_prefix_topk": q_term_prefix_topk,
+        "facet_counts": q_facet_counts,
         # -- dedup family ----------------------------------------------
         "dedup_exact": q_dedup_exact,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
@@ -2781,6 +2781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_occurrences": q_phrase_occurrences,  # phrase scan variant
         "orders_by_segment": q_orders_by_segment,  # TPC-H demo variant
         "lang_id": q_lang_id,                   # textstats codegen family (rep: quality_scores; r5 demotion for bm25f_top50)
+        "term_prefix_topk": q_term_prefix_topk,  # lexicon range-scan family (rep: wildcard_leading_bm25; r5 demotion for facet_counts)
         "decontaminate_xx64": q_decontaminate_xx64,  # hash-join production mode
         "training_mix": q_training_mix,         # composed pipeline (filter -> decontam -> pack)
         "source_quality_report": q_source_quality_report,  # domain-level filtering signals
@@ -2866,6 +2867,13 @@ FROM tf JOIN qdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s""",
         "FROM tf JOIN dl USING (doc_id)",
         "bm25_top50": _bm25_sql(Q_MAIN, 50, "bm25"),
         "bm25f_top50": _bm25f_sql(Q_MAIN, 50, 2.0),
+        "facet_counts": f"""
+WITH {SQL_TOKS}, {SQL_TF}, {_sql_terms(Q_MAIN)},
+m AS (SELECT DISTINCT doc_id FROM tf
+      WHERE term IN (SELECT term FROM qterms))
+SELECT lang, count(*)::BIGINT AS n_docs
+FROM m JOIN documents USING (doc_id)
+GROUP BY lang ORDER BY lang""",
         "bigram_pmi": r"""
 WITH tok AS (
   SELECT doc_id,
@@ -3596,3 +3604,28 @@ SELECT doc_id, start::BIGINT AS start FROM occ ORDER BY 1, 2""",
         "WHERE term LIKE 's%' "
         "GROUP BY 1 ORDER BY df DESC, term LIMIT 5",
     }
+
+
+def q_facet_counts(spark, sf_dir):
+    """Facet counts over the FULL match set (docs containing any
+    Q_MAIN term): per-lang doc counts — the distributed twin of the
+    serving head's engine.facet_counts (&facets=lang). Plan: tokens
+    semi-filtered to the query terms -> distinct docid -> join the
+    documents table on its COLUMN-PRUNED (doc_id, lang) projection
+    (tools/explain_audit.py facet_no_corpus_scan asserts text never
+    reaches the scan) -> one hash aggregate."""
+    tokens = _base_tokens_df(spark, sf_dir)
+    matched = (
+        tokens.filter(F.col("term").isin(Q_MAIN))
+        .select("docid")
+        .distinct()
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("docid"), "lang"
+    )
+    return (
+        matched.join(docs, "docid")
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("lang")
+    )

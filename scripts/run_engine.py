@@ -162,6 +162,11 @@ def main(argv=None):
         'also accept the inline syntax "a b"~N',
     )
     q.add_argument(
+        "--facets", default=None, metavar="FIELD",
+        help="add per-facet doc counts over the FULL match set (e.g. "
+        "lang) to the output — single-index serving only",
+    )
+    q.add_argument(
         "--synonyms", action="store_true",
         help="expand query terms with the index's synonyms.json groups "
         "(SynonymQuery semantics: summed tf, disjunction df; no-op "
@@ -802,23 +807,39 @@ def main(argv=None):
             spark.stop()
             return 1
         sec = time.time() - t0
-        print(
-            json.dumps(
+        payload = {
+            "query": args.query,
+            "search_sec": round(sec, 3),
+            "results": [
                 {
-                    "query": args.query,
-                    "search_sec": round(sec, 3),
-                    "results": [
-                        {
-                            "docid": r["docid"],
-                            "url": r["url"],
-                            "score": round(r["score"], 6),
-                            "snippet": r["snippet"][:120],
-                        }
-                        for r in rows
-                    ],
+                    "docid": r["docid"],
+                    "url": r["url"],
+                    "score": round(r["score"], 6),
+                    "snippet": r["snippet"][:120],
                 }
-            )
-        )
+                for r in rows
+            ],
+        }
+        if getattr(args, "facets", None):
+            if len(dirs) > 1:
+                print(
+                    json.dumps(
+                        {
+                            "success": False,
+                            "error": "facet counts are single-index "
+                            "serving only",
+                        }
+                    )
+                )
+                spark.stop()
+                return 1
+            payload["facets"] = {
+                args.facets: eng.facet_counts(
+                    args.query, field=args.facets,
+                    negation=args.negation,
+                )
+            }
+        print(json.dumps(payload))
     spark.stop()
 
 

@@ -423,6 +423,18 @@ def main() -> None:
         must_not=[r"Exchange"],
     )
 
+    # facet counts: the documents-side read must be COLUMN-PRUNED to
+    # (doc_id, lang) — a facet pass that deserializes text is a corpus
+    # scan in disguise
+    import __spark_entry__ as E
+
+    facet_plan = plan_of(E.q_facet_counts(spark, SF_DIR))
+    check(
+        "facet_no_corpus_scan",
+        facet_plan,
+        must=[r"ReadSchema:[^\n]*struct<doc_id:bigint,lang:string>"],
+    )
+
     spark.stop()
     if FAILURES:
         print("\n".join("AUDIT FAIL: " + f for f in FAILURES))

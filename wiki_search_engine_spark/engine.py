@@ -1965,6 +1965,134 @@ class SearchEngine:
             n_shards=1 << self.salt_bits,
         )
 
+    def facet_fields(self) -> list[str]:
+        """Facet fields available on this index: the categorical
+        corpus columns the docs side table carried through the build
+        (plans/build.py FACET_COLUMNS)."""
+        from .plans.build import FACET_COLUMNS
+
+        names = set(self._side_dataset("docs").schema.names)
+        return [c for c in FACET_COLUMNS if c in names]
+
+    def _facet_arrays(self, field: str):
+        """Doc-values analogue for one facet field: per-salt
+        (docid-sorted ids, int codes) + the category list, from a
+        COLUMN-PRUNED (docid, field, salt) read of the docs side table
+        — snippet/images/text bytes are never touched (parquet column
+        pruning; pytest-asserted). Cached per engine instance, exactly
+        like Lucene holds doc values per segment; at scales where the
+        facet column no longer fits the driver, the distributed twin
+        is the facet_counts entry operator (same semantics, one Spark
+        job)."""
+        import numpy as np
+
+        cache = getattr(self, "_facet_cache", None)
+        if cache is None:
+            cache = self._facet_cache = {}
+        if field in cache:
+            return cache[field]
+        if field not in self.facet_fields():
+            raise ValueError(
+                f"unknown facet field {field!r}; this index has: "
+                f"{self.facet_fields() or 'none'}"
+            )
+        tbl = self._side_dataset("docs").to_table(
+            columns=["docid", field, "salt"]
+        )
+        d = tbl.column("docid").to_numpy()
+        salts = tbl.column("salt").to_numpy()
+        vals = tbl.column(field).to_pylist()
+        cats = sorted(
+            {v for v in vals}, key=lambda x: (x is None, x or "")
+        )
+        code_of = {c: i for i, c in enumerate(cats)}
+        codes = np.fromiter(
+            (code_of[v] for v in vals), np.int32, len(vals)
+        )
+        by_salt: dict[int, tuple] = {}
+        for s in np.unique(salts):
+            m = salts == s
+            ds, cs = d[m], codes[m]
+            order = np.argsort(ds, kind="stable")
+            by_salt[int(s)] = (ds[order], cs[order])
+        cache[field] = (by_salt, cats)
+        return cache[field]
+
+    def facet_counts(
+        self, query: str, field: str = "lang", negation: bool = False,
+    ) -> dict:
+        """Per-facet doc counts over the FULL match set (every doc
+        containing any positive query term — OR semantics), NOT just
+        the top-k page: the search-head companion the reference's UI
+        paginates blindly without. Bounded cost, zero Spark jobs: the
+        match set decodes from the SAME cached posting reads scoring
+        used (the cost a positive query on those terms already paid),
+        facet values come from the cached doc-values arrays
+        (_facet_arrays). Composes with ``-term`` NOT under
+        ``negation=True`` (excluded docs leave the counts). A null
+        facet value counts under ``""``."""
+        import numpy as np
+
+        from .functions.analyzer import (
+            resolve_boolean_overlap, split_boolean,
+        )
+
+        excluded: list[str] = []
+        required: list[str] = []
+        if negation:
+            should_q, must_q, neg_q = split_boolean(query)
+            if neg_q.strip():
+                try:
+                    excluded = self.analyze(neg_q)
+                except EmptyQueryError:
+                    excluded = []
+            if must_q.strip():
+                try:
+                    required = self.analyze(must_q)
+                except EmptyQueryError:
+                    required = []
+            query = f"{should_q} {must_q}".strip()
+            if not query:
+                return {}
+        terms = (
+            self.expand_query_terms(query)
+            if "*" in (query or "")
+            else self.analyze(query)
+        )
+        terms, contradiction = resolve_boolean_overlap(
+            terms, required, excluded
+        )
+        if contradiction or not terms:
+            return {}
+        by_salt, cats = self._facet_arrays(field)
+        # same decode-by-salt helper the NOT path uses: docids
+        # containing ANY of the given terms, grouped by shard
+        pos = self._excluded_docids_by_salt(terms)
+        exc = (
+            self._excluded_docids_by_salt(excluded) if excluded else {}
+        )
+        totals = np.zeros(len(cats), np.int64)
+        for salt, m in pos.items():
+            e = exc.get(salt)
+            if e is not None and e.size:
+                m = m[~np.isin(m, e)]
+            fd, codes = by_salt.get(
+                salt, (np.empty(0, np.int64), np.empty(0, np.int32))
+            )
+            if not m.size or not fd.size:
+                continue
+            p = np.searchsorted(fd, m)
+            p = np.minimum(p, fd.size - 1)
+            hit = fd[p] == m
+            totals += np.bincount(
+                codes[p[hit]], minlength=len(cats)
+            ).astype(np.int64)
+        return {
+            ("" if c is None else c): int(n)
+            for c, n in zip(cats, totals)
+            if n > 0
+        }
+
     def lookup_docs(
         self, docids: list[int], with_images: bool = True
     ) -> list[dict]:
@@ -2085,6 +2213,7 @@ class SearchEngine:
         highlight: bool = False,
         negation: bool = False,
         synonyms: bool = False,
+        facets: str | None = None,
     ) -> dict:
         """The reference's full HTTP response shape
         (backend/controllers/queryController.js:11-59):
@@ -2221,6 +2350,15 @@ class SearchEngine:
             _t, corr = self.fuzzy_terms(self.analyze(query))
             if corr:
                 resp["corrections"] = corr
+        if facets and resp.get("success") is not False:
+            # per-facet counts over the FULL match set (facet_counts);
+            # extension field — absent unless requested, so the
+            # reference response shape holds
+            resp["facets"] = {
+                facets: self.facet_counts(
+                    query, field=facets, negation=negation
+                )
+            }
         return resp
 
     def image_results(

@@ -41,6 +41,11 @@ from ..operators.postings import (
 from ..operators.tokenize import with_docid
 from .manifest import Manifest
 
+# categorical corpus columns carried into the docs side table when
+# present — the facet fields the serving head can count over
+# (engine.facet_counts / HTTP &facets=)
+FACET_COLUMNS = ("lang", "source")
+
 # On-disk index layout version. 2 = bucket=N partition directories for
 # postings/term_stats (term_stats side table required by the local and
 # lexicon serving paths). 1 was the pre-bucket postings/g* layout.
@@ -355,6 +360,14 @@ def _build_stages(
             images = F.expr(
                 "CAST(array() AS array<struct<image_id:string,src:string>>)"
             )
+        # facet passthrough: small categorical metadata columns ride
+        # the docs side table (doc-values analogue) so the serving head
+        # can count per-facet over the FULL match set with a
+        # column-pruned (docid, facet) read — never touching
+        # snippet/text (engine.facet_counts)
+        facet_cols = [
+            F.col(c) for c in FACET_COLUMNS if c in corpus.columns
+        ]
         docs = corpus.select(
             "docid",
             "url",
@@ -362,6 +375,7 @@ def _build_stages(
             snippet(F.col("text")).alias("snippet"),
             images.alias("images"),
             F.size(images).alias("image_count"),
+            *facet_cols,
         )
         # layout for POINT LOOKUPS at corpus scale: partitioned by the
         # docid-range salt (the same shard concept as postings), then

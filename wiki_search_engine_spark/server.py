@@ -137,7 +137,22 @@ class _Handler(BaseHTTPRequestHandler):
         synonyms = (qs.get("synonyms") or ["false"])[0].lower() in (
             "1", "true", "yes",
         )
+        # &facets=lang — per-facet counts over the FULL match set
+        # (extension beyond the reference API; engine.facet_counts)
+        facets = (qs.get("facets") or [""])[0].strip()
         kwargs = {}
+        if facets:
+            if not hasattr(self.server.engine, "facet_counts"):
+                self._send(
+                    400,
+                    {
+                        "success": False, "result": [],
+                        "error": "facet counts are single-index "
+                        "serving only",
+                    },
+                )
+                return
+            kwargs["facets"] = facets
         if negation:
             kwargs["negation"] = True
         if synonyms:
