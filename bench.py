@@ -522,6 +522,26 @@ def main() -> None:
 
     _os.remove(f"{eng.index_dir}/synonyms.json")
     eng._syn_map = None
+    # BM25F serving: body postings + the title sidecar rows per term
+    # (marginal cost = the tiny title_tf reads + the numpy merge)
+    lat = []
+    for _ in range(15):
+        t0 = time.time()
+        eng.search_local(syn_q, k=10, mode="bm25f")
+        lat.append(time.time() - t0)
+    q["bm25f_local_p50"] = round(statistics.median(lat), 4)
+    # facet counts over the FULL match set (first call pays the
+    # doc-values column read; steady state is the cached-array path)
+    try:
+        eng.facet_counts(syn_q, field="lang")  # warm the doc values
+        lat = []
+        for _ in range(15):
+            t0 = time.time()
+            eng.facet_counts(syn_q, field="lang")
+            lat.append(time.time() - t0)
+        q["facet_counts_local_p50"] = round(statistics.median(lat), 4)
+    except (ValueError, FileNotFoundError):
+        q["facet_counts_local_p50"] = -1.0
 
     # ---- autocomplete serving: lexicon range scan, zero Spark jobs -------
     lat = []

@@ -164,7 +164,7 @@ def main(argv=None):
     q.add_argument(
         "--facets", default=None, metavar="FIELD",
         help="add per-facet doc counts over the FULL match set (e.g. "
-        "lang) to the output — single-index serving only",
+        "lang) to the output; tiered segment lists count LIVE docs",
     )
     q.add_argument(
         "--synonyms", action="store_true",
@@ -821,20 +821,9 @@ def main(argv=None):
             ],
         }
         if getattr(args, "facets", None):
-            if len(dirs) > 1:
-                print(
-                    json.dumps(
-                        {
-                            "success": False,
-                            "error": "facet counts are single-index "
-                            "serving only",
-                        }
-                    )
-                )
-                spark.stop()
-                return 1
             payload["facets"] = {
-                args.facets: eng.facet_counts(
+                args.facets: (teng if len(dirs) > 1 else eng)
+                .facet_counts(
                     args.query, field=args.facets,
                     negation=args.negation,
                 )

@@ -198,3 +198,79 @@ def test_bm25f_invalid_combos_raise(titled_engine):
         titled_engine.search_local(
             "alpha discussion", k=5, mode="bm25f", semantics="and"
         )
+
+
+def test_tiered_bm25f_matches_delete_rebuild(
+    spark, titled_engine, tmp_path
+):
+    """Tiered BM25F over [seg_a, seg_b, deletes] equals bm25f on the
+    delete-rebuilt compacted index — live stats, live title rows,
+    tombstoned docs never boost."""
+    import datetime
+
+    from wiki_search_engine_spark.engine import SearchEngine
+    from wiki_search_engine_spark.tiered import (
+        TieredEngine, write_deletes_segment,
+    )
+
+    delta_rows = [
+        {
+            "url": f"https://example.org/wiki/Alpha_Extra{i}",
+            "warc_ts": datetime.datetime(2024, 3, 1, 0, 0, i),
+            "html": b"",
+            "text": "fresh body text alpha coverage words",
+            "lang": "en",
+        }
+        for i in range(6)
+    ]
+    ddf = spark.createDataFrame(
+        delta_rows,
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string",
+    )
+    delta = SearchEngine.build(
+        spark, ddf, str(tmp_path / "tb_delta"), stem=True,
+        n_buckets=8, bucket_groups=1, salt_bits=2,
+    )
+    victims = [
+        r["docid"]
+        for r in spark.createDataFrame(
+            [(delta_rows[0]["url"],), (delta_rows[1]["url"],)],
+            "url string",
+        )
+        .withColumn(
+            "docid", F.shiftrightunsigned(F.xxhash64("url"), 1)
+        )
+        .collect()
+    ]
+    del_seg = write_deletes_segment(
+        str(tmp_path / "tb_del"), docids=victims
+    )
+    tiered = TieredEngine(
+        spark,
+        [titled_engine.index_dir, delta.index_dir, del_seg],
+    )
+    merged = SearchEngine.merge(
+        spark, titled_engine.index_dir, delta.index_dir,
+        str(tmp_path / "tb_merged"),
+    )
+    expected = SearchEngine.delete(
+        spark, merged.index_dir, str(tmp_path / "tb_exp"),
+        docids=victims,
+    )
+    for q in ("alpha discussion", "alpha", "fresh alpha"):
+        got = tiered.search_local(q, k=10, mode="bm25f")
+        exp = expected.search_local(q, k=10, mode="bm25f")
+        assert [d for d, _ in got] == [d for d, _ in exp], q
+        for (_, a), (_, b) in zip(got, exp):
+            assert math.isclose(a, b, rel_tol=1e-9), q
+    # NOT composes on the tiered bm25f path too
+    got = tiered.search_local(
+        "alpha discussion -general", k=10, mode="bm25f",
+        negation=True,
+    )
+    exp = expected.search_local(
+        "alpha discussion -general", k=10, mode="bm25f",
+        negation=True,
+    )
+    assert [d for d, _ in got] == [d for d, _ in exp]

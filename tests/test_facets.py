@@ -116,3 +116,51 @@ def test_facets_over_http(engine, corpus_rows, docid_map):
             assert e.code == 400
     finally:
         srv.shutdown()
+
+
+def test_tiered_facets_live_counts(spark, engine, corpus_df, tmp_path):
+    """Tiered facet counts equal the compacted index's, and a deletes
+    segment drops its docs from the counts."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from wiki_search_engine_spark.engine import SearchEngine
+    from wiki_search_engine_spark.tiered import (
+        TieredEngine, write_deletes_segment,
+    )
+
+    half = corpus_df.count() // 2
+    w = corpus_df.withColumn(
+        "_r", F.row_number().over(Window.orderBy("url"))
+    )
+    ea = SearchEngine.build(
+        spark, w.filter(F.col("_r") <= half).drop("_r"),
+        str(tmp_path / "fc_a"), stem=True,
+        n_buckets=16, bucket_groups=1, salt_bits=2,
+    )
+    eb = SearchEngine.build(
+        spark, w.filter(F.col("_r") > half).drop("_r"),
+        str(tmp_path / "fc_b"), stem=True,
+        n_buckets=16, bucket_groups=1, salt_bits=2,
+    )
+    from wiki_search_engine_spark.sources.synth import vocabulary
+
+    teng = TieredEngine(spark, [ea.index_dir, eb.index_dir])
+    q = vocabulary(42)[0][3]
+    assert teng.facet_counts(q, field="lang") == (
+        engine.facet_counts(q, field="lang")
+    )
+    # tombstone every matched doc of one lang bucket half: counts drop
+    matched = {
+        d for d, _ in engine.search_local(q, k=engine.n)
+    }
+    victims = sorted(matched)[:3]
+    del_seg = write_deletes_segment(
+        str(tmp_path / "fc_del"), docids=victims
+    )
+    teng2 = TieredEngine(
+        spark, [ea.index_dir, eb.index_dir, del_seg]
+    )
+    before = teng.facet_counts(q, field="lang")
+    after = teng2.facet_counts(q, field="lang")
+    assert sum(after.values()) == sum(before.values()) - len(victims)

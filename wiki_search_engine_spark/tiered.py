@@ -573,8 +573,23 @@ class TieredEngine:
                     "synonyms compose with OR/SHOULD semantics only "
                     "(a synonym group IS a disjunction)"
                 )
+            if mode == "bm25f":
+                raise ValueError(
+                    "bm25f does not compose with synonym groups yet — "
+                    "pick one of mode=bm25f / synonyms=true"
+                )
             return self._search_local_synonyms(
                 terms, k, mode, excluded=excluded or None
+            )
+        if mode == "bm25f":
+            if semantics == "and" or required:
+                raise ValueError(
+                    "bm25f serves OR/SHOULD semantics (title-boosted "
+                    "accumulation); AND/MUST composition is not "
+                    "supported"
+                )
+            return self._search_local_bm25f(
+                terms, k, excluded=excluded or None
             )
         all_d, all_s = [], []
         and_common = None
@@ -644,6 +659,143 @@ class TieredEngine:
                 exc = np.unique(np.concatenate(exc_parts))
                 keep = ~np.isin(uniq, exc)
                 uniq, acc = uniq[keep], acc[keep]
+                if uniq.size == 0:
+                    return []
+        idx = np.lexsort((uniq, -acc))[: min(k, uniq.size)]
+        return [(int(uniq[i]), float(acc[i])) for i in idx]
+
+    def _live_title_rows(self, terms: list[str]) -> dict:
+        """term -> (docids, title_tfs, body_doc_lens) LIVE across
+        segments: each segment's title_tf sidecar rows for the query
+        terms (bucket-pruned pyarrow read, cached per segment engine)
+        minus that segment's tombstones — newest-segment-wins exactly
+        like postings. Segments missing the sidecar (pre-BM25F builds)
+        contribute nothing; raises only when NO segment carries it."""
+        import os
+
+        from .operators.codec import isin_sorted
+
+        uniq_terms = list(dict.fromkeys(terms))
+        parts: dict[str, list] = {t: [] for t in uniq_terms}
+        any_sidecar = False
+        for i, eng in enumerate(self.engines):
+            if not os.path.isdir(f"{eng.index_dir}/title_tf"):
+                continue
+            any_sidecar = True
+            tombs = self.tombstones[i]
+            for t, (td, ttf, tdl) in eng._title_rows(
+                uniq_terms
+            ).items():
+                if tombs is not None and tombs.size and td.size:
+                    keep = ~isin_sorted(tombs, td)
+                    td, ttf, tdl = td[keep], ttf[keep], tdl[keep]
+                if td.size:
+                    parts[t].append((td, ttf, tdl))
+        if not any_sidecar:
+            raise FileNotFoundError(
+                "no segment carries the title_tf sidecar — BM25F needs "
+                "it; run `titleindex` on the segments (new builds write "
+                "it automatically)"
+            )
+        empty = (
+            np.empty(0, np.int64),
+            np.empty(0, np.float64),
+            np.empty(0, np.float64),
+        )
+        out: dict = {}
+        for t, ps in parts.items():
+            if not ps:
+                out[t] = empty
+                continue
+            td = np.concatenate([p[0] for p in ps])
+            ttf = np.concatenate([p[1] for p in ps]).astype(np.float64)
+            tdl = np.concatenate([p[2] for p in ps]).astype(np.float64)
+            order = np.argsort(td, kind="stable")
+            out[t] = (td[order], ttf[order], tdl[order])
+        return out
+
+    def _search_local_bm25f(
+        self, terms: list[str], k: int,
+        excluded: list[str] | None = None,
+        title_weight: float | None = None,
+    ) -> list[tuple[int, float]]:
+        """Tiered BM25F: live body postings merge with live title
+        sidecar rows per term — the same tf' = tf + (w-1)*tf_title
+        kernel as SearchEngine._search_local_bm25f, against the LIVE
+        n/avgdl, so results equal a compacted delete-rebuild's bm25f
+        (pytest)."""
+        from .engine import SearchEngine
+
+        w = (
+            SearchEngine.DEFAULT_TITLE_WEIGHT
+            if title_weight is None
+            else float(title_weight)
+        )
+        uniq_terms = list(dict.fromkeys(terms))
+        live = self._live_term_postings_many(uniq_terms)
+        trows = self._live_title_rows(uniq_terms)
+        all_d, all_s = [], []
+        for t in uniq_terms:
+            _df, parts = live.get(t, (0, []))
+            if parts:
+                d = np.concatenate([p[0] for p in parts])
+                tf = np.concatenate(
+                    [p[1] for p in parts]
+                ).astype(np.float64)
+                dl = np.concatenate(
+                    [p[2] for p in parts]
+                ).astype(np.float64)
+                order = np.argsort(d, kind="stable")
+                d, tf, dl = d[order], tf[order], dl[order]
+            else:
+                d = np.empty(0, np.int64)
+                tf = dl = np.empty(0, np.float64)
+            td, ttf, tdl = trows[t]
+            if w != 1.0 and td.size:
+                pos = np.searchsorted(d, td)
+                safe = np.minimum(pos, max(d.size - 1, 0))
+                in_body = (
+                    (pos < d.size) & (d[safe] == td)
+                    if d.size
+                    else np.zeros(td.size, bool)
+                )
+                tf = tf.copy()
+                tf[pos[in_body]] += (w - 1.0) * ttf[in_body]
+                d = np.concatenate([d, td[~in_body]])
+                tf = np.concatenate([tf, (w - 1.0) * ttf[~in_body]])
+                dl = np.concatenate([dl, tdl[~in_body]])
+            keep = tf > 0
+            d, tf, dl = d[keep], tf[keep], dl[keep]
+            if not d.size:
+                continue
+            idf = bm25_idf(self.n, int(d.size))
+            s = (
+                idf * tf * (K1 + 1.0)
+                / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
+            )
+            all_d.append(d)
+            all_s.append(s)
+        if not all_d:
+            return []
+        d = np.concatenate(all_d)
+        s = np.concatenate(all_s)
+        uniq, inv = np.unique(d, return_inverse=True)
+        acc = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(acc, inv, s)
+        if excluded:
+            live_exc = self._live_term_postings_many(
+                list(dict.fromkeys(excluded))
+            )
+            exc_parts = [
+                dd
+                for _t, (df, ps) in live_exc.items()
+                if df
+                for dd, _tf, _dl in ps
+            ]
+            if exc_parts:
+                exc = np.unique(np.concatenate(exc_parts))
+                kp = ~np.isin(uniq, exc)
+                uniq, acc = uniq[kp], acc[kp]
                 if uniq.size == 0:
                     return []
         idx = np.lexsort((uniq, -acc))[: min(k, uniq.size)]
@@ -1282,7 +1434,7 @@ class TieredEngine:
         page: int | None = None, per_page: int = 10,
         phrase: bool = False, fuzzy: bool = False,
         highlight: bool = False, negation: bool = False,
-        synonyms: bool = False,
+        synonyms: bool = False, facets: str | None = None,
     ) -> dict:
         """The reference HTTP response shape over tiered serving — the
         shared assembler (engine.py assemble_reference_response) with
@@ -1342,19 +1494,32 @@ class TieredEngine:
                                 for d, _tf, _dl in parts
                                 for x in d
                             }
-                    res = self.search_mixed(
-                        pos_q, k=k + len(exc), mode=mode
-                    )
-                    return [
-                        (d, s) for d, s in res if d not in exc
-                    ][:k]
+                    # capped + iteratively deepened over-fetch —
+                    # same exact contract as SearchEngine (a high-df
+                    # excluded term must not size the heap)
+                    k_full = k + len(exc)
+                    k_eff = min(k_full, max(4 * k, k + 64))
+                    while True:
+                        res = self.search_mixed(
+                            pos_q, k=k_eff, mode=mode
+                        )
+                        out = [
+                            (d, s) for d, s in res if d not in exc
+                        ][:k]
+                        if (
+                            len(out) >= k
+                            or len(res) < k_eff
+                            or k_eff >= k_full
+                        ):
+                            return out
+                        k_eff = min(k_full, 4 * k_eff)
                 return self.search_mixed(query, k=k, mode=mode)
             if path == "wand":
                 return [
                     (r["docid"], r["score"])
                     for r in self.search_ids(
                         query, k=k, mode=mode, semantics=semantics,
-                        negation=negation,
+                        negation=negation, synonyms=synonyms,
                     ).collect()
                 ]
             return self.search_local(
@@ -1367,10 +1532,6 @@ class TieredEngine:
             # come from the driver-side SymSpell layouts
             raise ValueError(
                 "fuzzy (did-you-mean) is served by the local path"
-            )
-        if synonyms and path != "local":
-            raise ValueError(
-                "synonym expansion is served by the local tiered path"
             )
         # highlight/corrections analyze the POSITIVE part only — an
         # excluded term never appears in results
@@ -1401,7 +1562,152 @@ class TieredEngine:
             _t, corr = self.fuzzy_terms(self.analyze(query))
             if corr:
                 resp["corrections"] = corr
+        if facets and resp.get("success") is not False:
+            resp["facets"] = {
+                facets: self.facet_counts(
+                    query, field=facets, negation=negation
+                )
+            }
         return resp
+
+    def facet_fields(self) -> list[str]:
+        """Facet fields servable across this segment list: the
+        intersection of every segment's available fields (a count that
+        silently skipped a segment would be wrong, not partial)."""
+        fields = None
+        for eng in self.engines:
+            f = set(eng.facet_fields())
+            fields = f if fields is None else (fields & f)
+        from .plans.build import FACET_COLUMNS
+
+        return [c for c in FACET_COLUMNS if c in (fields or set())]
+
+    def _facet_arrays(self, field: str):
+        """Per-segment doc-values for one facet field, tombstones
+        already dropped (docid-sorted ids + int codes into ONE unified
+        category list) — cached per TieredEngine instance. Segments
+        are docid-disjoint after tombstoning, so per-segment counts
+        just sum."""
+        from .operators.codec import isin_sorted
+
+        cache = getattr(self, "_facet_cache", None)
+        if cache is None:
+            cache = self._facet_cache = {}
+        if field in cache:
+            return cache[field]
+        if field not in self.facet_fields():
+            raise ValueError(
+                f"unknown facet field {field!r}; this segment list "
+                f"serves: {self.facet_fields() or 'none'}"
+            )
+        seg_raw = []
+        all_cats: set = set()
+        for i, eng in enumerate(self.engines):
+            by_salt, cats = eng._facet_arrays(field)
+            tombs = self.tombstones[i]
+            ds, cs = [], []
+            for _salt, (fd, codes) in by_salt.items():
+                if tombs is not None and tombs.size and fd.size:
+                    keep = ~isin_sorted(tombs, fd)
+                    fd, codes = fd[keep], codes[keep]
+                ds.append(fd)
+                cs.append(codes)
+            d = (
+                np.concatenate(ds) if ds else np.empty(0, np.int64)
+            )
+            c = (
+                np.concatenate(cs) if cs else np.empty(0, np.int32)
+            )
+            order = np.argsort(d, kind="stable")
+            seg_raw.append((d[order], c[order], cats))
+            all_cats.update(cats)
+        cats = sorted(all_cats, key=lambda x: (x is None, x or ""))
+        code_of = {c: i for i, c in enumerate(cats)}
+        segs = []
+        for d, c, seg_cats in seg_raw:
+            remap = np.array(
+                [code_of[x] for x in seg_cats], np.int32
+            ) if seg_cats else np.empty(0, np.int32)
+            segs.append((d, remap[c] if c.size else c))
+        cache[field] = (segs, cats)
+        return cache[field]
+
+    def facet_counts(
+        self, query: str, field: str = "lang", negation: bool = False,
+    ) -> dict:
+        """Per-facet LIVE doc counts over the full match set of a
+        tiered segment list — tombstoned/overridden docs never count,
+        so the result equals the compacted index's facet_counts
+        (pytest). Same bounded shape as the single-index head: match
+        set from the live posting decodes, facet values from cached
+        per-segment doc-values."""
+        from .engine import EmptyQueryError
+        from .functions.analyzer import (
+            resolve_boolean_overlap, split_boolean,
+        )
+
+        excluded: list[str] = []
+        required: list[str] = []
+        if negation:
+            should_q, must_q, neg_q = split_boolean(query)
+            if neg_q.strip():
+                try:
+                    excluded = self.analyze(neg_q)
+                except EmptyQueryError:
+                    excluded = []
+            if must_q.strip():
+                try:
+                    required = self.analyze(must_q)
+                except EmptyQueryError:
+                    required = []
+            query = f"{should_q} {must_q}".strip()
+            if not query:
+                return {}
+        terms = (
+            self.expand_query_terms(query)
+            if "*" in (query or "")
+            else self.analyze(query)
+        )
+        terms, contradiction = resolve_boolean_overlap(
+            terms, required, excluded
+        )
+        if contradiction or not terms:
+            return {}
+        segs, cats = self._facet_arrays(field)
+        live = self._live_term_postings_many(
+            list(dict.fromkeys(terms + excluded))
+        )
+        def _docids(ts):
+            parts = [
+                d
+                for t in ts
+                for d, _tf, _dl in live.get(t, (0, []))[1]
+            ]
+            return (
+                np.unique(np.concatenate(parts))
+                if parts
+                else np.empty(0, np.int64)
+            )
+        matched = _docids(dict.fromkeys(terms))
+        if excluded and matched.size:
+            exc = _docids(dict.fromkeys(excluded))
+            if exc.size:
+                matched = matched[~np.isin(matched, exc)]
+        totals = np.zeros(len(cats), np.int64)
+        for fd, codes in segs:
+            if not matched.size or not fd.size:
+                continue
+            p = np.searchsorted(fd, matched)
+            p = np.minimum(p, fd.size - 1)
+            hit = fd[p] == matched
+            totals += np.bincount(
+                codes[p[hit]], minlength=len(cats)
+            ).astype(np.int64)
+        return {
+            ("" if c is None else c): int(n)
+            for c, n in zip(cats, totals)
+            if n > 0
+        }
 
     def lookup_docs(
         self, docids: list[int], with_images: bool = True
