@@ -2727,7 +2727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_verify": q_ngram_jaccard_verify,
         "dedup_components": q_dedup_components,
         "simhash_near_dups": q_simhash_near_dups,
-        "embedding_near_dups": q_embedding_near_dups,
+        "ngram_dup_frac": q_ngram_dup_frac,
         # -- similarity / ANN ------------------------------------------
         "cosine_top10": q_cosine_top10,
         "ann_lsh_top10": q_ann_lsh_top10,
@@ -2781,6 +2781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_occurrences": q_phrase_occurrences,  # phrase scan variant
         "orders_by_segment": q_orders_by_segment,  # TPC-H demo variant
         "lang_id": q_lang_id,                   # textstats codegen family (rep: quality_scores; r5 demotion for bm25f_top50)
+        "embedding_near_dups": q_embedding_near_dups,  # bucketed-cosine family (rep: ann_lsh_top10/cosine_top10; r5 demotion for ngram_dup_frac)
         "term_prefix_topk": q_term_prefix_topk,  # lexicon range-scan family (rep: wildcard_leading_bm25; r5 demotion for facet_counts)
         "decontaminate_xx64": q_decontaminate_xx64,  # hash-join production mode
         "training_mix": q_training_mix,         # composed pipeline (filter -> decontam -> pack)
@@ -2867,6 +2868,32 @@ FROM tf JOIN qdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s""",
         "FROM tf JOIN dl USING (doc_id)",
         "bm25_top50": _bm25_sql(Q_MAIN, 50, "bm25"),
         "bm25f_top50": _bm25f_sql(Q_MAIN, 50, 2.0),
+        "ngram_dup_frac": """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents),
+g AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(t) >= 8
+      THEN [array_to_string(t[i+1:i+8], ' ') for i in range(0, len(t)-7)]
+      ELSE []::VARCHAR[] END)) AS gram
+  FROM tok),
+gdf AS (SELECT gram, count(*)::BIGINT AS gram_df FROM g GROUP BY 1),
+pd AS (
+  SELECT doc_id, count(*)::BIGINT AS n_grams,
+         sum(CASE WHEN gram_df >= 2 THEN 1 ELSE 0 END)::BIGINT
+           AS n_dup_grams
+  FROM g JOIN gdf USING (gram) GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(pd.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(pd.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+       CASE WHEN coalesce(pd.n_grams, 0) = 0 THEN 0.0
+            ELSE round(pd.n_dup_grams * 1.0 / pd.n_grams, 6)
+       END AS dup_frac
+FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+ORDER BY d.doc_id""",
         "facet_counts": f"""
 WITH {SQL_TOKS}, {SQL_TF}, {_sql_terms(Q_MAIN)},
 m AS (SELECT DISTINCT doc_id FROM tf
@@ -3628,4 +3655,27 @@ def q_facet_counts(spark, sf_dir):
         .groupBy("lang")
         .agg(F.count("*").cast("long").alias("n_docs"))
         .orderBy("lang")
+    )
+
+
+def q_ngram_dup_frac(spark, sf_dir):
+    """Exact substring duplication metric (Lee et al. 2022 style):
+    per-doc fraction of distinct word 8-grams that also occur in
+    another document — the span-level dedup signal whole-doc sketches
+    (minhash/simhash) structurally miss
+    (operators/substring_dedup.py; key='xxhash64' is the 8-byte
+    production mode, string mode here for the oracle)."""
+    from wiki_search_engine_spark.operators.substring_dedup import (
+        ngram_dup_fraction,
+    )
+
+    return (
+        ngram_dup_fraction(_docs(spark, sf_dir), n=8, key="gram")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_grams",
+            "n_dup_grams",
+            "dup_frac",
+        )
+        .orderBy("doc_id")
     )

@@ -185,3 +185,46 @@ def test_repetition_metrics_randomized(spark):
     for i, text in rows:
         assert got[i]["top2_count"] == _naive_top(text, 2), (i, text)
         assert got[i]["top3_count"] == _naive_top(text, 3), (i, text)
+
+
+def test_ngram_dup_fraction_crafted(spark):
+    """Two docs sharing an exact 5-gram span are both marked; a doc
+    with only unique grams is 0.0; a doc shorter than n is (0, 0,
+    0.0); within-doc repetition alone never counts as duplication."""
+    from wiki_search_engine_spark.operators.substring_dedup import (
+        flag_dup_docs, ngram_dup_fraction,
+    )
+
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, f"{shared} one two three"),
+        (2, f"prefix words {shared}"),
+        (3, "totally different text with no overlap at all"),
+        (4, "tiny doc"),
+        # within-doc repetition: the same 5-gram twice in ONE doc
+        (5, "rep one rep two rep one rep two rep one rep two rep"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_frac"])
+        for r in ngram_dup_fraction(df, n=5).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    # docs 1 and 2 share exactly one distinct 5-gram
+    assert out[1][1] == 1 and out[2][1] == 1
+    assert out[1][2] == pytest.approx(1 / out[1][0])
+    assert out[3] == (out[3][0], 0, 0.0) and out[3][0] > 0
+    assert out[4] == (0, 0, 0.0)
+    assert out[5][1] == 0  # within-doc repeats are not cross-doc dups
+    # production hash mode: identical metrics on this corpus
+    out_xx = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_frac"])
+        for r in ngram_dup_fraction(df, n=5, key="xxhash64").collect()
+    }
+    assert out_xx == out
+    # filter form
+    flagged = {
+        r["doc_id"]
+        for r in flag_dup_docs(df, n=5, threshold=0.2).collect()
+    }
+    assert 1 in flagged and 3 not in flagged and 4 not in flagged
