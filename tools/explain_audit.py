@@ -57,8 +57,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     index_dir = f"{WORK}/index"
-    if not os.path.exists(f"{index_dir}/manifest.json") or not (
-        os.path.isdir(f"{index_dir}/positions")
+    if (
+        not os.path.exists(f"{index_dir}/manifest.json")
+        or not os.path.isdir(f"{index_dir}/positions")
+        or not os.path.isdir(f"{index_dir}/title_tf")
     ):
         shutil.rmtree(index_dir, ignore_errors=True)
         eng = SearchEngine.build(
@@ -118,6 +120,23 @@ def main() -> None:
               r"PartitionFilters: \[[^\]]*salt",
               r"PushedFilters: \[In\(docid"],
         must_not=[r"SortMergeJoin"],
+    )
+
+    # 3b. bm25f distributed: the title sidecar scan prunes to the query
+    # terms' bucket directories AND pushes the term predicate; the
+    # body/title merge is the full-outer join (title-only matches must
+    # survive)
+    fplan = plan_of(
+        eng.search_ids(query, k=10, mode="bm25f", path="exhaustive")
+    )
+    check(
+        "bm25f_title_pushdown",
+        fplan,
+        must=[
+            r"title_tf[\s\S]{0,800}?PartitionFilters: \[[^\]]*bucket",
+            r"title_tf[\s\S]{0,800}?PushedFilters: \[In\(term",
+            r"FullOuter",
+        ],
     )
 
     # 4. exhaustive scorer: partial+final hash agg, codegen, top-k pushdown
