@@ -153,6 +153,9 @@ def test_merge_carries_title_tf(spark, titled_engine, tmp_path):
     assert os.path.isdir(f"{merged.index_dir}/title_tf")
     res = merged.search_local("alpha", k=10, mode="bm25f")
     assert res
+    # facet columns survive the merge's docs union too
+    fc = merged.facet_counts("alpha", field="lang")
+    assert sum(fc.values()) > 0
 
 
 def test_bm25f_over_http(titled_engine):

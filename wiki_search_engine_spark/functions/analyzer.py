@@ -393,6 +393,26 @@ def split_boolean(query: str) -> tuple[str, str, str]:
     return " ".join(should), " ".join(must), " ".join(neg)
 
 
+def split_field_terms(text: str) -> tuple[str, list[str]]:
+    """Split whitespace tokens into (plain text, raw title-field
+    tokens): a token of the form ``title:word`` (case-insensitive
+    prefix, at least one char after the colon) is a Lucene-style
+    FIELD-SCOPED term — it matches/scores against the document TITLE
+    only. Parsing is gated behind the same opt-in boolean flag as
+    ``+``/``-`` (split_boolean), so legacy queries containing colons
+    keep the reference's bag reading (the analyzer space-replaces
+    ``:``). Run on the ALREADY-SPLIT should/must/not parts, so
+    ``+title:foo`` / ``-title:foo`` compose naturally."""
+    plain, title = [], []
+    for tok in (text or "").split():
+        low = tok.lower()
+        if low.startswith("title:") and len(tok) > 6:
+            title.append(tok[6:])
+        else:
+            plain.append(tok)
+    return " ".join(plain), title
+
+
 def resolve_boolean_overlap(
     terms: list[str],
     required: list[str] | None,
