@@ -2717,6 +2717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_term_match": q_fuzzy_term_match,
         "bm25_not_semantics": q_bm25_not_semantics,
         "bm25_must_semantics": q_bm25_must_semantics,
+        "field_title_bm25": q_field_title_bm25,
         "phrase_bm25": q_phrase_bm25,
         "mixed_phrase_bm25": q_mixed_phrase_bm25,
         "wildcard_leading_bm25": q_wildcard_leading_bm25,
@@ -2748,7 +2749,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         # -- sampling / sketches ---------------------------------------
-        "stratified_sample": q_stratified_sample,
         "token_budget_pack": q_token_budget_pack,
         "hll_register_sketch": q_hll_register_sketch,
         "term_heavy_hitters": q_term_heavy_hitters,
@@ -2783,6 +2783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,                   # textstats codegen family (rep: quality_scores; r5 demotion for bm25f_top50)
         "embedding_near_dups": q_embedding_near_dups,  # bucketed-cosine family (rep: ann_lsh_top10/cosine_top10; r5 demotion for ngram_dup_frac)
         "term_prefix_topk": q_term_prefix_topk,  # lexicon range-scan family (rep: wildcard_leading_bm25; r5 demotion for facet_counts)
+        "stratified_sample": q_stratified_sample,  # deterministic-sampling family (rep: token_budget_pack; r5 demotion for field_title_bm25)
         "decontaminate_xx64": q_decontaminate_xx64,  # hash-join production mode
         "training_mix": q_training_mix,         # composed pipeline (filter -> decontam -> pack)
         "source_quality_report": q_source_quality_report,  # domain-level filtering signals
@@ -2894,6 +2895,42 @@ SELECT d.doc_id,
        END AS dup_frac
 FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
 ORDER BY d.doc_id""",
+        "field_title_bm25": f"""
+WITH {SQL_TOKS}, {SQL_TF}, {SQL_DL}, {SQL_STATS},
+tdoc AS (
+  SELECT doc_id,
+         array_to_string(
+           (regexp_split_to_array(trim(text), '\s+'))[1:8], ' ') AS text
+  FROM documents),
+ttoks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(
+             trim(lower(regexp_replace(text, '[^a-zA-Z0-9 	
+]', ' ', 'g'))),
+             '\s+')) AS tok
+    FROM tdoc) t
+  WHERE tok <> ''
+    AND NOT (regexp_matches(tok, '^[0-9]+$') AND length(tok) > 4)),
+ttf AS (SELECT doc_id, tok AS term, count(*)::BIGINT AS tf
+        FROM ttoks GROUP BY 1, 2),
+rel AS (
+  SELECT doc_id, term, tf FROM tf
+  UNION ALL
+  SELECT doc_id, 'title:' || term AS term, tf FROM ttf),
+q AS (SELECT unnest(['table', 'title:scan']) AS term),
+qdf AS (SELECT term, count(*)::BIGINT AS df FROM rel
+        WHERE term IN (SELECT term FROM q) GROUP BY 1),
+contrib AS (
+  SELECT r.doc_id,
+         ln((s.n - d.df + 0.5)/(d.df + 0.5) + 1) * r.tf * {K1 + 1.0}
+         / (r.tf + {K1} * (1 - {B} + {B} * dl.doc_len / s.avgdl)) AS part
+  FROM rel r JOIN qdf d USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  WHERE r.term IN (SELECT term FROM q))
+SELECT doc_id, round(sum(part), 6) AS score
+FROM contrib GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 50""",
         "facet_counts": f"""
 WITH {SQL_TOKS}, {SQL_TF}, {_sql_terms(Q_MAIN)},
 m AS (SELECT DISTINCT doc_id FROM tf
@@ -3678,4 +3715,49 @@ def q_ngram_dup_frac(spark, sf_dir):
             "dup_frac",
         )
         .orderBy("doc_id")
+    )
+
+
+def q_field_title_bm25(spark, sf_dir):
+    """Lucene field-scoped query as ONE tagged relation: the bag term
+    'table' scores on body tokens, 'title:scan' scores on the TITLE
+    pseudo-field (first 8 raw whitespace tokens — the reference's
+    title-on-line-1 analogue), both through the same exhaustive
+    scorer; df per tagged term is its live row count
+    (engine._search_ids_fielded is the serving twin)."""
+    from wiki_search_engine_spark.operators.scoring import (
+        score_exhaustive,
+    )
+    from wiki_search_engine_spark.operators.tokenize import tokenize
+
+    tokens = _base_tokens_df(spark, sf_dir)
+    n, avgdl = _stats_scalars(tokens)
+    titles = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("docid"),
+        F.array_join(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8), " "
+        ).alias("text"),
+    )
+    title_rel = (
+        tokenize(titles, stem=False)
+        .select(
+            "docid",
+            F.concat(F.lit("title:"), F.col("term")).alias("term"),
+            "tf",
+        )
+        .join(_doc_stats(tokens).select("docid", "doc_len"), "docid")
+    )
+    rel = tokens.select("docid", "term", "tf", "doc_len").unionByName(
+        title_rel.select("docid", "term", "tf", "doc_len")
+    )
+    res = score_exhaustive(
+        rel, ["table", "title:scan"], n, avgdl, k=None, mode="bm25"
+    )
+    return (
+        res.select(
+            F.col("docid").cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(50)
     )

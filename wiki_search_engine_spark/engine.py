@@ -618,6 +618,213 @@ class SearchEngine:
             cache[t] = v
         return out
 
+    def _parse_field_clauses(
+        self, should_q: str, must_q: str, neg_q: str
+    ) -> tuple:
+        """Extract ``title:``-scoped terms from already-split boolean
+        clause texts. Returns (plain_should, plain_must, plain_neg,
+        t_should, t_must, t_not, contradiction) — field tokens run
+        through the index analyzer (a multi-word source token can
+        yield several field terms) and the Lucene overlap rule applies
+        within the title namespace (+title:t -title:t contradicts;
+        SHOULD title:t -title:t drops the SHOULD occurrence)."""
+        from .functions.analyzer import (
+            resolve_boolean_overlap, split_field_terms,
+        )
+
+        should_q, f_s = split_field_terms(should_q)
+        must_q, f_m = split_field_terms(must_q)
+        neg_q, f_n = split_field_terms(neg_q)
+
+        def _an(toks):
+            out = []
+            for t in toks:
+                if "*" in t:
+                    raise ValueError(
+                        "wildcards are not supported in field-scoped "
+                        "terms"
+                    )
+                try:
+                    out.extend(self.analyze(t))
+                except EmptyQueryError:
+                    pass
+            return list(dict.fromkeys(out))
+
+        t_s, t_m, t_n = _an(f_s), _an(f_m), _an(f_n)
+        pos, contra = resolve_boolean_overlap(
+            list(dict.fromkeys(t_s + t_m)), t_m, t_n
+        )
+        t_s = [t for t in t_s if t in pos and t not in t_m]
+        return should_q, must_q, neg_q, t_s, t_m, t_n, contra
+
+    def _search_local_fielded(
+        self, bag_terms: list[str], bag_required: list[str],
+        t_should: list[str], t_must: list[str], t_not: list[str],
+        bag_excluded: list[str], k: int, mode: str,
+    ) -> list[tuple[int, float]]:
+        """Driver-side Lucene FIELD-SCOPED scoring: ``title:term``
+        clauses score on the TITLE field — tf = title occurrences,
+        df = count of docs whose title contains the term (the live
+        title_tf row count), dl = the doc's BODY length norm (the
+        sidecar row shape) — while bag clauses score exactly as plain
+        BM25/TF-IDF. ``+title:t`` gates membership on title
+        containment, ``-title:t`` excludes on it. Rank-identical to
+        the tagged-relation distributed form (pytest)."""
+        import numpy as np
+
+        from . import B, K1
+        from .operators.codec import decode_posting_list
+        from .oracle_py.oracle import bm25_idf, tfidf_idf
+
+        def _score(tf, dl, df):
+            idf = (
+                bm25_idf(self.n, df)
+                if mode == "bm25"
+                else tfidf_idf(self.n, df)
+            )
+            if mode == "bm25":
+                return (
+                    idf * tf * (K1 + 1.0)
+                    / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
+                )
+            return tf * idf
+
+        lists = (
+            self._cached_term_lists(bag_terms) if bag_terms else {}
+        )
+        trows = self._title_rows(
+            list(dict.fromkeys(t_should + t_must + t_not))
+        )
+        all_d, all_s, req_sets = [], [], []
+        for t in dict.fromkeys(bag_terms):
+            df, salted = lists.get(t, (0, []))
+            if df <= 0:
+                if t in bag_required:
+                    return []
+                continue
+            ds, tfs, dls = [], [], []
+            for _salt, blocks in salted:
+                d_, tf_, dl_ = decode_posting_list(
+                    [
+                        b if isinstance(b, dict) else b.asDict()
+                        for b in blocks
+                    ]
+                )
+                ds.append(d_)
+                tfs.append(tf_)
+                dls.append(dl_)
+            d = np.concatenate(ds)
+            tf = np.concatenate(tfs).astype(np.float64)
+            dl = np.concatenate(dls).astype(np.float64)
+            all_d.append(d)
+            all_s.append(_score(tf, dl, df))
+            if t in bag_required:
+                req_sets.append(np.unique(d))
+        for t in dict.fromkeys(t_should + t_must):
+            td, ttf, tdl = trows[t]
+            if not td.size:
+                if t in t_must:
+                    return []  # absent required title term
+                continue
+            all_d.append(td)
+            all_s.append(_score(ttf, tdl, int(td.size)))
+            if t in t_must:
+                req_sets.append(td)  # sorted-unique by construction
+        if not all_d:
+            return []
+        d = np.concatenate(all_d)
+        s = np.concatenate(all_s)
+        uniq, inv = np.unique(d, return_inverse=True)
+        acc = np.zeros(uniq.size)
+        np.add.at(acc, inv, s)
+        for rs in req_sets:
+            keep = np.isin(uniq, rs)
+            uniq, acc = uniq[keep], acc[keep]
+            if not uniq.size:
+                return []
+        exc_arrays = []
+        if bag_excluded:
+            exc_arrays.extend(
+                self._excluded_docids_by_salt(bag_excluded).values()
+            )
+        for t in dict.fromkeys(t_not):
+            td, _ttf, _tdl = trows[t]
+            if td.size:
+                exc_arrays.append(td)
+        if exc_arrays:
+            exc = np.unique(np.concatenate(exc_arrays))
+            keep = ~np.isin(uniq, exc)
+            uniq, acc = uniq[keep], acc[keep]
+        idx = np.lexsort((uniq, -acc))[: min(k, uniq.size)]
+        return [(int(uniq[i]), float(acc[i])) for i in idx]
+
+    def _search_ids_fielded(
+        self, bag_terms: list[str], bag_required: list[str],
+        t_should: list[str], t_must: list[str], t_not: list[str],
+        bag_excluded: list[str], k: int, mode: str,
+    ) -> DataFrame:
+        """Distributed field-scoped scoring as ONE tagged relation:
+        title clauses become pseudo-terms named ``title:<term>`` whose
+        rows come from the title_tf sidecar (tf = title occurrences,
+        doc_len = body length), unioned with the body posting decode,
+        then the standard exhaustive scorer runs once — its live df
+        recompute, MUST count gate and NOT anti-join all operate on
+        the tagged names, so field semantics need no new aggregation
+        machinery. Rank-identical to _search_local_fielded (pytest)."""
+        import os as _os
+
+        from .operators.postings import term_bucket
+        from .operators.scoring import score_exhaustive
+
+        if not _os.path.isdir(f"{self.index_dir}/title_tf"):
+            raise FileNotFoundError(
+                f"{self.index_dir}/title_tf missing — field-scoped "
+                "queries need the title sidecar; run "
+                "engine.build_title_tf() (CLI: titleindex)"
+            )
+
+        def tag(ts):
+            return [f"title:{t}" for t in ts]
+
+        read_bag = list(dict.fromkeys(bag_terms + bag_excluded))
+        title_terms = list(
+            dict.fromkeys(t_should + t_must + t_not)
+        )
+        tbuckets = sorted(
+            {term_bucket(t, self.n_buckets) for t in title_terms}
+        )
+        title_rel = (
+            self.spark.read.parquet(f"{self.index_dir}/title_tf")
+            .filter(F.col("bucket").isin(tbuckets))
+            .filter(F.col("term").isin(title_terms))
+            .select(
+                F.concat(F.lit("title:"), F.col("term")).alias("term"),
+                F.col("docid").cast("long").alias("docid"),
+                F.col("tf").cast("int").alias("tf"),
+                F.col("doc_len").cast("int").alias("doc_len"),
+            )
+        )
+        if read_bag:
+            body_rel = decode_postings_df(
+                self._postings(read_bag).filter(
+                    F.col("term").isin(read_bag)
+                )
+            ).select("term", "docid", "tf", "doc_len")
+            rel = body_rel.unionByName(title_rel)
+        else:
+            rel = title_rel
+        return score_exhaustive(
+            rel,
+            list(dict.fromkeys(bag_terms + tag(t_should + t_must))),
+            self.n,
+            self.avgdl,
+            k,
+            mode,
+            semantics="or",
+            exclude_terms=(bag_excluded + tag(t_not)) or None,
+            required_terms=(bag_required + tag(t_must)) or None,
+        )
+
     def _search_local_bm25f(
         self, terms: list[str], k: int, exc_by_salt: dict | None = None,
         title_weight: float | None = None,
@@ -1540,12 +1747,23 @@ class SearchEngine:
 
         excluded: list[str] = []
         required: list[str] = []
+        t_should: list[str] = []
+        t_must: list[str] = []
+        t_not: list[str] = []
         if negation:
-            # the flag enables BOTH Lucene prefix operators: -term
-            # (NOT) and +term (MUST); bare terms stay SHOULD
+            # the flag enables the Lucene operators: -term (NOT),
+            # +term (MUST), and title: field scoping; bare terms stay
+            # SHOULD
             from .functions.analyzer import split_boolean
 
             should_q, must_q, neg_q = split_boolean(query)
+            if "title:" in (query or "").lower():
+                (
+                    should_q, must_q, neg_q,
+                    t_should, t_must, t_not, f_contra,
+                ) = self._parse_field_clauses(should_q, must_q, neg_q)
+                if f_contra:
+                    return []
             if neg_q.strip():
                 try:
                     excluded = self.analyze(neg_q)
@@ -1557,15 +1775,24 @@ class SearchEngine:
                 except EmptyQueryError:
                     required = []
             query = f"{should_q} {must_q}".strip()
-            if not query:
+            if not query and not (t_should or t_must):
                 return []  # pure-NOT query ranks nothing
-        terms = (
-            # trailing-* tokens expand to their top-df lexicon matches
-            self.expand_query_terms(query)
-            if "*" in (query or "")
-            else self.analyze(query)
-        )
-        if not terms:
+        has_fields = bool(t_should or t_must or t_not)
+        if not (query or "").strip():
+            if not has_fields:
+                # reference contract: a blank query RAISES (the HTTP
+                # 400 'Empty query' body) — only field extraction may
+                # legitimately empty the bag part
+                self.analyze(query)
+            terms = []
+        else:
+            terms = (
+                # trailing-* tokens expand to top-df lexicon matches
+                self.expand_query_terms(query)
+                if "*" in (query or "")
+                else self.analyze(query)
+            )
+        if not terms and not (t_should or t_must):
             return []
         if fuzzy:
             # did-you-mean: zero-df terms swap to their best spell
@@ -1579,7 +1806,7 @@ class SearchEngine:
             terms if semantics == "and" else required,
             excluded,
         )
-        if contradiction or not terms:
+        if contradiction or (not terms and not has_fields):
             return []  # +t -t contradiction, or nothing positive left
         required = [t for t in required if t in terms]
         if not os.path.isdir(f"{self.index_dir}/term_stats"):
@@ -1587,6 +1814,17 @@ class SearchEngine:
                 f"{self.index_dir}/term_stats missing — the local serving "
                 "path needs the lexicon side table; rebuild the index or "
                 "use path='wand'"
+            )
+        if has_fields:
+            if semantics == "and" or synonyms or mode == "bm25f" or fuzzy:
+                raise ValueError(
+                    "field-scoped terms (title:) compose with OR and "
+                    "+/- only — not with semantics=and, synonyms, "
+                    "bm25f, or fuzzy"
+                )
+            return self._search_local_fielded(
+                terms, required, t_should, t_must, t_not, excluded,
+                k, mode,
             )
         exc_by_salt = (
             self._excluded_docids_by_salt(excluded) if excluded else {}
@@ -1762,10 +2000,22 @@ class SearchEngine:
         paths (pytest)."""
         excluded: list[str] = []
         required: list[str] = []
+        t_should: list[str] = []
+        t_must: list[str] = []
+        t_not: list[str] = []
         if negation and path != "local":
             from .functions.analyzer import split_boolean
 
             should_q, must_q, neg_q = split_boolean(query)
+            if "title:" in (query or "").lower():
+                (
+                    should_q, must_q, neg_q,
+                    t_should, t_must, t_not, f_contra,
+                ) = self._parse_field_clauses(should_q, must_q, neg_q)
+                if f_contra:
+                    return self.spark.createDataFrame(
+                        [], "docid long, score double"
+                    )
             if neg_q.strip():
                 try:
                     excluded = self.analyze(neg_q)
@@ -1777,22 +2027,30 @@ class SearchEngine:
                 except EmptyQueryError:
                     required = []
             query = f"{should_q} {must_q}".strip()
-            if not query:
+            if not query and not (t_should or t_must):
                 return self.spark.createDataFrame(
                     [], "docid long, score double"
                 )
-            if (excluded or required) and path == "wand":
+            if (
+                excluded or required or t_should or t_must or t_not
+            ) and path == "wand":
                 path = "exhaustive"
+        has_fields = bool(t_should or t_must or t_not)
         if semantics == "and" and path == "wand":
             path = "exhaustive"
-        terms = (
-            # wildcard expansion is a driver-side lexicon scan, so the
-            # DISTRIBUTED paths expand identically to the local one
-            self.expand_query_terms(query)
-            if "*" in (query or "")
-            else self.analyze(query)
-        )
-        if not terms:
+        if not (query or "").strip():
+            if not has_fields:
+                self.analyze(query)  # blank query raises (400 body)
+            terms = []
+        else:
+            terms = (
+                # wildcard expansion is a driver-side lexicon scan, so
+                # the DISTRIBUTED paths expand identically to the local
+                self.expand_query_terms(query)
+                if "*" in (query or "")
+                else self.analyze(query)
+            )
+        if not terms and not (t_should or t_must):
             return self.spark.createDataFrame([], "docid long, score double")
         from .functions.analyzer import resolve_boolean_overlap
 
@@ -1801,11 +2059,22 @@ class SearchEngine:
             terms if semantics == "and" else required,
             excluded,
         )
-        if contradiction or not terms:
+        if contradiction or (not terms and not has_fields):
             return self.spark.createDataFrame(
                 [], "docid long, score double"
             )
         required = [t for t in required if t in terms]
+        if has_fields and path != "local":
+            if semantics == "and" or synonyms or mode == "bm25f":
+                raise ValueError(
+                    "field-scoped terms (title:) compose with OR and "
+                    "+/- only — not with semantics=and, synonyms, or "
+                    "bm25f"
+                )
+            return self._search_ids_fielded(
+                terms, required, t_should, t_must, t_not, excluded,
+                k, mode,
+            )
         if path == "local":
             rows = [
                 (int(d), float(s)) for d, s in self.search_local(

@@ -529,11 +529,27 @@ class TieredEngine:
         contribute to the NOT set any more than to scores."""
         excluded: list[str] = []
         required: list[str] = []
+        t_should: list[str] = []
+        t_must: list[str] = []
+        t_not: list[str] = []
         if negation:
             from .engine import EmptyQueryError
             from .functions.analyzer import split_boolean
 
             should_q, must_q, neg_q = split_boolean(query)
+            if "title:" in (query or "").lower():
+                # same field parse as the single-index engine (the
+                # helper only needs self.analyze)
+                from .engine import SearchEngine
+
+                (
+                    should_q, must_q, neg_q,
+                    t_should, t_must, t_not, f_contra,
+                ) = SearchEngine._parse_field_clauses(
+                    self, should_q, must_q, neg_q
+                )
+                if f_contra:
+                    return []
             if neg_q.strip():
                 try:
                     excluded = self.analyze(neg_q)
@@ -545,15 +561,21 @@ class TieredEngine:
                 except EmptyQueryError:
                     required = []
             query = f"{should_q} {must_q}".strip()
-            if not query:
+            if not query and not (t_should or t_must):
                 return []
-        terms = (
-            # wildcard tokens expand over the union of segment lexicons
-            self.expand_query_terms(query)
-            if "*" in (query or "")
-            else self.analyze(query)
-        )
-        if not terms or not self.n:
+        has_fields = bool(t_should or t_must or t_not)
+        if not (query or "").strip():
+            if not has_fields:
+                self.analyze(query)  # blank query raises (400 body)
+            terms = []
+        else:
+            terms = (
+                # wildcards expand over the union of segment lexicons
+                self.expand_query_terms(query)
+                if "*" in (query or "")
+                else self.analyze(query)
+            )
+        if (not terms and not has_fields) or not self.n:
             return []
         if fuzzy:
             terms, _ = self.fuzzy_terms(terms)
@@ -564,9 +586,20 @@ class TieredEngine:
             terms if semantics == "and" else required,
             excluded,
         )
-        if contradiction or not terms:
+        if contradiction or (not terms and not has_fields):
             return []  # +t -t contradiction, or nothing positive left
         required = [t for t in required if t in terms]
+        if has_fields:
+            if semantics == "and" or synonyms or mode == "bm25f" or fuzzy:
+                raise ValueError(
+                    "field-scoped terms (title:) compose with OR and "
+                    "+/- only — not with semantics=and, synonyms, "
+                    "bm25f, or fuzzy"
+                )
+            return self._search_local_fielded(
+                terms, required, t_should, t_must, t_not, excluded,
+                k, mode,
+            )
         if synonyms and self._load_synonyms():
             if semantics == "and" or required:
                 raise ValueError(
@@ -661,6 +694,94 @@ class TieredEngine:
                 uniq, acc = uniq[keep], acc[keep]
                 if uniq.size == 0:
                     return []
+        idx = np.lexsort((uniq, -acc))[: min(k, uniq.size)]
+        return [(int(uniq[i]), float(acc[i])) for i in idx]
+
+    def _search_local_fielded(
+        self, bag_terms: list[str], bag_required: list[str],
+        t_should: list[str], t_must: list[str], t_not: list[str],
+        bag_excluded: list[str], k: int, mode: str,
+    ) -> list[tuple[int, float]]:
+        """Tiered Lucene field scoping (``title:term`` /
+        ``+title:term`` / ``-title:term``): bag clauses score on the
+        LIVE postings with live df, title clauses on the LIVE title
+        sidecar rows (tf = title occurrences, df = live title row
+        count, dl = body length) — identical to the compacted index's
+        fielded results (pytest)."""
+        from .oracle_py.oracle import bm25_idf, tfidf_idf
+
+        def _score(tf, dl, df):
+            idf = (
+                bm25_idf(self.n, df)
+                if mode == "bm25"
+                else tfidf_idf(self.n, df)
+            )
+            if mode == "bm25":
+                return (
+                    idf * tf * (K1 + 1.0)
+                    / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
+                )
+            return tf * idf
+
+        live = self._live_term_postings_many(
+            list(dict.fromkeys(bag_terms + bag_excluded))
+        )
+        trows = self._live_title_rows(
+            list(dict.fromkeys(t_should + t_must + t_not))
+        )
+        all_d, all_s, req_sets = [], [], []
+        for t in dict.fromkeys(bag_terms):
+            df, parts = live.get(t, (0, []))
+            if not df:
+                if t in bag_required:
+                    return []
+                continue
+            d = np.concatenate([p[0] for p in parts])
+            tf = np.concatenate([p[1] for p in parts]).astype(
+                np.float64
+            )
+            dl = np.concatenate([p[2] for p in parts]).astype(
+                np.float64
+            )
+            all_d.append(d)
+            all_s.append(_score(tf, dl, df))
+            if t in bag_required:
+                req_sets.append(np.unique(d))
+        for t in dict.fromkeys(t_should + t_must):
+            td, ttf, tdl = trows[t]
+            if not td.size:
+                if t in t_must:
+                    return []
+                continue
+            all_d.append(td)
+            all_s.append(_score(ttf, tdl, int(td.size)))
+            if t in t_must:
+                req_sets.append(td)
+        if not all_d:
+            return []
+        d = np.concatenate(all_d)
+        s = np.concatenate(all_s)
+        uniq, inv = np.unique(d, return_inverse=True)
+        acc = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(acc, inv, s)
+        for rs in req_sets:
+            keep = np.isin(uniq, rs)
+            uniq, acc = uniq[keep], acc[keep]
+            if not uniq.size:
+                return []
+        exc_arrays = [
+            dd
+            for t in dict.fromkeys(bag_excluded)
+            for dd, _tf, _dl in live.get(t, (0, []))[1]
+        ]
+        for t in dict.fromkeys(t_not):
+            td, _ttf, _tdl = trows[t]
+            if td.size:
+                exc_arrays.append(td)
+        if exc_arrays:
+            exc = np.unique(np.concatenate(exc_arrays))
+            keep = ~np.isin(uniq, exc)
+            uniq, acc = uniq[keep], acc[keep]
         idx = np.lexsort((uniq, -acc))[: min(k, uniq.size)]
         return [(int(uniq[i]), float(acc[i])) for i in idx]
 
@@ -1246,11 +1367,27 @@ class TieredEngine:
         the corpus (unlike a deletes segment)."""
         excluded: list[str] = []
         required: list[str] = []
+        t_should: list[str] = []
+        t_must: list[str] = []
+        t_not: list[str] = []
         if negation:
             from .engine import EmptyQueryError
             from .functions.analyzer import split_boolean
 
             should_q, must_q, neg_q = split_boolean(query)
+            if "title:" in (query or "").lower():
+                from .engine import SearchEngine
+
+                (
+                    should_q, must_q, neg_q,
+                    t_should, t_must, t_not, f_contra,
+                ) = SearchEngine._parse_field_clauses(
+                    self, should_q, must_q, neg_q
+                )
+                if f_contra:
+                    return self.spark.createDataFrame(
+                        [], "docid long, score double"
+                    )
             if neg_q.strip():
                 try:
                     excluded = self.analyze(neg_q)
@@ -1262,16 +1399,22 @@ class TieredEngine:
                 except EmptyQueryError:
                     required = []
             query = f"{should_q} {must_q}".strip()
-            if not query:
+            if not query and not (t_should or t_must):
                 return self.spark.createDataFrame(
                     [], "docid long, score double"
                 )
-        terms = (
-            self.expand_query_terms(query)
-            if "*" in (query or "")
-            else self.analyze(query)
-        )
-        if not terms:
+        has_fields = bool(t_should or t_must or t_not)
+        if not (query or "").strip():
+            if not has_fields:
+                self.analyze(query)  # blank query raises (400 body)
+            terms = []
+        else:
+            terms = (
+                self.expand_query_terms(query)
+                if "*" in (query or "")
+                else self.analyze(query)
+            )
+        if not terms and not has_fields:
             return self.spark.createDataFrame(
                 [], "docid long, score double"
             )
@@ -1282,11 +1425,60 @@ class TieredEngine:
             terms if semantics == "and" else required,
             excluded,
         )
-        if contradiction or not terms:
+        if contradiction or (not terms and not has_fields):
             return self.spark.createDataFrame(
                 [], "docid long, score double"
             )
         required = [t for t in required if t in terms]
+        if has_fields:
+            if semantics == "and" or synonyms or mode == "bm25f":
+                raise ValueError(
+                    "field-scoped terms (title:) compose with OR and "
+                    "+/- only — not with semantics=and, synonyms, or "
+                    "bm25f"
+                )
+            from pyspark.sql import functions as F
+
+            from .operators.scoring import score_exhaustive
+
+            def tag(ts):
+                return [f"title:{t}" for t in ts]
+
+            # tagged-relation form over LIVE data: the live title rows
+            # are driver-decoded (bounded by the title dfs — the same
+            # IO a title query pays) and shipped as a tiny DataFrame
+            # unioned with the live posting decode
+            trows = self._live_title_rows(
+                list(dict.fromkeys(t_should + t_must + t_not))
+            )
+            title_rows = [
+                (f"title:{t}", int(d), int(tf), int(dl))
+                for t, (td, ttf, tdl) in trows.items()
+                for d, tf, dl in zip(td, ttf, tdl)
+            ]
+            title_rel = self.spark.createDataFrame(
+                title_rows,
+                "term string, docid long, tf int, doc_len int",
+            )
+            read_bag = list(dict.fromkeys(terms + excluded))
+            rel = (
+                self._decoded_live_postings(read_bag).unionByName(
+                    title_rel
+                )
+                if read_bag
+                else title_rel
+            )
+            return score_exhaustive(
+                rel,
+                list(dict.fromkeys(terms + tag(t_should + t_must))),
+                self.n,
+                self.avgdl,
+                k,
+                mode,
+                semantics="or",
+                exclude_terms=(excluded + tag(t_not)) or None,
+                required_terms=(required + tag(t_must)) or None,
+            )
         syn = self._load_synonyms() if synonyms else {}
         if syn:
             if semantics == "and" or required:
