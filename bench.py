@@ -362,6 +362,7 @@ def main() -> None:
         ("decontaminate_xx64", E.q_decontaminate_xx64),
         ("pii_scrub", E.q_pii_scrub),
         ("repetition_flags", E.q_repetition_flags),
+        ("ngram_dup_frac", E.q_ngram_dup_frac),
     ]:
         try:
             fn(spark, SF_DIR).collect()  # warm-up, unrecorded
@@ -530,6 +531,17 @@ def main() -> None:
         eng.search_local(syn_q, k=10, mode="bm25f")
         lat.append(time.time() - t0)
     q["bm25f_local_p50"] = round(statistics.median(lat), 4)
+    # field-scoped serving: one bag clause + the WORST-case title
+    # clause ('doc' is in every synthetic title, so the title list is
+    # N rows — cached after the first read like the posting lists)
+    lat = []
+    for _ in range(15):
+        t0 = time.time()
+        eng.search_local(
+            f"{words[50]} title:doc", k=10, negation=True
+        )
+        lat.append(time.time() - t0)
+    q["field_title_local_p50"] = round(statistics.median(lat), 4)
     # facet counts over the FULL match set (first call pays the
     # doc-values column read; steady state is the cached-array path)
     try:

@@ -162,9 +162,10 @@ def main(argv=None):
         'also accept the inline syntax "a b"~N',
     )
     q.add_argument(
-        "--facets", default=None, metavar="FIELD",
-        help="add per-facet doc counts over the FULL match set (e.g. "
-        "lang) to the output; tiered segment lists count LIVE docs",
+        "--facets", default=None, metavar="FIELDS",
+        help="comma-separated facet fields (e.g. lang,source): adds "
+        "per-facet doc counts over the FULL match set to the output; "
+        "tiered segment lists count LIVE docs",
     )
     q.add_argument(
         "--synonyms", action="store_true",
@@ -821,12 +822,15 @@ def main(argv=None):
             ],
         }
         if getattr(args, "facets", None):
+            fac_eng = teng if len(dirs) > 1 else eng
             payload["facets"] = {
-                args.facets: (teng if len(dirs) > 1 else eng)
-                .facet_counts(
-                    args.query, field=args.facets,
-                    negation=args.negation,
+                f: fac_eng.facet_counts(
+                    args.query, field=f, negation=args.negation
                 )
+                for f in (
+                    s.strip() for s in args.facets.split(",")
+                )
+                if f
             }
         print(json.dumps(payload))
     spark.stop()

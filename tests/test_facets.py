@@ -164,3 +164,38 @@ def test_tiered_facets_live_counts(spark, engine, corpus_df, tmp_path):
     before = teng.facet_counts(q, field="lang")
     after = teng2.facet_counts(q, field="lang")
     assert sum(after.values()) == sum(before.values()) - len(victims)
+
+
+def test_facets_http_multi_field_parse(engine):
+    """&facets accepts a comma list; duplicate/blank entries collapse;
+    an unknown member 400s the whole request (client error)."""
+    from wiki_search_engine_spark.sources.synth import vocabulary
+
+    from wiki_search_engine_spark.server import start_server
+
+    q0 = vocabulary(42)[0][3]
+    srv = start_server(engine, port=0, path_mode="local")
+    try:
+        port = srv.server_address[1]
+        q = urllib.parse.quote(q0)
+        url = (
+            f"http://127.0.0.1:{port}/query-stem?query={q}"
+            "&facets=lang,%20lang,"
+        )
+        with urllib.request.urlopen(url, timeout=30) as r:
+            resp = json.load(r)
+        assert set(resp["facets"]) == {"lang"}
+        assert resp["facets"]["lang"] == engine.facet_counts(
+            q0, field="lang"
+        )
+        bad = (
+            f"http://127.0.0.1:{port}/query-stem?query={q}"
+            "&facets=lang,bogus"
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()

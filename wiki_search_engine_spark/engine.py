@@ -2622,11 +2622,16 @@ class SearchEngine:
         if facets and resp.get("success") is not False:
             # per-facet counts over the FULL match set (facet_counts);
             # extension field — absent unless requested, so the
-            # reference response shape holds
+            # reference response shape holds. Comma-separated fields
+            # share the match-set decode via the term-list cache.
             resp["facets"] = {
-                facets: self.facet_counts(
-                    query, field=facets, negation=negation
+                f: self.facet_counts(
+                    query, field=f, negation=negation
                 )
+                for f in (
+                    s.strip() for s in facets.split(",")
+                )
+                if f
             }
         return resp
 

@@ -1756,9 +1756,11 @@ class TieredEngine:
                 resp["corrections"] = corr
         if facets and resp.get("success") is not False:
             resp["facets"] = {
-                facets: self.facet_counts(
-                    query, field=facets, negation=negation
+                f: self.facet_counts(
+                    query, field=f, negation=negation
                 )
+                for f in (s.strip() for s in facets.split(","))
+                if f
             }
         return resp
 
