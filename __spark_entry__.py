@@ -2747,11 +2747,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "worker_totals": q_worker_totals,
         # -- relational demo -------------------------------------------
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
-        "revenue_by_nation": q_revenue_by_nation,
+
         # -- sampling / sketches ---------------------------------------
         "token_budget_pack": q_token_budget_pack,
         "hll_register_sketch": q_hll_register_sketch,
         "term_heavy_hitters": q_term_heavy_hitters,
+        "doclen_quantiles": q_doclen_quantiles,
         # -- multimodal ------------------------------------------------
         "media_features": q_media_features,
         "media_embed": q_media_embed,
@@ -2784,6 +2785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,  # bucketed-cosine family (rep: ann_lsh_top10/cosine_top10; r5 demotion for ngram_dup_frac)
         "term_prefix_topk": q_term_prefix_topk,  # lexicon range-scan family (rep: wildcard_leading_bm25; r5 demotion for facet_counts)
         "stratified_sample": q_stratified_sample,  # deterministic-sampling family (rep: token_budget_pack; r5 demotion for field_title_bm25)
+        "revenue_by_nation": q_revenue_by_nation,  # TPC-H demo family (rep: lineitem_pricing_summary; r5 demotion for doclen_quantiles)
+        "doclen_histogram": q_doclen_histogram,  # the raw sketch table behind doclen_quantiles
         "decontaminate_xx64": q_decontaminate_xx64,  # hash-join production mode
         "training_mix": q_training_mix,         # composed pipeline (filter -> decontam -> pack)
         "source_quality_report": q_source_quality_report,  # domain-level filtering signals
@@ -2895,6 +2898,45 @@ SELECT d.doc_id,
        END AS dup_frac
 FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
 ORDER BY d.doc_id""",
+        "doclen_histogram": """
+WITH tok AS (
+  SELECT len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> ''))::BIGINT AS nt
+  FROM documents),
+h AS (
+  SELECT CASE WHEN nt <= 0 THEN -1
+              ELSE length(to_base(nt, 2)) - 1 END AS bin,
+         count(*)::BIGINT AS n
+  FROM tok GROUP BY 1)
+SELECT bin::INT AS bin, n,
+       round(CASE WHEN bin < 0 THEN 0.0 ELSE pow(2.0, bin) END, 6) AS lo,
+       round(CASE WHEN bin < 0 THEN 0.0 ELSE pow(2.0, bin + 1) END, 6) AS hi
+FROM h ORDER BY bin""",
+        "doclen_quantiles": """
+WITH tok AS (
+  SELECT len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> ''))::BIGINT AS nt
+  FROM documents),
+h AS (
+  SELECT CASE WHEN nt <= 0 THEN -1
+              ELSE length(to_base(nt, 2)) - 1 END AS bin,
+         count(*)::BIGINT AS n
+  FROM tok GROUP BY 1),
+c AS (
+  SELECT bin, n,
+         coalesce(sum(n) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+         sum(n) OVER () AS total
+  FROM h),
+qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+hit AS (
+  SELECT q, bin, n, cb, total,
+         row_number() OVER (PARTITION BY q ORDER BY bin) AS rn
+  FROM qs JOIN c ON c.cb + c.n >= q * c.total)
+SELECT q::DOUBLE AS q,
+       round(CASE WHEN bin < 0 THEN 0.0
+             ELSE pow(2.0, bin + (q * total - cb) / n) END, 6) AS est
+FROM hit WHERE rn = 1 ORDER BY q""",
         "field_title_bm25": f"""
 WITH {SQL_TOKS}, {SQL_TF}, {SQL_DL}, {SQL_STATS},
 tdoc AS (
@@ -2907,7 +2949,8 @@ ttoks AS (
     SELECT doc_id,
            unnest(regexp_split_to_array(
              trim(lower(regexp_replace(text, '[^a-zA-Z0-9 	
-]', ' ', 'g'))),
+
+]', ' ', 'g'))),
              '\s+')) AS tok
     FROM tdoc) t
   WHERE tok <> ''
@@ -3761,3 +3804,46 @@ def q_field_title_bm25(spark, sf_dir):
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(50)
     )
+
+
+def _doclen_df(spark, sf_dir):
+    """(doc_id, n_tokens int) — raw whitespace token count per doc."""
+    from wiki_search_engine_spark.operators.decontaminate import (
+        ws_token_array,
+    )
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(ws_token_array(F.col("text"))).cast("int").alias(
+            "n_tokens"
+        ),
+    )
+
+
+def q_doclen_histogram(spark, sf_dir):
+    """Mergeable log2-binned doc-length histogram — the third
+    mergeable-summary sketch (operators/sketches.py log_histogram):
+    ~64 (bin, n, lo, hi) rows describe the tokens-per-doc distribution
+    of any corpus slice; slices merge by adding counts. Integer-exact
+    binning (binary digit count), so the oracle replays bit-for-bit."""
+    from wiki_search_engine_spark.operators.sketches import (
+        log_histogram,
+    )
+
+    return log_histogram(
+        _doclen_df(spark, sf_dir).select("n_tokens"), "n_tokens"
+    ).orderBy("bin")
+
+
+def q_doclen_quantiles(spark, sf_dir):
+    """p50/p90/p99 tokens-per-doc estimated FROM the histogram sketch
+    (one window cumsum over ~64 rows, exponent interpolation inside
+    the hit bin — no corpus re-access; sketches.histogram_quantiles)."""
+    from wiki_search_engine_spark.operators.sketches import (
+        histogram_quantiles, log_histogram,
+    )
+
+    hist = log_histogram(
+        _doclen_df(spark, sf_dir).select("n_tokens"), "n_tokens"
+    )
+    return histogram_quantiles(hist, [0.5, 0.9, 0.99]).orderBy("q")

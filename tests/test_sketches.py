@@ -148,3 +148,57 @@ def test_mg_fold_bounds(stream, cap, batch):
     for k, t in true.items():
         if t > bound:
             assert f"t{k}" in summary.index
+
+
+def test_log_histogram_merge_and_quantile_bounds(spark):
+    """hist(A ∪ B) == merge(hist A, hist B) EXACTLY (counts add per
+    bin); quantile estimates land inside the hit bin's [lo, hi) and
+    bracket the exact percentile's bin; integer-exact binning at
+    powers of two."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from wiki_search_engine_spark.operators.sketches import (
+        histogram_quantiles, log_histogram,
+    )
+
+    rng = random.Random(5)
+    # include exact powers of two to pin the integer binning
+    vals_a = [rng.randint(1, 5000) for _ in range(4000)] + [256] * 10
+    vals_b = [rng.randint(1, 300) for _ in range(2000)] + [1024] * 5
+    da = spark.createDataFrame([(v,) for v in vals_a], "n int")
+    db = spark.createDataFrame([(v,) for v in vals_b], "n int")
+    dall = spark.createDataFrame(
+        [(v,) for v in vals_a + vals_b], "n int"
+    )
+    ha = {r["bin"]: r["n"] for r in log_histogram(da, "n").collect()}
+    hb = {r["bin"]: r["n"] for r in log_histogram(db, "n").collect()}
+    hall = {
+        r["bin"]: r["n"] for r in log_histogram(dall, "n").collect()
+    }
+    merged = {
+        b: ha.get(b, 0) + hb.get(b, 0) for b in set(ha) | set(hb)
+    }
+    assert merged == hall
+    # 256 lands in bin 8 exactly ([256, 512)), 1024 in bin 10
+    rows = {
+        r["bin"]: (r["lo"], r["hi"])
+        for r in log_histogram(dall, "n").collect()
+    }
+    assert rows[8] == (256.0, 512.0) and 10 in rows
+    # quantile estimates: inside the same bin as the exact percentile
+    import numpy as np
+
+    hist = log_histogram(dall, "n")
+    ests = {
+        r["q"]: r["est"]
+        for r in histogram_quantiles(hist, [0.5, 0.9]).collect()
+    }
+    arr = np.sort(np.array(vals_a + vals_b))
+    for q, est in ests.items():
+        exact = float(arr[min(len(arr) - 1, int(q * len(arr)))])
+        lo_e, hi_e = 2 ** np.floor(np.log2(exact)), 2 ** (
+            np.floor(np.log2(exact)) + 1
+        )
+        assert lo_e <= est <= hi_e, (q, est, exact)

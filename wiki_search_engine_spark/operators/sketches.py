@@ -182,3 +182,110 @@ def mg_heavy_hitters(
         .orderBy(F.desc("est_count"), F.asc(term_col))
         .limit(k)
     )
+
+
+def log_histogram(
+    df: DataFrame, value_col: str, base: float = 2.0
+) -> DataFrame:
+    """Mergeable log-binned histogram of a non-negative numeric column:
+    (bin, n, lo, hi) where bin = floor(log_base(v)) (v <= 0 lands in
+    bin -1 with lo = hi = 0) and [lo, hi) = [base^bin, base^(bin+1)).
+
+    The third mergeable-summary sketch in this module (HLL counts
+    distinct, Misra-Gries finds heavy hitters, this one holds a
+    distribution): the bin table IS the sketch — ~64 rows cover any
+    realistic doc-length range at base 2, per-partition partial counts
+    combine map-side, and histograms of disjoint corpus slices merge
+    by adding counts (pytest: hist(A ∪ B) == merge(hist A, hist B)
+    exactly). The classic corpus-analytics companion: doc-length /
+    tokens-per-doc distributions and their quantiles at 100 TB for one
+    64-row shuffle, incrementally maintainable across crawl batches —
+    where exact percentiles need a corpus sort and Spark's built-in
+    approx_percentile yields an opaque, non-mergeable, non-replayable
+    state."""
+    import math
+
+    v = F.col(value_col).cast("double")
+    int_types = ("int", "bigint", "smallint", "tinyint", "long")
+    if base == 2.0 and str(
+        df.schema[value_col].dataType.simpleString()
+    ) in int_types:
+        # INTEGER-EXACT binning for the common case: floor(log2(n)) ==
+        # binary-digit count - 1 — no floating log whose last-ulp
+        # behavior could flip the bin at exact powers of two (and
+        # diverge from an oracle using a different libm)
+        b = F.when(v <= 0, F.lit(-1)).otherwise(
+            F.length(F.bin(F.col(value_col).cast("bigint"))) - 1
+        ).cast("int")
+    else:
+        b = F.when(v <= 0, F.lit(-1)).otherwise(
+            F.floor(F.log(v) / math.log(base))
+        ).cast("int")
+    lo = F.when(
+        F.col("bin") < 0, F.lit(0.0)
+    ).otherwise(F.pow(F.lit(base), F.col("bin")))
+    hi = F.when(
+        F.col("bin") < 0, F.lit(0.0)
+    ).otherwise(F.pow(F.lit(base), F.col("bin") + 1))
+    return (
+        df.select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            "bin", "n",
+            F.round(lo, 6).alias("lo"),
+            F.round(hi, 6).alias("hi"),
+        )
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame, qs: list[float], base: float = 2.0
+) -> DataFrame:
+    """(q, est) quantile estimates from a log_histogram sketch:
+    rank = q * total; inside the first bin whose cumulative count
+    reaches the rank, interpolate the EXPONENT —
+    est = base^(bin + (rank - cum_before) / n_bin) (bin -1 -> 0).
+    Deterministic arithmetic over the ~64-row sketch (one window
+    cumsum — no corpus access), so a DuckDB oracle replays it exactly;
+    the estimate is always within the bin's [lo, hi) bounds (pytest
+    vs the exact percentile)."""
+    import math
+
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = hist.select(
+        "bin", "n",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("cum_before"),
+    )
+    total = hist.agg(F.sum("n").cast("double").alias("total"))
+    out = None
+    for q in qs:
+        rank = F.col("total") * F.lit(float(q))
+        est = (
+            cum.crossJoin(F.broadcast(total))
+            .filter(
+                (F.col("cum_before") + F.col("n")) >= rank
+            )
+            .orderBy("bin")
+            .limit(1)
+            .select(
+                F.lit(float(q)).alias("q"),
+                F.round(
+                    F.when(F.col("bin") < 0, F.lit(0.0)).otherwise(
+                        F.pow(
+                            F.lit(base),
+                            F.col("bin")
+                            + (rank - F.col("cum_before"))
+                            / F.col("n").cast("double"),
+                        )
+                    ),
+                    6,
+                ).alias("est"),
+            )
+        )
+        out = est if out is None else out.unionByName(est)
+    return out
