@@ -162,6 +162,11 @@ def main(argv=None):
         'also accept the inline syntax "a b"~N',
     )
     q.add_argument(
+        "--facet-top", type=int, default=100,
+        help="max categories returned per facet (count desc, value "
+        "asc) — bounds the response for high-cardinality fields",
+    )
+    q.add_argument(
         "--facets", default=None, metavar="FIELDS",
         help="comma-separated facet fields (e.g. lang,source): adds "
         "per-facet doc counts over the FULL match set to the output; "
@@ -825,7 +830,8 @@ def main(argv=None):
             fac_eng = teng if len(dirs) > 1 else eng
             payload["facets"] = {
                 f: fac_eng.facet_counts(
-                    args.query, field=f, negation=args.negation
+                    args.query, field=f, negation=args.negation,
+                    top=args.facet_top,
                 )
                 for f in (
                     s.strip() for s in args.facets.split(",")

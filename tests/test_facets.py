@@ -199,3 +199,34 @@ def test_facets_http_multi_field_parse(engine):
             assert e.code == 400
     finally:
         srv.shutdown()
+
+
+def test_facet_top_caps_categories(engine):
+    """top=N returns the N highest-count categories (value-asc
+    tie-break) — a high-cardinality facet must never produce an
+    unbounded response; &facet_top=N rides HTTP."""
+    from wiki_search_engine_spark.sources.synth import vocabulary
+
+    from wiki_search_engine_spark.server import start_server
+
+    q0 = vocabulary(42)[0][3]
+    full = engine.facet_counts(q0, field="lang")
+    assert len(full) >= 2  # en + de in the synthetic corpus
+    top1 = engine.facet_counts(q0, field="lang", top=1)
+    expect = sorted(full, key=lambda c: (-full[c], c))[0]
+    assert top1 == {expect: full[expect]}
+    srv = start_server(engine, port=0, path_mode="local")
+    try:
+        import urllib.parse
+        import urllib.request
+
+        port = srv.server_address[1]
+        url = (
+            f"http://127.0.0.1:{port}/query-stem?query="
+            f"{urllib.parse.quote(q0)}&facets=lang&facet_top=1"
+        )
+        with urllib.request.urlopen(url, timeout=30) as r:
+            resp = json.load(r)
+        assert resp["facets"]["lang"] == top1
+    finally:
+        srv.shutdown()

@@ -2289,6 +2289,7 @@ class SearchEngine:
 
     def facet_counts(
         self, query: str, field: str = "lang", negation: bool = False,
+        top: int = 100,
     ) -> dict:
         """Per-facet doc counts over the FULL match set (every doc
         containing any positive query term — OR semantics), NOT just
@@ -2299,7 +2300,10 @@ class SearchEngine:
         facet values come from the cached doc-values arrays
         (_facet_arrays). Composes with ``-term`` NOT under
         ``negation=True`` (excluded docs leave the counts). A null
-        facet value counts under ``""``."""
+        facet value counts under ``""``. ``top`` caps the returned
+        categories (count desc, value asc — Lucene facet order): a
+        high-cardinality field (source domains at web scale) must not
+        produce an unbounded response."""
         import numpy as np
 
         from .functions.analyzer import (
@@ -2356,11 +2360,15 @@ class SearchEngine:
             totals += np.bincount(
                 codes[p[hit]], minlength=len(cats)
             ).astype(np.int64)
-        return {
-            ("" if c is None else c): int(n)
-            for c, n in zip(cats, totals)
-            if n > 0
-        }
+        ranked = sorted(
+            (
+                (("" if c is None else c), int(n))
+                for c, n in zip(cats, totals)
+                if n > 0
+            ),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        return dict(ranked[: max(1, int(top))])
 
     def lookup_docs(
         self, docids: list[int], with_images: bool = True
@@ -2483,6 +2491,7 @@ class SearchEngine:
         negation: bool = False,
         synonyms: bool = False,
         facets: str | None = None,
+        facet_top: int = 100,
     ) -> dict:
         """The reference's full HTTP response shape
         (backend/controllers/queryController.js:11-59):
@@ -2626,7 +2635,7 @@ class SearchEngine:
             # share the match-set decode via the term-list cache.
             resp["facets"] = {
                 f: self.facet_counts(
-                    query, field=f, negation=negation
+                    query, field=f, negation=negation, top=facet_top
                 )
                 for f in (
                     s.strip() for s in facets.split(",")

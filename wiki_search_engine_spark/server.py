@@ -137,9 +137,21 @@ class _Handler(BaseHTTPRequestHandler):
         synonyms = (qs.get("synonyms") or ["false"])[0].lower() in (
             "1", "true", "yes",
         )
-        # &facets=lang — per-facet counts over the FULL match set
-        # (extension beyond the reference API; engine.facet_counts)
+        # &facets=lang[,source] — per-facet counts over the FULL match
+        # set (extension beyond the reference API; engine.facet_counts);
+        # &facet_top=N caps the categories per facet (default 100)
         facets = (qs.get("facets") or [""])[0].strip()
+        try:
+            facet_top = int((qs.get("facet_top") or ["100"])[0])
+        except ValueError:
+            self._send(
+                400,
+                {
+                    "success": False, "result": [],
+                    "error": "facet_top must be an integer",
+                },
+            )
+            return
         kwargs = {}
         if facets:
             if not hasattr(self.server.engine, "facet_counts"):
@@ -153,6 +165,7 @@ class _Handler(BaseHTTPRequestHandler):
                 )
                 return
             kwargs["facets"] = facets
+            kwargs["facet_top"] = facet_top
         if negation:
             kwargs["negation"] = True
         if synonyms:

@@ -1627,6 +1627,7 @@ class TieredEngine:
         phrase: bool = False, fuzzy: bool = False,
         highlight: bool = False, negation: bool = False,
         synonyms: bool = False, facets: str | None = None,
+        facet_top: int = 100,
     ) -> dict:
         """The reference HTTP response shape over tiered serving — the
         shared assembler (engine.py assemble_reference_response) with
@@ -1757,7 +1758,7 @@ class TieredEngine:
         if facets and resp.get("success") is not False:
             resp["facets"] = {
                 f: self.facet_counts(
-                    query, field=f, negation=negation
+                    query, field=f, negation=negation, top=facet_top
                 )
                 for f in (s.strip() for s in facets.split(","))
                 if f
@@ -1828,6 +1829,7 @@ class TieredEngine:
 
     def facet_counts(
         self, query: str, field: str = "lang", negation: bool = False,
+        top: int = 100,
     ) -> dict:
         """Per-facet LIVE doc counts over the full match set of a
         tiered segment list — tombstoned/overridden docs never count,
@@ -1897,11 +1899,15 @@ class TieredEngine:
             totals += np.bincount(
                 codes[p[hit]], minlength=len(cats)
             ).astype(np.int64)
-        return {
-            ("" if c is None else c): int(n)
-            for c, n in zip(cats, totals)
-            if n > 0
-        }
+        ranked = sorted(
+            (
+                (("" if c is None else c), int(n))
+                for c, n in zip(cats, totals)
+                if n > 0
+            ),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        return dict(ranked[: max(1, int(top))])
 
     def lookup_docs(
         self, docids: list[int], with_images: bool = True
