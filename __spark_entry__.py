@@ -2726,7 +2726,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "ngram_jaccard_verify": q_ngram_jaccard_verify,
-        "dedup_components": q_dedup_components,
         "simhash_near_dups": q_simhash_near_dups,
         "ngram_dup_frac": q_ngram_dup_frac,
         # -- similarity / ANN ------------------------------------------
@@ -2753,6 +2752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_register_sketch": q_hll_register_sketch,
         "term_heavy_hitters": q_term_heavy_hitters,
         "doclen_quantiles": q_doclen_quantiles,
+        "pagerank_top20": q_pagerank_top20,
         # -- multimodal ------------------------------------------------
         "media_features": q_media_features,
         "media_embed": q_media_embed,
@@ -2787,6 +2787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,  # deterministic-sampling family (rep: token_budget_pack; r5 demotion for field_title_bm25)
         "revenue_by_nation": q_revenue_by_nation,  # TPC-H demo family (rep: lineitem_pricing_summary; r5 demotion for doclen_quantiles)
         "doclen_histogram": q_doclen_histogram,  # the raw sketch table behind doclen_quantiles
+        "dedup_components": q_dedup_components,  # label propagation over minhash candidate pairs (dedup family; r5 demotion for pagerank_top20)
         "decontaminate_xx64": q_decontaminate_xx64,  # hash-join production mode
         "training_mix": q_training_mix,         # composed pipeline (filter -> decontam -> pack)
         "source_quality_report": q_source_quality_report,  # domain-level filtering signals
@@ -2898,6 +2899,7 @@ SELECT d.doc_id,
        END AS dup_frac
 FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
 ORDER BY d.doc_id""",
+        "pagerank_top20": _pagerank_sql(3, 20),
         "doclen_histogram": """
 WITH tok AS (
   SELECT len(list_filter(regexp_split_to_array(lower(text), '\s+'),
@@ -3847,3 +3849,82 @@ def q_doclen_quantiles(spark, sf_dir):
         _doclen_df(spark, sf_dir).select("n_tokens"), "n_tokens"
     )
     return histogram_quantiles(hist, [0.5, 0.9, 0.99]).orderBy("q")
+
+
+def q_pagerank_top20(spark, sf_dir):
+    """PageRank (3 power iterations, d=0.85, dangling-mass
+    redistribution) over a DETERMINISTIC synthetic link graph derived
+    from the documents table's ids (src -> (src*k + 1) mod N for
+    k in 2,3,5) — the kernel-correctness gate for
+    operators/linkgraph.py pagerank; the real-corpus path (html link
+    extraction -> resolve_link_docids -> pagerank) is pytest-gated
+    against a pure-Python power iteration."""
+    from wiki_search_engine_spark.operators.linkgraph import pagerank
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    edges = None
+    for kk in (2, 3, 5):
+        e = docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * kk + 1) % n).alias("dst"),
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    pr = pagerank(edges, n_iter=3)
+    return (
+        pr.select(
+            F.col("node").cast("long").alias("doc_id"),
+            F.round("rank", 6).alias("rank"),
+        )
+        .orderBy(F.desc("rank"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _pagerank_sql(n_iter: int = 3, k_top: int = 20) -> str:
+    """Chained-CTE replay of the fixed-iteration PageRank entry:
+    one rN CTE per power iteration (teleport + damped contributions +
+    dangling mass, identical double arithmetic)."""
+    head = """
+WITH nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+e AS (
+  SELECT doc_id AS src,
+         (doc_id * 2 + 1) % (SELECT count(*) FROM documents) AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 3 + 1) % (SELECT count(*) FROM documents)
+  FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 5 + 1) % (SELECT count(*) FROM documents)
+  FROM documents),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+deg AS (SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY 1),
+r0 AS (SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS rank
+       FROM nodes)"""
+    its = []
+    for i in range(1, n_iter + 1):
+        p = f"r{i - 1}"
+        its.append(f"""
+r{i} AS (
+  SELECT nodes.node,
+    0.15::DOUBLE / (SELECT n FROM nn)
+    + 0.85::DOUBLE * (
+        coalesce(c.c, 0.0)
+        + (SELECT coalesce(sum(r.rank), 0.0) FROM {p} r
+           LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL)
+          / (SELECT n FROM nn)
+      ) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / deg.deg) AS c
+    FROM e JOIN {p} r ON e.src = r.node
+    JOIN deg ON deg.src = e.src
+    GROUP BY 1) c ON nodes.node = c.node)""")
+    return (
+        head + "," + ",".join(its)
+        + f"""
+SELECT node::BIGINT AS doc_id, round(rank, 6) AS rank
+FROM r{n_iter}
+ORDER BY rank DESC, doc_id LIMIT {k_top}"""
+    )
