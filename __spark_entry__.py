@@ -2791,6 +2791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_xx64": q_decontaminate_xx64,  # hash-join production mode
         "training_mix": q_training_mix,         # composed pipeline (filter -> decontam -> pack)
         "source_quality_report": q_source_quality_report,  # domain-level filtering signals
+        "bm25_static_rank": q_bm25_static_rank,  # composition: bm25 (in-window) + pagerank (in-window) authority boost
     }
 
 
@@ -2900,6 +2901,27 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
 ORDER BY d.doc_id""",
         "pagerank_top20": _pagerank_sql(3, 20),
+        # composition oracle: the pagerank CTE chain (everything before
+        # its final SELECT) + the bm25 CTEs + the boost formula
+        "bm25_static_rank": (
+            _pagerank_sql(3, 20)
+            .split("SELECT node::BIGINT")[0]
+            + f""",
+{SQL_TOKS.strip()}, {SQL_TF}, {SQL_DL}, {SQL_STATS}, {_sql_terms(Q_MAIN)},
+qdf AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf
+  WHERE term IN (SELECT term FROM qterms) GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id, ln((s.n - q.df + 0.5)/(q.df + 0.5) + 1) * tf.tf * {K1 + 1.0}
+         / (tf.tf + {K1} * (1 - {B} + {B} * dl.doc_len / s.avgdl)) AS part
+  FROM tf JOIN qdf q USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s),
+bm AS (SELECT doc_id, sum(part) AS s FROM contrib GROUP BY 1)
+SELECT bm.doc_id,
+       round(bm.s + 2.0 * ln(1 + (SELECT count(*) FROM documents) * r.rank), 6)
+         AS score
+FROM bm JOIN r3 r ON bm.doc_id = r.node
+ORDER BY score DESC, doc_id LIMIT 50"""
+        ),
         "doclen_histogram": """
 WITH tok AS (
   SELECT len(list_filter(regexp_split_to_array(lower(text), '\s+'),
@@ -3927,4 +3949,44 @@ r{i} AS (
 SELECT node::BIGINT AS doc_id, round(rank, 6) AS rank
 FROM r{n_iter}
 ORDER BY rank DESC, doc_id LIMIT {k_top}"""
+    )
+
+
+def q_bm25_static_rank(spark, sf_dir):
+    """The classic web-ranking composition: BM25 relevance + a static
+    link-authority prior — score' = bm25 + 2*ln(1 + N*pagerank), over
+    the same deterministic link graph as pagerank_top20 (3 power
+    iterations). One plan: exhaustive scorer join the rank table on
+    docid; the serving analogue would broadcast the (docid, rank) side
+    table exactly like doc_stats."""
+    from wiki_search_engine_spark.operators.linkgraph import pagerank
+    from wiki_search_engine_spark.operators.scoring import (
+        score_exhaustive,
+    )
+
+    tokens = _base_tokens_df(spark, sf_dir)
+    n, avgdl = _stats_scalars(tokens)
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n_docs = docs.count()
+    edges = None
+    for kk in (2, 3, 5):
+        e = docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * kk + 1) % n_docs).alias("dst"),
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    pr = pagerank(edges, n_iter=3)
+    bm = score_exhaustive(tokens, Q_MAIN, n, avgdl, k=None)
+    return (
+        bm.join(pr, bm["docid"] == pr["node"])
+        .select(
+            F.col("docid").cast("long").alias("doc_id"),
+            F.round(
+                F.col("score")
+                + 2.0 * F.log(1.0 + F.lit(float(n_docs)) * F.col("rank")),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(50)
     )
