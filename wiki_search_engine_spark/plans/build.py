@@ -164,6 +164,7 @@ def build_index(
     resume: bool = False,
     analyzer: str | None = None,
     positions: bool = False,
+    pagerank_iters: int = 0,
 ) -> Manifest:
     """Build the full index under ``index_dir``; returns the manifest.
 
@@ -197,6 +198,10 @@ def build_index(
         for sub in (
             "tokens", "postings", "term_stats", "docs", "doc_stats",
             "stats", "positions",
+            # static_rank only rewrites when pagerank_iters > 0, so a
+            # fresh rebuild WITHOUT the flag must not leave the old
+            # corpus's authority ranks behind to silently boost
+            "static_rank",
         ):
             shutil.rmtree(f"{index_dir}/{sub}", ignore_errors=True)
 
@@ -232,6 +237,7 @@ def build_index(
         return _build_stages(
             spark, corpus, index_dir, manifest, stem, n_buckets,
             bucket_groups, salt_bits, analyzer, positions=positions,
+            pagerank_iters=pagerank_iters,
         )
     finally:
         for k, v in saved_conf.items():
@@ -241,7 +247,7 @@ def build_index(
 
 def _build_stages(
     spark, corpus, index_dir, manifest, stem, n_buckets, bucket_groups,
-    salt_bits, analyzer=None, positions=False,
+    salt_bits, analyzer=None, positions=False, pagerank_iters=0,
 ) -> Manifest:
     # scan-split tuning: corpus files (if file-backed) drive the tokenize
     # stage's parallelism
@@ -522,6 +528,11 @@ def _build_stages(
         )
     write_term_stats(spark, index_dir, n_buckets, manifest)
     write_title_tf(spark, index_dir, n_buckets, manifest, analyzer=analyzer)
+    if pagerank_iters > 0:
+        write_static_rank(
+            spark, index_dir, corpus, salt_bits,
+            n_iter=pagerank_iters, manifest=manifest,
+        )
 
     # --- stage: positional sidecar (opt-in) -------------------------------
     if positions and not manifest.is_done("positions"):
@@ -633,6 +644,69 @@ def write_title_tf(
         rows, nbytes, files = _parquet_lineage(f"{index_dir}/title_tf")
         manifest.mark(
             "title_tf",
+            rows_out=rows,
+            bytes_out=nbytes,
+            wall_ms=int(1000 * (time.time() - t0)),
+        )
+
+
+def write_static_rank(
+    spark,
+    index_dir: str,
+    corpus: DataFrame,
+    salt_bits: int,
+    n_iter: int = 10,
+    manifest: Manifest | None = None,
+) -> None:
+    """OPT-IN static-authority sidecar (``static_rank/``): PageRank
+    over the corpus's intra-corpus link graph (html -> the reference's
+    link filter chain -> docid edges -> operators/linkgraph.pagerank),
+    written (docid, rank) in the same salt-dir + docid-sorted layout
+    as doc_stats so serving reads it as cached doc-values. Docs with
+    no links in either direction are absent (they get zero boost —
+    authority is a property of the link graph). Build cost: one
+    extraction pass over html + ``n_iter`` join/agg rounds over the
+    EDGE table (link-count-sized, far below postings)."""
+    if manifest is not None and manifest.is_done("static_rank"):
+        return
+    if "html" not in corpus.columns:
+        raise ValueError(
+            "static_rank needs the corpus html column (the link graph "
+            "comes from the pages' anchors)"
+        )
+    t0 = time.time()
+    from ..operators.linkgraph import pagerank, resolve_link_docids
+    from ..operators.tokenize import link_table
+
+    edges = resolve_link_docids(
+        link_table(corpus), corpus.select("url")
+    )
+    ranks = pagerank(edges, n_iter=n_iter)
+    (
+        ranks.select(
+            F.col("node").alias("docid"), "rank"
+        )
+        .withColumn(
+            "salt",
+            F.shiftrightunsigned(
+                F.col("docid"), 63 - salt_bits
+            ).cast("int"),
+        )
+        .repartition(
+            min(spark.sparkContext.defaultParallelism, 1 << salt_bits),
+            "salt",
+        )
+        .sortWithinPartitions("docid")
+        .write.mode("overwrite")
+        .partitionBy("salt")
+        .parquet(f"{index_dir}/static_rank")
+    )
+    if manifest is not None:
+        rows, nbytes, _files = _parquet_lineage(
+            f"{index_dir}/static_rank"
+        )
+        manifest.mark(
+            "static_rank",
             rows_out=rows,
             bytes_out=nbytes,
             wall_ms=int(1000 * (time.time() - t0)),

@@ -152,7 +152,12 @@ class _Handler(BaseHTTPRequestHandler):
                 },
             )
             return
+        # &boost=static — additive PageRank authority boost on the
+        # local serving path (needs the static_rank sidecar)
+        boost = (qs.get("boost") or [""])[0].strip().lower()
         kwargs = {}
+        if boost:
+            kwargs["boost"] = boost
         if facets:
             if not hasattr(self.server.engine, "facet_counts"):
                 self._send(
