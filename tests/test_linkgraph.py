@@ -262,3 +262,83 @@ def test_static_boost_missing_sidecar_and_http(spark, ranked_engine):
     plain = SearchEngine.load(spark, plain_dir)
     with pytest.raises(FileNotFoundError, match="pagerank"):
         plain.search_local("shared corpus", k=5, boost="static")
+
+
+def test_anchor_terms_field_relation(spark):
+    """Anchor text aggregates per DESTINATION with the index analyzer:
+    tf across all incoming anchors, anchor_len = the field length;
+    frontier anchors and empty (image) anchors drop; inner tags strip."""
+    from wiki_search_engine_spark.functions.extraction import (
+        extract_anchor_texts,
+    )
+    from wiki_search_engine_spark.operators.linkgraph import (
+        anchor_terms,
+    )
+
+    # function-level contract
+    got = extract_anchor_texts(
+        '<a href="/wiki/A">first <b>bold</b></a>'
+        '<a href="/wiki/B"><img src=x></a>'
+        '<a href="https://other.example.com/c">off</a>'
+        '<a href="/w/index.php?action=edit">e</a>'
+        '<a href="/wiki/A">again</a>',
+        base_url="https://en.wikipedia.org/wiki/Src",
+    )
+    assert got == [
+        ("https://en.wikipedia.org/wiki/A", "first bold"),
+        ("https://en.wikipedia.org/wiki/A", "again"),
+    ]
+
+    urls = {
+        "A": "https://en.wikipedia.org/wiki/A",
+        "B": "https://en.wikipedia.org/wiki/B",
+        "C": "https://en.wikipedia.org/wiki/C",
+    }
+    rows = [
+        # A -> B twice ("fast car", "fast train"); A -> frontier
+        (
+            urls["A"],
+            (
+                '<a href="/wiki/B">fast car</a>'
+                '<a href="/wiki/B">fast train</a>'
+                '<a href="/wiki/Missing_Page">gone</a>'
+            ).encode(),
+            "body a",
+        ),
+        # C -> B ("quick car"); C -> A ("alpha page")
+        (
+            urls["C"],
+            (
+                '<a href="/wiki/B">quick car</a>'
+                '<a href="/wiki/A">alpha page</a>'
+            ).encode(),
+            "body c",
+        ),
+        (urls["B"], b"<p>no links</p>", "body b"),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "url string, html binary, text string"
+    )
+    out = anchor_terms(corpus, stem=False)
+    did = {
+        r["url"]: r["d"]
+        for r in spark.createDataFrame(
+            [(u,) for u in urls.values()], "url string"
+        )
+        .withColumn("d", F.shiftrightunsigned(F.xxhash64("url"), 1))
+        .collect()
+    }
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["docid"], {})[r["term"]] = (
+            r["tf"], r["anchor_len"]
+        )
+    b = by_doc[did[urls["B"]]]
+    # B's anchors: "fast car", "fast train", "quick car" -> 6 tokens
+    assert b["fast"] == (2, 6)
+    assert b["car"] == (2, 6)
+    assert b["train"] == (1, 6) and b["quick"] == (1, 6)
+    a = by_doc[did[urls["A"]]]
+    assert a["alpha"] == (1, 2) and a["page"] == (1, 2)
+    # the frontier target never appears
+    assert set(by_doc) == {did[urls["A"]], did[urls["B"]]}

@@ -257,3 +257,51 @@ def extract_links(
         if len(out) >= max_links:
             break
     return out
+
+
+ANCHOR_RE = None
+
+
+def extract_anchor_texts(
+    html: str,
+    base_url: str = "",
+    allow_domains: tuple = ("en.wikipedia.org",),
+    max_links: int = 200,
+):
+    """(target url, anchor text) pairs — the SAME filter chain as
+    extract_links (absolutize, http(s) only, skip-marker drop, domain
+    allow-list, cap) but keeping the anchor's visible text (inner tags
+    stripped, whitespace collapsed). The same target linked twice
+    yields one pair per occurrence (each anchor is an independent
+    description of the destination — the signal anchor-text indexing
+    aggregates); empty anchors (image links) are dropped."""
+    global ANCHOR_RE
+    if ANCHOR_RE is None:
+        import re
+
+        ANCHOR_RE = re.compile(
+            r"<a\b[^>]*\bhref\s*=\s*[\"']([^\"']+)[\"'][^>]*>"
+            r"(.*?)</a\s*>",
+            re.IGNORECASE | re.DOTALL,
+        )
+    import re as _re
+    from urllib.parse import urljoin, urlparse
+
+    out: list[tuple[str, str]] = []
+    for href, inner in ANCHOR_RE.findall(html or ""):
+        if any(m in href for m in SKIP_LINK_MARKERS):
+            continue
+        url = urljoin(base_url, href)
+        p = urlparse(url)
+        if p.scheme not in ("http", "https"):
+            continue
+        if allow_domains and p.netloc not in allow_domains:
+            continue
+        text = _re.sub(r"<[^>]*>", " ", inner)
+        text = _re.sub(r"\s+", " ", text).strip()
+        if not text:
+            continue
+        out.append((url, text))
+        if len(out) >= max_links:
+            break
+    return out

@@ -128,3 +128,75 @@ def resolve_link_docids(
         did(F.col("src_url")).alias("src"),
         did(F.col("dst_url")).alias("dst"),
     )
+
+
+def anchor_terms(
+    corpus: DataFrame,
+    stem: bool = True,
+    analyzer: str | None = None,
+    allow_domains: tuple = ("en.wikipedia.org",),
+) -> DataFrame:
+    """(docid, term, tf, anchor_len): the ANCHOR-TEXT field relation —
+    how OTHER pages describe each document, the web-ranking signal the
+    original PageRank paper weighted alongside authority (anchors
+    describe the target better than the target describes itself).
+    Every incoming anchor's text runs through the INDEX analyzer and
+    aggregates per destination: tf = occurrences of the term across
+    all incoming anchors, anchor_len = the destination's total anchor
+    tokens (the field-length norm). Shape-compatible with the title_tf
+    side of operators/scoring.score_bm25f, so anchor-boosted ranking
+    composes with the existing field machinery.
+
+    Plan: one Arrow-batched extraction pass over html (the reference's
+    link filter chain keeping the anchors' visible text) -> explode ->
+    frontier drop (join on the corpus's own urls) -> the vectorized
+    tokenize kernel over anchor snippets -> one (docid, term) hash
+    aggregate + a docid-keyed length aggregate. Anchor volume is
+    link-count-sized, far below the corpus token stream."""
+    import pandas as pd
+
+    from ..functions.extraction import extract_anchor_texts
+    from ..operators.tokenize import tokenize
+
+    @F.pandas_udf("array<struct<url:string,text:string>>")
+    def _anchors(html, url):
+        return pd.Series(
+            [
+                [
+                    {"url": u, "text": t}
+                    for u, t in extract_anchor_texts(
+                        bytes(h).decode("utf-8", "replace")
+                        if h is not None
+                        else "",
+                        base_url=base or "",
+                        allow_domains=allow_domains,
+                    )
+                ]
+                for h, base in zip(html, url)
+            ]
+        )
+
+    pairs = corpus.select(
+        F.explode(_anchors(F.col("html"), F.col("url"))).alias("a")
+    ).select(
+        F.col("a.url").alias("dst_url"), F.col("a.text").alias("text")
+    )
+    known = corpus.select(
+        F.col("url").alias("dst_url")
+    ).distinct()
+    resolved = pairs.join(known, "dst_url").select(
+        F.shiftrightunsigned(F.xxhash64("dst_url"), 1).alias("docid"),
+        "text",
+    )
+    toks = tokenize(resolved, stem=stem, analyzer=analyzer).select(
+        "docid", "term", "tf"
+    )
+    agg = toks.groupBy("docid", "term").agg(
+        F.sum("tf").cast("int").alias("tf")
+    )
+    from pyspark.sql import Window
+
+    return agg.withColumn(
+        "anchor_len",
+        F.sum("tf").over(Window.partitionBy("docid")).cast("int"),
+    )
